@@ -1,0 +1,55 @@
+"""Adaptive 1D Gauss-Kronrod algorithms.
+
+``QuadGKJL`` is the native equivalent of the reference's wrapper over
+``quadgk`` (``src/algorithms.jl:13-92``); ``AuxQuadGKJL`` of the
+``auxquadgk`` wrapper (``src/algorithms.jl:202-240``).  Both run the
+fixed-shape interval-pool driver in :mod:`autobzcore_tpu.ops.adaptive`; the
+aux variant differs only in that AuxValue results get channel-separated error
+control (which the shared driver provides whenever the integrand returns an
+:class:`AuxValue`), and in accepting batch integrands — kept as separate
+classes for API parity with the reference.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..interfaces import IntegralSolution
+from ..ops.adaptive import gk_adaptive
+from ..utils.tree import tree_norm
+from ..wrappers import batch_eval_fn
+from .base import IntegralAlgorithm, effective_tolerances, segments_of
+
+
+class QuadGKJL(IntegralAlgorithm):
+    def __init__(self, order=7, norm=tree_norm, cap=2048, nbisect=4):
+        self.order = order
+        self.norm = norm
+        self.cap = cap
+        self.nbisect = nbisect
+
+    def init_cacheval(self, f, dom, p):
+        batch_f = batch_eval_fn(f)
+        segs = segments_of(dom)
+        order, cap, nbisect, norm = self.order, self.cap, self.nbisect, self.norm
+
+        @jax.jit
+        def run(p, atol, rtol):
+            return gk_adaptive(
+                batch_f, p, jnp.asarray(segs), order=order, cap=cap,
+                nbisect=nbisect, abstol=atol, reltol=rtol, norm=norm,
+            )
+
+        return {"run": run}
+
+    def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
+        atol, rtol = effective_tolerances(abstol, reltol)
+        val, err, ne, conv = cacheval["run"](p, atol, rtol)
+        return IntegralSolution(val, err, bool(conv), int(ne))
+
+
+class AuxQuadGKJL(QuadGKJL):
+    """Gauss-Kronrod with auxiliary error control — the workhorse inner rule
+    for IAI (reference default at ``src/brillouin.jl:370``)."""
+    pass

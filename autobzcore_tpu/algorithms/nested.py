@@ -1,0 +1,127 @@
+"""Nested (iterated) adaptive integration — the IAI backbone.
+
+Native equivalent of the reference's ``NestedQuad`` meta-algorithm
+(``src/algorithms.jl:450-612``) and its Fourier-specialized path
+(``src/fourier.jl:394-510``).
+
+TPU-native structure: each nesting level is a fixed-shape adaptive driver
+(interval pool in ``lax.while_loop``); the inner level's solve is ``vmap``-ed
+over the outer level's node panel, so the whole d-dimensional adaptive
+recursion compiles to one XLA program with static shapes.  Irregular limits
+(wedges, polytope slices) enter as traced segment endpoints.  The per-level
+tolerance division matches the reference: an inner solve at outer node ``x``
+gets ``abstol / len(inner segments)`` (``src/algorithms.jl:545,557,567``).
+
+Integrand state that can be *contracted* one dimension at a time — the Fourier
+workspace of reference ``src/fourier.jl:478`` — is threaded through the
+recursion as a "carrier": fixing the outer coordinate contracts the series
+coefficient tensor once per node, amortized across the whole inner panel.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..interfaces import IntegralSolution
+from ..limits import IteratedLimits
+from ..ops.adaptive import fixed_rule_eval, gk_adaptive
+from ..utils.tree import tree_norm
+from ..wrappers import batch_eval_fn
+from .base import IntegralAlgorithm, effective_tolerances
+from .gk import QuadGKJL
+from .quadrature import QuadratureFunction
+
+
+def assemble_points(xs, coords):
+    """Build (B, d) points: innermost variable is ``xs``; ``coords`` holds the
+    already-fixed outer coordinates, outermost first."""
+    cols = [xs] + [jnp.broadcast_to(c, xs.shape) for c in reversed(coords)]
+    return jnp.stack(cols, axis=-1)
+
+
+class PlainCarrier:
+    """Nest carrier for ordinary integrands: no per-level state."""
+
+    def __init__(self, f):
+        self.batch = batch_eval_fn(f, in_ndim=1)
+
+    def fix(self, x):
+        return self
+
+    def eval_batch(self, xs, coords, p):
+        return self.batch(assemble_points(xs, coords), p)
+
+
+class NestedQuad(IntegralAlgorithm):
+    """``NestedQuad(alg)`` or ``NestedQuad(algs_tuple)`` with one algorithm per
+    dimension (index 0 = innermost), as in the reference."""
+
+    def __init__(self, algs):
+        self.algs = algs
+
+    def _algs_for(self, ndim):
+        if isinstance(self.algs, (tuple, list)):
+            if len(self.algs) != ndim:
+                raise ValueError("need one algorithm per dimension")
+            return tuple(self.algs)
+        return (self.algs,) * ndim
+
+    def init_cacheval(self, f, dom, p):
+        if not isinstance(dom, IteratedLimits):
+            raise TypeError("NestedQuad requires an IteratedLimits domain")
+        algs = self._algs_for(dom.ndim)
+
+        from ..fourier import FourierIntegrand
+
+        if isinstance(f, FourierIntegrand):
+            def make_carrier():
+                return f.nest_carrier()
+        else:
+            carrier0 = PlainCarrier(f)
+
+            def make_carrier():
+                return carrier0
+
+        def solve_level(lims, carrier, coords, p, atol, rtol):
+            d_rem = lims.ndim
+            alg = algs[d_rem - 1]
+            segs = lims.outer_segments()
+
+            if d_rem == 1:
+                def batch_f(xs, pp):
+                    return carrier.eval_batch(xs, coords, pp)
+            else:
+                def batch_f(xs, pp):
+                    def one(x):
+                        lims2 = lims.fix(x)
+                        car2 = carrier.fix(x)
+                        segs2 = lims2.outer_segments()
+                        len2 = segs2[-1] - segs2[0]
+                        inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
+                        val, _, _, _ = solve_level(lims2, car2, coords + (x,), pp, inner_atol, rtol)
+                        return val
+
+                    return jax.vmap(one)(xs)
+
+            if isinstance(alg, QuadratureFunction):
+                x, w = alg.fun(alg.npt)
+                val = fixed_rule_eval(batch_f, p, segs, x, w)
+                z = jnp.zeros((), segs.dtype)
+                return val, z, jnp.asarray(0, jnp.int32), jnp.asarray(True)
+            if isinstance(alg, QuadGKJL):  # includes AuxQuadGKJL
+                return gk_adaptive(
+                    batch_f, p, segs, order=alg.order, cap=alg.cap,
+                    nbisect=alg.nbisect, abstol=atol, reltol=rtol, norm=alg.norm,
+                )
+            raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")
+
+        @jax.jit
+        def run(p, atol, rtol):
+            return solve_level(dom, make_carrier(), (), p, atol, rtol)
+
+        return {"run": run}
+
+    def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
+        atol, rtol = effective_tolerances(abstol, reltol)
+        val, err, ne, conv = cacheval["run"](p, atol, rtol)
+        return IntegralSolution(val, err, bool(conv), -1)

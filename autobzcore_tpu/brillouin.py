@@ -1,0 +1,312 @@
+"""Brillouin-zone layer: domain semantics, symmetry, BZ algorithms.
+
+Native equivalent of reference ``src/brillouin.jl``: ``SymmetricBZ``
+(``:33``), the symmetry-representation traits (``:86-113``), the ``load_bz``
+constructors (``:177-307``), and the BZ algorithm wrappers ``IAI``/``PTR``/
+``AutoPTR``/``TAI``/``PTR_IAI``/``AutoPTR_IAI`` (``:368-490``), which
+
+1. map the problem to a standard domain in fractional coordinates,
+2. rescale ``abstol`` by ``det(B) * nsyms`` (``:340-342``),
+3. symmetrize the irreducible-zone result to the full zone (``:352``), and
+4. fall back to a full-BZ re-solve with a warning when the integrand's
+   symmetry representation is unknown and the result is non-scalar
+   (``:346-351``) — preserved as a correctness guarantee.
+"""
+from __future__ import annotations
+
+import warnings
+
+import jax
+import numpy as np
+
+from .algorithms.base import IntegralAlgorithm
+from .algorithms.gk import AuxQuadGKJL
+from .algorithms.hcubature import HCubatureJL
+from .algorithms.meta import AbsoluteEstimate, EvalCounter
+from .algorithms.nested import NestedQuad
+from .algorithms.ptr import AutoSymPTRJL, MonkhorstPack
+from .domains import Basis, HyperCube
+from .interfaces import IntegralSolution
+from .limits import CubicLimits, TetrahedralLimits
+from .ops.symptr import cube_automorphism_syms, inversion_syms
+from .utils.tree import tree_norm
+
+
+def canonical_reciprocal_basis(A):
+    """B = 2 pi inv(A)^T (reference ``src/brillouin.jl:9``)."""
+    A = np.asarray(A, dtype=np.float64)
+    return 2 * np.pi * np.linalg.inv(A).T
+
+
+def check_bases_canonical(A, B, atol):
+    if np.linalg.norm(np.asarray(A).T @ np.asarray(B) - 2 * np.pi * np.eye(len(A))) >= atol:
+        raise ValueError(f"Real and reciprocal Bravais lattice bases non-orthogonal to tolerance {atol}")
+
+
+def lattice_bz_limits(d):
+    """Unitless canonical BZ: the fractional unit cube (``src/brillouin.jl:2-5``)."""
+    return CubicLimits(np.zeros(d), np.ones(d))
+
+
+class SymmetricBZ:
+    """BZ reduced by point-group symmetries, with integration limits and
+    symmetries in the lattice (fractional) basis (``src/brillouin.jl:33``)."""
+
+    def __init__(self, A, B, lims, syms=None):
+        self.A = np.asarray(A, dtype=np.float64)
+        self.B = np.asarray(B, dtype=np.float64)
+        if self.A.shape != self.B.shape or self.A.shape[0] != self.A.shape[1]:
+            raise ValueError("A and B must be identically-sized square matrices")
+        self.lims = lims
+        self.syms = None if syms is None else np.asarray(syms)
+
+    @property
+    def ndim(self):
+        return self.A.shape[0]
+
+    @property
+    def nsyms(self):
+        return 1 if self.syms is None else len(self.syms)
+
+    @property
+    def is_full(self):
+        return self.syms is None
+
+    def full(self):
+        """The same zone without symmetry reduction."""
+        return SymmetricBZ(self.A, self.B, lattice_bz_limits(self.ndim), None)
+
+    def __repr__(self):
+        kind = "trivial" if self.is_full else f"{self.nsyms}"
+        return f"{self.ndim}-dimensional Brillouin zone with {kind} symmetries"
+
+
+def nsyms(bz: SymmetricBZ):
+    return bz.nsyms
+
+
+# --- symmetry representation traits (src/brillouin.jl:51-113) --------------
+class AbstractSymRep:
+    pass
+
+
+class UnknownRep(AbstractSymRep):
+    pass
+
+
+class TrivialRep(AbstractSymRep):
+    pass
+
+
+def sym_rep(f):
+    """The reference's ``SymRep(f)`` trait: UnknownRep unless the integrand
+    declares otherwise via a ``rep`` attribute."""
+    rep = getattr(f, "rep", None)
+    return rep if rep is not None else UnknownRep()
+
+
+def _is_trivial_result(x):
+    """Numbers / 0-d arrays transform trivially (``TrivialRepType``,
+    reference ``src/brillouin.jl:88``)."""
+    leaves = jax.tree_util.tree_leaves(x)
+    return all(np.ndim(leaf) == 0 for leaf in leaves)
+
+
+def symmetrize(f, bz: SymmetricBZ, x):
+    """Map an IBZ integral to the full BZ (``src/brillouin.jl:96-113``)."""
+    if bz.is_full:
+        return x
+    rep = f if isinstance(f, AbstractSymRep) else sym_rep(f)
+    if isinstance(rep, TrivialRep) or _is_trivial_result(x):
+        return jax.tree_util.tree_map(lambda v: bz.nsyms * v, x)
+    if isinstance(rep, UnknownRep):
+        return x  # caller handles the warn-and-recompute fallback
+    return rep.symmetrize(bz, x)
+
+
+# --- BZ constructors -------------------------------------------------------
+class AbstractBZ:
+    pass
+
+
+class FBZ(AbstractBZ):
+    """Full/first Brillouin zone (``src/brillouin.jl:205``)."""
+
+
+class InversionSymIBZ(AbstractBZ):
+    """2^d sign-flip symmetries; expects orthogonal lattice vectors
+    (``src/brillouin.jl:260``)."""
+
+
+class CubicSymIBZ(AbstractBZ):
+    """2^d d! cube automorphisms; expects orthogonal lattice vectors
+    (``src/brillouin.jl:297``)."""
+
+
+class IBZ(AbstractBZ):
+    """Irreducible BZ from crystal symmetry (polyhedral wedge); requires
+    species/positions, cf. reference ``ext/SymmetryReduceBZExt.jl``."""
+
+
+def load_bz(kind, A=None, B=None, *, species=None, positions=None, atol=None, dim=3):
+    """Load a Brillouin zone (``src/brillouin.jl:177-203``).
+
+    ``A``: real-space lattice vectors in columns (or an int dimension to get
+    the identity lattice); ``B`` defaults to ``2 pi inv(A)^T``.  A string
+    ``A`` is interpreted as a Wannier90 ``.wout`` file path.
+    """
+    if isinstance(A, str):
+        from .io.wannier90 import read_wout
+
+        out = read_wout(A)
+        if isinstance(kind, IBZ):
+            return load_bz(kind, out["lattice"], out["recip_lattice"],
+                           species=out["atom_labels"], positions=out["atom_positions_frac"].T,
+                           atol=atol)
+        return load_bz(kind, out["lattice"], out["recip_lattice"], atol=atol)
+    if A is None:
+        A = np.eye(dim)
+    A = np.asarray(A, dtype=np.float64)
+    if A.ndim == 0:
+        A = A.reshape(1, 1)
+    d = A.shape[0]
+    if B is None:
+        B = canonical_reciprocal_basis(A)
+    B = np.asarray(B, dtype=np.float64)
+    if B.ndim == 0:
+        B = B.reshape(1, 1)
+    check_bases_canonical(A, B, atol if atol is not None else np.sqrt(np.finfo(np.float64).eps))
+
+    if isinstance(kind, FBZ):
+        return SymmetricBZ(A, B, lattice_bz_limits(d), None)
+    if isinstance(kind, InversionSymIBZ):
+        if not _is_orthogonal(A):
+            warnings.warn("Non-orthogonal lattice vectors detected with InversionSymIBZ. Unexpected behavior may occur")
+        lims = CubicLimits(np.zeros(d), np.full(d, 0.5))
+        return SymmetricBZ(A, B, lims, inversion_syms(d))
+    if isinstance(kind, CubicSymIBZ):
+        if not _is_orthogonal(A):
+            warnings.warn("Non-orthogonal lattice vectors detected with CubicSymIBZ. Unexpected behavior may occur")
+        lims = TetrahedralLimits(0.5, d)
+        return SymmetricBZ(A, B, lims, cube_automorphism_syms(d))
+    if isinstance(kind, IBZ):
+        from .ibz import load_ibz
+
+        return load_ibz(A, B, species, positions)
+    raise TypeError(f"unknown BZ kind {kind!r}")
+
+
+def _is_orthogonal(A):
+    M = A.T @ A
+    return np.allclose(M, np.diag(np.diag(M)))
+
+
+# --- BZ integration algorithms ---------------------------------------------
+class AutoBZAlgorithm(IntegralAlgorithm):
+    """Wrap a standard algorithm over the fractional-coordinate zone with
+    tolerance rescaling and symmetrization (``src/brillouin.jl:321-355``)."""
+
+    def bz_to_standard(self, bz: SymmetricBZ):
+        raise NotImplementedError
+
+    def init_cacheval(self, f, bz, p):
+        bz_, dom, alg = self.bz_to_standard(bz)
+        return {
+            "bz_": bz_, "dom": dom, "alg": alg,
+            "inner": alg.init_cacheval(f, dom, p),
+            "full": None,  # lazily built FBZ fallback for UnknownRep results
+        }
+
+    def do_solve(self, f, bz, p, cacheval, abstol=None, reltol=None, maxiters=None):
+        bz_ = cacheval["bz_"]
+        dom = cacheval["dom"]
+        alg = cacheval["alg"]
+        j = abs(np.linalg.det(bz_.B))
+        atol = None if abstol is None else abstol / (j * bz_.nsyms)
+        sol = alg.do_solve(f, dom, p, cacheval["inner"], abstol=atol, reltol=reltol, maxiters=maxiters)
+
+        if (not bz_.is_full and isinstance(sym_rep(f), UnknownRep)
+                and not _is_trivial_result(sol.u)):
+            warnings.warn(
+                "A symmetric BZ was used with an integrand whose symmetry "
+                "representation is unknown. For correctness, the calculation "
+                "will be repeated on the full BZ. Extend the integrand's `rep` "
+                "attribute to use symmetry."
+            )
+            if cacheval["full"] is None:
+                fbz = bz_.full()
+                cacheval["full"] = (fbz, self.init_cacheval(f, fbz, p))
+            fbz, fcache = cacheval["full"]
+            return self.do_solve(f, fbz, p, fcache, abstol=abstol, reltol=reltol, maxiters=maxiters)
+
+        val = jax.tree_util.tree_map(lambda v: j * v, symmetrize(f, bz_, sol.u))
+        resid = sol.resid
+        if resid is not None:
+            resid = jax.tree_util.tree_map(lambda v: j * v, symmetrize(f, bz_, resid))
+        return IntegralSolution(val, resid, sol.retcode, sol.numevals)
+
+
+class IAI(AutoBZAlgorithm):
+    """Iterated adaptive integration — most efficient for localized integrands
+    (``src/brillouin.jl:361-377``)."""
+
+    def __init__(self, algs=None):
+        self.algs = algs if algs is not None else AuxQuadGKJL()
+
+    def bz_to_standard(self, bz):
+        return bz, bz.lims, NestedQuad(self.algs)
+
+
+class PTR(AutoBZAlgorithm):
+    """Fixed-npt periodic trapezoidal rule (``src/brillouin.jl:380-391``)."""
+
+    def __init__(self, npt=50):
+        self.npt = npt
+
+    def bz_to_standard(self, bz):
+        return bz, Basis(np.eye(bz.ndim)), MonkhorstPack(npt=self.npt, syms=bz.syms)
+
+
+class AutoPTR(AutoBZAlgorithm):
+    """p-adaptive PTR — most efficient for smooth integrands
+    (``src/brillouin.jl:394-444``)."""
+
+    def __init__(self, norm=tree_norm, a=1.0, nmin=50, nmax=1000, n0=6.0,
+                 dn=np.log(10.0), keepmost=2):
+        self.norm = norm
+        self.a = a
+        self.nmin = nmin
+        self.nmax = nmax
+        self.n0 = n0
+        self.dn = dn
+        self.keepmost = keepmost
+
+    def bz_to_standard(self, bz):
+        alg = AutoSymPTRJL(norm=self.norm, a=self.a, nmin=self.nmin, nmax=self.nmax,
+                           n0=self.n0, dn=self.dn, keepmost=self.keepmost, syms=bz.syms)
+        return bz, Basis(np.eye(bz.ndim)), alg
+
+
+class TAI(AutoBZAlgorithm):
+    """Tree-adaptive (Genz-Malik) over the cubic hull; falls back to the full
+    BZ when the limits are not cubic (``src/brillouin.jl:447-460``)."""
+
+    def __init__(self, norm=tree_norm, initdiv=1):
+        self.norm = norm
+        self.initdiv = initdiv
+
+    def bz_to_standard(self, bz):
+        if not isinstance(bz.lims, CubicLimits):
+            bz = bz.full()
+        l = bz.lims
+        return bz, HyperCube(l.a, l.b), HCubatureJL(norm=self.norm, initdiv=self.initdiv)
+
+
+def PTR_IAI(ptr=None, iai=None, **kwargs):
+    """IAI with abstol from a PTR estimate (``src/brillouin.jl:463-473``)."""
+    return AbsoluteEstimate(ptr or PTR(), iai or IAI(), **kwargs)
+
+
+def AutoPTR_IAI(reltol=1.0, ptr=None, iai=None, **kwargs):
+    """IAI with abstol from an AutoPTR estimate (``src/brillouin.jl:476-487``)."""
+    return AbsoluteEstimate(ptr or AutoPTR(), iai or IAI(), reltol=reltol, **kwargs)

@@ -1,0 +1,159 @@
+"""Generalized Gilat-Raubenheimer DOS algorithm.
+
+Native equivalent of reference ``src/dos_algorithms.jl`` + ``src/dos_ggr.jl``:
+on a symmetry-reduced ``npt^d`` k-grid, eigendecompose ``H(k)``, extract band
+velocities ``diag(U' dH U)`` in standardized coordinates, then accumulate
+closed-form box-broadened delta contributions per (k, band).  Second-order
+convergent; robust at band crossings [Liu, Yu, Duan, Gilat-correction per the
+reference ``src/dos_ggr.jl:102``].
+
+TPU-native: the eigensolve grid is one batched ``jnp.linalg.eigh``; the per-E
+accumulation is a dense vectorized reduction, so 1000-energy sweeps reuse the
+spectral data at negligible cost (the reference's cache-reuse property,
+``docs/src/dos.md:36-42``) and run as a single vmapped kernel.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..brillouin import SymmetricBZ
+from ..fourier import FourierSeries, JacobianSeries
+from ..ops.fourier_eval import evaluate_grid
+from ..ops.symptr import symptr_rule
+from .interfaces import DOSAlgorithm, DOSSolution
+
+_EPS = 1e-300
+
+
+def _ggr_1d(b, dw, v):
+    v1 = jnp.abs(v[..., 0])
+    inside = dw <= b * v1
+    return jnp.where(inside, 1.0 / jnp.maximum(v1, _EPS), 0.0)
+
+
+def _ggr_2d(b, dw, v):
+    av = jnp.sort(jnp.abs(v), axis=-1)  # ascending
+    v2, v1 = av[..., 0], av[..., 1]
+    w1 = b * jnp.abs(v1 - v2)
+    w3 = b * (v1 + v2)
+    r1 = 2 * b / jnp.maximum(v1, _EPS)
+    r2 = (b * (v1 + v2) - dw) / jnp.maximum(v1 * v2, _EPS)
+    return jnp.where(dw <= w1, r1, jnp.where(dw <= w3, r2, 0.0))
+
+
+def _ggr_3d(b, dw, v):
+    av = jnp.sort(jnp.abs(v), axis=-1)  # ascending: v3 <= v2 <= v1
+    v3, v2, v1 = av[..., 0], av[..., 1], av[..., 2]
+    w1 = b * jnp.abs(v1 - v2 - v3)
+    w2 = b * (v1 - v2 + v3)
+    w3 = b * (v1 + v2 - v3)
+    w4 = b * (v1 + v2 + v3)
+    vv = jnp.sqrt(v1**2 + v2**2 + v3**2)
+    d123 = jnp.maximum(v1 * v2 * v3, _EPS)
+    d12 = jnp.maximum(v1 * v2, _EPS)
+    caseA = 4 * b**2 / jnp.maximum(v1, _EPS)
+    caseB = (2 * b**2 * (v1 * v2 + v2 * v3 + v3 * v1) - (dw**2 + (vv * b) ** 2)) / d123
+    caseC = (
+        b**2 * (v1 * v2 + 3 * v2 * v3 + v3 * v1)
+        - b * dw * (-v1 + v2 + v3)
+        - (dw**2 + (vv * b) ** 2) / 2
+    ) / d123
+    caseD = 2 * b * (b * (v1 + v2) - dw) / d12
+    caseE = (b * (v1 + v2 + v3) - dw) ** 2 / (2 * d123)
+    res = jnp.where(
+        dw <= w1,
+        jnp.where(v1 >= v2 + v3, caseA, caseB),
+        jnp.where(dw <= w2, caseC, jnp.where(dw <= w3, caseD, jnp.where(dw <= w4, caseE, 0.0))),
+    )
+    return res
+
+
+_GGR_FORMULAS = {1: _ggr_1d, 2: _ggr_2d, 3: _ggr_3d}
+
+
+class GGR(DOSAlgorithm):
+    """``GGR(npt=50)`` (reference ``src/dos_algorithms.jl:23``)."""
+
+    def __init__(self, npt=50):
+        self.npt = npt
+
+    def init_cacheval(self, h, domain, p):
+        if isinstance(h, JacobianSeries):
+            h = h.s
+        if not isinstance(h, FourierSeries):
+            raise TypeError("GGR currently supports Fourier series Hamiltonians")
+        if not isinstance(p, SymmetricBZ):
+            raise TypeError("GGR supports BZ parameters from load_bz")
+        bz = p
+        d = bz.ndim
+        if d not in _GGR_FORMULAS:
+            raise ValueError("GGR implemented for up to 3d BZ")
+        npt = self.npt
+
+        if bz.syms is None:
+            reps = None
+            weights = np.ones(npt**d)
+        else:
+            reps, weights = symptr_rule(npt, d, bz.syms)
+
+        # spectral data: one batched evaluation + eigh over the reduced grid
+        u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
+        hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
+        grads = []
+        for j in range(d):
+            derivs = tuple(1 if i == j else 0 for i in range(d))
+            grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
+        vk = jnp.stack(grads, axis=d)  # (npt.., d, m, m)
+        m = hk.shape[-1] if hk.ndim > d else 1
+        hk = hk.reshape((-1,) + hk.shape[d:])
+        vk = vk.reshape((-1, d) + vk.shape[d + 1:])
+        if reps is not None:
+            lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
+            hk = hk[lin]
+            vk = vk[lin]
+        if hk.ndim == 1:  # scalar-valued series -> 1x1 Hamiltonian
+            hk = hk[:, None, None]
+            vk = vk[:, :, None, None]
+
+        @jax.jit
+        def spectral(hk, vk):
+            e, U = jnp.linalg.eigh(hk)  # (K, m), (K, m, m)
+            # band velocities: diag(U' dH U) per direction
+            v = jnp.einsum("kmi,kdij,kjm->kdm", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
+            return e, jnp.real(v)
+
+        energies, velocities = spectral(hk, vk)
+        w = jnp.asarray(weights)
+        formula = _GGR_FORMULAS[d]
+        b = 1.0 / (2 * npt)
+
+        @jax.jit
+        def dos_at(E):
+            dw = jnp.abs(E - energies)  # (K, m)
+            vt = jnp.moveaxis(velocities, 1, 2)  # (K, m, d)
+            contrib = formula(b, dw, vt)  # (K, m)
+            return jnp.sum(w[:, None] * contrib)
+
+        return {
+            "dos_at": dos_at,
+            "dos_sweep": jax.jit(jax.vmap(dos_at)),
+            "energies": energies,
+            "velocities": velocities,
+            "weights": w,
+            "numevals": int(hk.shape[0]),
+        }
+
+    def dos_solve(self, h, domain, p, cacheval, abstol=None, reltol=None, maxiters=None):
+        if np.ndim(domain) != 0:
+            raise TypeError("GGR supports domains of individual eigenvalues")
+        if not isinstance(p, SymmetricBZ):
+            raise TypeError("GGR supports BZ parameters from load_bz")
+        A = cacheval["dos_at"](jnp.asarray(domain))
+        return DOSSolution(A, None, True, cacheval["numevals"])
+
+    def dos_sweep(self, cacheval, Es):
+        """Batched DOS over an energy grid — the vmapped sweep reusing the
+        eigensolve grid (beyond-reference convenience for 1000-omega sweeps)."""
+        return cacheval["dos_sweep"](jnp.asarray(Es))

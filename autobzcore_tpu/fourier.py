@@ -1,0 +1,289 @@
+"""Fourier/Wannier fast path.
+
+Native equivalent of reference ``src/fourier.jl`` (the package's raison
+d'etre, see its design commentary at ``src/fourier.jl:1-16``) plus the
+FourierSeriesEvaluators.jl surface it reexports:
+
+- :class:`FourierSeries`: dense coefficient tensor + period/offset — a pytree,
+  so series coefficients live on device and flow through jit/vmap.
+- :class:`JacobianSeries`: evaluates ``(H(x), grad_z H(x))`` with closed-form
+  derivative coefficients (``(2 pi i f) c_f``), *not* AD, matching reference
+  semantics (``src/dos_ggr.jl:6-11``).
+- :class:`FourierValue`: the ``(x, s)`` pair passed to user kernels
+  (``src/fourier.jl:111``).
+- :class:`FourierIntegrand`: bundles a user kernel with a series; compatible
+  algorithms evaluate the series efficiently (grid contraction for PTR rules,
+  per-level contraction for nested quadrature), replacing the reference's
+  ``FourierWorkspace`` thread-replica machinery with batched contractions.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.fourier_eval import (
+    contract,
+    evaluate_grid,
+    evaluate_points,
+    evaluate_points_jacobian,
+    phase_matrix,
+)
+from .parameters import MixedParameters, NullParameters, ParameterIntegrand, merge_parameters
+
+
+def _tuple_d(v, d, cast):
+    if np.ndim(v) == 0:
+        return (cast(v),) * d
+    t = tuple(cast(x) for x in v)
+    if len(t) != d:
+        raise ValueError("per-dimension data must have length d")
+    return t
+
+
+@jax.tree_util.register_pytree_node_class
+class FourierSeries:
+    """d-dimensional trigonometric interpolant of (possibly matrix-valued)
+    coefficients: ``s(x) = sum_n c[n] exp(2 pi i (n + offset) . x / period)``.
+
+    ``c`` has shape ``(n_1, ..., n_d, *valshape)``; pass ``ndim=d`` when the
+    values are arrays (e.g. ``(n1, n2, n3, m, m)`` Wannier Hamiltonians).
+    ``offset[j]`` is the frequency index of ``c[0, ..., 0]`` along dim j
+    (default: centered, ``-(n_j - 1) // 2``).
+    """
+
+    def __init__(self, c, period=1.0, offset=None, ndim=None, dtype=jnp.complex128):
+        c = jnp.asarray(c, dtype)
+        d = ndim if ndim is not None else c.ndim
+        self.c = c
+        self.sndim = int(d)
+        self.period = _tuple_d(period, d, float)
+        if offset is None:
+            offset = tuple(-((c.shape[j] - 1) // 2) for j in range(d))
+        self.offset = _tuple_d(offset, d, int)
+        self.dtype = dtype
+
+    @property
+    def ndim(self):
+        return self.sndim
+
+    @property
+    def valshape(self):
+        return self.c.shape[self.sndim:]
+
+    def tree_flatten(self):
+        return (self.c,), (self.sndim, self.period, self.offset, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        sndim, period, offset, dtype = aux
+        obj = object.__new__(cls)
+        obj.c = children[0]
+        obj.sndim = sndim
+        obj.period = period
+        obj.offset = offset
+        obj.dtype = dtype
+        return obj
+
+    # --- evaluation -------------------------------------------------------
+    def __call__(self, x):
+        x = jnp.atleast_1d(jnp.asarray(x))
+        out = evaluate_points(self.c, self.sndim, x[None, :], self.offset, self.period, None, self.dtype)
+        return out[0]
+
+    def eval_points(self, X):
+        return evaluate_points(self.c, self.sndim, X, self.offset, self.period, None, self.dtype)
+
+    def eval_grid(self, nodes):
+        nodes = [nodes] * self.sndim if not isinstance(nodes, (list, tuple)) else nodes
+        return evaluate_grid(self.c, self.sndim, nodes, self.offset, self.period, None, self.dtype)
+
+    def contract(self, x):
+        """Fix the last variable; returns the (d-1)-dim series (the workspace
+        contraction, reference ``src/fourier.jl:478``)."""
+        c2 = contract(self.c, self.sndim, x, self.offset, self.period, None, self.dtype)
+        obj = object.__new__(FourierSeries)
+        obj.c = c2
+        obj.sndim = self.sndim - 1
+        obj.period = self.period[:-1]
+        obj.offset = self.offset[:-1]
+        obj.dtype = self.dtype
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class JacobianSeries:
+    """Evaluates to the tuple ``(H(x), V(x))`` with ``V[j] = dH/dz_j``
+    (z = x/period), via closed-form derivative coefficients."""
+
+    def __init__(self, s: FourierSeries):
+        self.s = s
+
+    @property
+    def ndim(self):
+        return self.s.sndim
+
+    @property
+    def period(self):
+        return self.s.period
+
+    def tree_flatten(self):
+        return (self.s,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    def eval_points(self, X):
+        return evaluate_points_jacobian(
+            self.s.c, self.s.sndim, X, self.s.offset, self.s.period, self.s.dtype
+        )
+
+    def __call__(self, x):
+        x = jnp.atleast_1d(jnp.asarray(x))
+        h, v = self.eval_points(x[None, :])
+        return h[0], v[0]
+
+
+@jax.tree_util.register_pytree_node_class
+class FourierValue:
+    """Point ``x`` and evaluated series ``s`` handed to user kernels."""
+
+    def __init__(self, x, s):
+        self.x = x
+        self.s = s
+
+    def tree_flatten(self):
+        return (self.x, self.s), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def __repr__(self):
+        return f"FourierValue(x={self.x!r}, s={self.s!r})"
+
+
+class FourierIntegrand:
+    """``FourierIntegrand(f, s, *args, **kwargs)``: integrand evaluating
+    ``f(FourierValue(x, s(x)), *args, **kwargs)`` with the series evaluated
+    efficiently by compatible algorithms (reference ``src/fourier.jl:22-58``)."""
+
+    def __init__(self, f, s, *args, **kwargs):
+        self.rep = kwargs.pop("rep", None)
+        if isinstance(f, ParameterIntegrand):
+            self.pf = f
+        else:
+            self.pf = ParameterIntegrand(f, *args, **kwargs)
+        if isinstance(s, (FourierSeries, JacobianSeries)):
+            self.s = s
+        else:
+            raise TypeError("FourierIntegrand requires a FourierSeries/JacobianSeries")
+
+    @property
+    def p(self):
+        return self.pf.p
+
+    @property
+    def f(self):
+        return self.pf
+
+    def with_parameters(self, p):
+        bare = FourierIntegrand(ParameterIntegrand(self.pf.f), self.s)
+        bare.rep = self.rep
+        return bare, merge_parameters(self.p, p)
+
+    # --- fallback pointwise evaluation (unspecialized algorithms) ---------
+    def __call__(self, x, p=NullParameters()):
+        x = jnp.atleast_1d(jnp.asarray(x))
+        return self.pf(FourierValue(x, self.s(x)), p)
+
+    # --- specialized PTR rule support -------------------------------------
+    def series_values_on_grid(self, npt, frac=None):
+        """Evaluate the series on the full ``npt^d`` fractional tensor grid by
+        hierarchical contraction, then (optionally) gather the symmetry
+        representatives ``frac`` (K, d) — the stored-series design of the
+        reference's ``FourierPTR``/``FourierMonkhorstPack``
+        (``src/fourier.jl:127-130,210-214``)."""
+        d = self.s.ndim
+        periods = self.s.period if not isinstance(self.s, JacobianSeries) else self.s.s.period
+        u = [np.arange(npt) / npt * periods[j] for j in range(d)]
+        if isinstance(self.s, JacobianSeries):
+            base = self.s.s
+            h = evaluate_grid(base.c, d, u, base.offset, base.period, None, base.dtype)
+            grads = []
+            for j in range(d):
+                derivs = tuple(1 if i == j else 0 for i in range(d))
+                grads.append(evaluate_grid(base.c, d, u, base.offset, base.period, derivs, base.dtype))
+            vals = (h, jnp.stack(grads, axis=d))
+            vshape_h = h.shape[d:]
+            if frac is not None:
+                idx = np.rint(np.asarray(frac) * npt).astype(np.int64)
+                lin = np.ravel_multi_index(tuple(idx.T), (npt,) * d)
+                vals = (
+                    h.reshape((-1,) + h.shape[d:])[lin],
+                    vals[1].reshape((-1,) + vals[1].shape[d:])[lin],
+                )
+            else:
+                vals = (
+                    h.reshape((-1,) + h.shape[d:]),
+                    vals[1].reshape((-1,) + vals[1].shape[d:]),
+                )
+            return vals
+        s = self.s
+        vals = evaluate_grid(s.c, d, u, s.offset, s.period, None, s.dtype)
+        flat = vals.reshape((-1,) + vals.shape[d:])
+        if frac is not None:
+            idx = np.rint(np.asarray(frac) * npt).astype(np.int64)
+            lin = np.ravel_multi_index(tuple(idx.T), (npt,) * d)
+            flat = flat[lin]
+        return flat
+
+    def user_batch_fn(self):
+        """``g(xs (K,d), svals, p)``: vmapped user kernel over stored series values."""
+        pf = self.pf
+
+        def g(xs, svals, p):
+            def one(x, s):
+                return pf(FourierValue(x, s), p)
+
+            return jax.vmap(one, in_axes=(0, 0, None) if not isinstance(svals, tuple) else (0, (0, 0), None))(xs, svals, p)
+
+        def wrapped(xs, svals, p):
+            return g(xs, svals, p)
+
+        return wrapped
+
+    # --- nested quadrature support ----------------------------------------
+    def nest_carrier(self):
+        if isinstance(self.s, JacobianSeries):
+            raise TypeError("nested quadrature over a JacobianSeries is not supported")
+        return FourierCarrier(self.pf, self.s)
+
+
+class FourierCarrier:
+    """Per-level series state for NestedQuad: fixing the outer coordinate
+    contracts the coefficient tensor once, amortized over the whole inner
+    panel (reference ``workspace_contract!`` at ``src/fourier.jl:478``)."""
+
+    def __init__(self, pf, series: FourierSeries):
+        self.pf = pf
+        self.series = series
+
+    def fix(self, x):
+        return FourierCarrier(self.pf, self.series.contract(x))
+
+    def eval_batch(self, xs, coords, p):
+        from .algorithms.nested import assemble_points
+
+        s = self.series
+        assert s.sndim == 1
+        ph = phase_matrix(xs, s.c.shape[0], s.offset[0], s.period[0], 0, s.dtype)
+        flatc = s.c.reshape(s.c.shape[0], -1)
+        svals = (ph @ flatc).reshape((xs.shape[0],) + s.c.shape[1:])
+        pts = assemble_points(xs, coords)
+
+        def one(x, sv):
+            return self.pf(FourierValue(x, sv), p)
+
+        return jax.vmap(one, in_axes=(0, 0))(pts, svals)

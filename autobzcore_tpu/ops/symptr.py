@@ -1,0 +1,89 @@
+"""Symmetry reduction of periodic-trapezoidal-rule grids (host side).
+
+Native equivalent of ``AutoSymPTR.symptr_rule`` (observed surface: reference
+``src/fourier.jl:271`` — reduce an ``npt^d`` fractional-coordinate grid under a
+point group to weighted representatives).  Rule construction is irregular
+integer work and runs on host numpy; the resulting representative index/weight
+arrays are static data baked into the compiled device program.
+
+Point-group operations must map the grid to itself, i.e. be integer matrices in
+the lattice (fractional) basis — true for all crystallographic point groups in
+that basis, and validated here.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def ptr_points(npt: int, dtype=np.float64):
+    """Equispaced periodic nodes 0, 1/npt, ..., (npt-1)/npt on [0,1)."""
+    return np.arange(npt, dtype=dtype) / npt
+
+
+def as_integer_syms(syms):
+    """Validate and convert symmetry matrices to integer form."""
+    S = np.asarray(syms)
+    Si = np.rint(S).astype(np.int64)
+    if not np.allclose(S, Si, atol=1e-8):
+        raise ValueError(
+            "symmetry operations must be integer matrices in the lattice basis "
+            "to act on a PTR grid"
+        )
+    return Si
+
+
+def symptr_rule(npt: int, d: int, syms, chunk: int = 1 << 20):
+    """Reduce the ``npt^d`` grid under the group ``syms`` ((S, d, d) matrices).
+
+    Returns ``(reps, weights)``: representative grid indices (K, d) int32 and
+    orbit sizes (K,) float64, with ``sum(weights) == npt**d``.  Representatives
+    are the orbit members with minimal C-order linear index.
+    """
+    syms_int = as_integer_syms(syms)
+    strides = npt ** np.arange(d - 1, -1, -1, dtype=np.int64)
+    total = npt**d
+    best = np.empty(total, dtype=np.int64)
+    for start in range(0, total, chunk):
+        stop = min(start + chunk, total)
+        lin = np.arange(start, stop, dtype=np.int64)
+        idx = np.empty((stop - start, d), dtype=np.int64)
+        rem = lin.copy()
+        for j in range(d):
+            idx[:, j] = rem // strides[j]
+            rem = rem % strides[j]
+        b = lin.copy()
+        for S in syms_int:
+            mapped = (idx @ S.T) % npt
+            np.minimum(b, mapped @ strides, out=b)
+        best[start:stop] = b
+    reps_lin, counts = np.unique(best, return_counts=True)
+    reps = np.empty((reps_lin.shape[0], d), dtype=np.int32)
+    rem = reps_lin.copy()
+    for j in range(d):
+        reps[:, j] = rem // strides[j]
+        rem = rem % strides[j]
+    return reps, counts.astype(np.float64)
+
+
+def inversion_syms(d: int):
+    """The 2^d sign-flip matrices (reference ``src/brillouin.jl:248-250``)."""
+    out = []
+    for bits in range(2**d):
+        diag = [(-1 if (bits >> i) & 1 else 1) for i in range(d)]
+        out.append(np.diag(diag))
+    return np.array(out)
+
+
+def cube_automorphism_syms(d: int):
+    """All signed permutation matrices: 2^d * d! cube automorphisms
+    (reference ``src/brillouin.jl:286-293``)."""
+    from itertools import permutations
+
+    flips = inversion_syms(d)
+    perms = []
+    eye = np.eye(d, dtype=np.int64)
+    for perm in permutations(range(d)):
+        P = eye[list(perm)]
+        for F in flips:
+            perms.append(F @ P)
+    return np.array(perms)

@@ -1,0 +1,173 @@
+"""Interface + algorithm correctness matrix.
+
+Mirrors reference ``test/interface_tests.jl``: the same closed-form integrands
+solved by every quadrature, across the integrand-wrapper protocol, plus
+deterministic evaluation counts.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autobzcore_tpu import (
+    AuxQuadGKJL,
+    Basis,
+    BatchIntegrand,
+    ContQuadGKJL,
+    CubicLimits,
+    EvalCounter,
+    HCubatureJL,
+    HyperCube,
+    InplaceIntegrand,
+    IntegralProblem,
+    MeroQuadGKJL,
+    MonkhorstPack,
+    AutoSymPTRJL,
+    NestedQuad,
+    AbsoluteEstimate,
+    PuncturedInterval,
+    QuadGKJL,
+    QuadratureFunction,
+    solve,
+)
+
+A, B = 0.0, 2 * np.pi
+ABSTOL = 1e-5
+P = 3.0
+
+
+class TestDomains:
+    def test_punctured_interval(self):
+        a = (0.0, 1.0, 2.0)
+        sa = PuncturedInterval(a)
+        sb = PuncturedInterval(np.array(a))
+        assert sa.segments == sb.segments
+        assert sa.endpoints == (0.0, 2.0) == sb.endpoints
+
+    def test_hypercube(self):
+        for d in range(1, 4):
+            c = HyperCube(np.zeros(d), np.ones(d))
+            a, b = c.endpoints
+            assert np.all(a == 0) and np.all(b == 1)
+            assert c.ndim == d
+
+
+INTEGRANDS_1D = [
+    (lambda x, p: p * jnp.sin(x), 0.0),
+    (lambda x, p: p * jnp.ones_like(x), P * (B - A)),
+    (lambda x, p: 1.0 / (p - jnp.cos(x)), (B - A) / np.sqrt(P**2 - 1)),
+]
+
+
+class TestQuadrature:
+    @pytest.mark.parametrize("fi", range(3))
+    def test_quadrature_algorithms(self, fi):
+        f, ref = INTEGRANDS_1D[fi]
+        prob = IntegralProblem(f, A, B, P)
+        for alg in (QuadratureFunction(npt=200), QuadGKJL(), AuxQuadGKJL(),
+                    ContQuadGKJL(), MeroQuadGKJL()):
+            sol = solve(prob, alg, abstol=ABSTOL)
+            assert np.real(sol.u) == pytest.approx(ref, abs=10 * ABSTOL), type(alg).__name__
+            assert abs(np.imag(np.complex128(sol.u))) < 10 * ABSTOL
+
+
+def make_cubature_cases(dim):
+    return [
+        (lambda x, p: p * jnp.sum(jnp.sin(x)), 0.0),
+        (lambda x, p: p * jnp.ones(()), P * (B - A) ** dim),
+        (lambda x, p: jnp.prod(1.0 / (p - jnp.cos(x))), ((B - A) / np.sqrt(P**2 - 1)) ** dim),
+    ]
+
+
+class TestCubature:
+    @pytest.mark.parametrize("dim", [1, 2, 3])
+    @pytest.mark.parametrize("fi", range(3))
+    def test_hcubature(self, dim, fi):
+        f, ref = make_cubature_cases(dim)[fi]
+        prob = IntegralProblem(f, np.full(dim, A), np.full(dim, B), P)
+        sol = solve(prob, HCubatureJL(), abstol=ABSTOL)
+        assert float(sol.u) == pytest.approx(ref, abs=100 * ABSTOL)
+
+    @pytest.mark.parametrize("dim", [1, 2, 3])
+    @pytest.mark.parametrize("fi", range(3))
+    def test_ptr(self, dim, fi):
+        f, ref = make_cubature_cases(dim)[fi]
+        prob = IntegralProblem(f, Basis(B * np.eye(dim)), P)
+        for alg in (MonkhorstPack(npt=60), AutoSymPTRJL()):
+            sol = solve(prob, alg, abstol=ABSTOL)
+            assert float(sol.u) == pytest.approx(ref, abs=100 * ABSTOL), type(alg).__name__
+
+
+class TestInplace:
+    """InplaceIntegrand: functional in-place (returns the filled array)."""
+
+    @pytest.mark.parametrize("fi", range(3))
+    def test_inplace(self, fi):
+        plain, ref = INTEGRANDS_1D[fi]
+        f = InplaceIntegrand(lambda y, x, p: y.at[0].set(plain(jnp.reshape(x, ())[()] if jnp.ndim(x) == 0 else jnp.ravel(x)[0], p)), jnp.zeros(1))
+        prob = IntegralProblem(f, A, B, P)
+        for alg in (QuadratureFunction(npt=200), QuadGKJL(), AuxQuadGKJL(), HCubatureJL()):
+            sol = solve(prob, alg, abstol=ABSTOL)
+            assert float(sol.u[0]) == pytest.approx(ref, abs=10 * ABSTOL), type(alg).__name__
+        prob = IntegralProblem(f, Basis(np.array([[B]])), P)
+        for alg in (MonkhorstPack(npt=200), AutoSymPTRJL(nmin=100)):
+            sol = solve(prob, alg, abstol=ABSTOL)
+            assert float(sol.u[0]) == pytest.approx(ref, abs=10 * ABSTOL), type(alg).__name__
+
+
+class TestBatch:
+    @pytest.mark.parametrize("fi", range(3))
+    def test_batch(self, fi):
+        plain, ref = INTEGRANDS_1D[fi]
+        f = BatchIntegrand(lambda xs, p: plain(jnp.ravel(xs), p))
+        prob = IntegralProblem(f, A, B, P)
+        for alg in (QuadratureFunction(npt=200), AuxQuadGKJL()):
+            sol = solve(prob, alg, abstol=ABSTOL)
+            assert float(np.real(sol.u)) == pytest.approx(ref, abs=10 * ABSTOL), type(alg).__name__
+        prob = IntegralProblem(f, Basis(np.array([[B]])), P)
+        for alg in (MonkhorstPack(npt=200), AutoSymPTRJL(nmin=100)):
+            sol = solve(prob, alg, abstol=ABSTOL)
+            assert float(np.real(sol.u)) == pytest.approx(ref, abs=10 * ABSTOL), type(alg).__name__
+
+
+class TestMultiAlgorithms:
+    @pytest.mark.parametrize("dim", [1, 2, 3])
+    def test_nested_quad(self, dim):
+        p = 7.0
+        abstol = 1e-3
+        ref = (2 * np.pi) ** dim
+
+        def f(x, p):
+            return 1.0 + p * jnp.sum(jnp.cos(x))
+
+        dom = CubicLimits(np.zeros(dim), 2 * np.pi * np.ones(dim))
+        for alg in (QuadratureFunction(npt=100), AuxQuadGKJL()):
+            prob = IntegralProblem(f, dom, p)
+            sol = solve(prob, NestedQuad(alg), abstol=abstol)
+            assert float(sol.u) == pytest.approx(ref, abs=10 * abstol), type(alg).__name__
+
+    def test_absolute_estimate(self):
+        est_alg = QuadratureFunction(npt=100)
+        abs_alg = QuadGKJL()
+        alg = AbsoluteEstimate(est_alg, abs_alg)
+        ref_alg = MeroQuadGKJL()
+
+        def f2(x, p):
+            return 1.0 / (p[0] + 1j * p[1] - jnp.cos(x))
+
+        prob = IntegralProblem(f2, 0.0, 2 * np.pi, (0.5, 1e-3))
+        u = solve(prob, alg, reltol=1e-5).u
+        v = solve(prob, ref_alg, abstol=1e-5).u
+        assert np.real(u) == pytest.approx(np.real(np.complex128(v)), abs=1e-4)
+        assert np.imag(np.complex128(u)) == pytest.approx(np.imag(np.complex128(v)), abs=1e-4)
+
+    def test_eval_counter(self):
+        """Constant integrands use exactly the base rule count (reference
+        ``test/interface_tests.jl:142-158``)."""
+        prob = IntegralProblem(lambda x, p: jnp.ones_like(x), 0.0, 1.0)
+        for alg, numevals in (
+            (QuadratureFunction(npt=10), 10),
+            (QuadGKJL(order=7), 15),
+            (QuadGKJL(order=9), 19),
+        ):
+            sol = solve(prob, EvalCounter(alg))
+            assert sol.numevals == numevals

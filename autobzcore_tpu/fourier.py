@@ -244,15 +244,13 @@ class FourierIntegrand:
         pf = self.pf
 
         def g(xs, svals, p):
-            def one(x, s):
-                return pf(FourierValue(x, s), p)
+            def one(x, s, q):
+                return pf(FourierValue(x, s), q)
 
-            return jax.vmap(one, in_axes=(0, 0, None) if not isinstance(svals, tuple) else (0, (0, 0), None))(xs, svals, p)
+            in_axes = (0, (0, 0) if isinstance(svals, tuple) else 0, None)
+            return jax.vmap(one, in_axes=in_axes)(xs, svals, p)
 
-        def wrapped(xs, svals, p):
-            return g(xs, svals, p)
-
-        return wrapped
+        return g
 
     # --- nested quadrature support ----------------------------------------
     def nest_carrier(self):

@@ -54,9 +54,10 @@ def evaluate_grid(c, spatial_ndim, nodes, offsets, periods, derivs=None, dtype=j
     if derivs is None:
         derivs = (0,) * d
     for j in range(d - 1, -1, -1):
-        ph = phase_matrix(nodes[j], v.shape[j], offsets[j], periods[j], derivs[j], dtype)
-        # contract axis j (the current last spatial axis); result axis prepends
-        v = jnp.tensordot(ph, v, axes=([1], [j]))
+        # after each contraction one grid axis prepends and one spatial axis
+        # drops, so the axis holding n_j is always position d-1
+        ph = phase_matrix(nodes[j], v.shape[d - 1], offsets[j], periods[j], derivs[j], dtype)
+        v = jnp.tensordot(ph, v, axes=([1], [d - 1]))
     # axes are now (g_1, ..., g_d, V)
     return v.reshape(v.shape[:d] + vshape)
 

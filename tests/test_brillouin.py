@@ -1,0 +1,179 @@
+"""BZ layer tests, mirroring reference ``test/brillouin.jl``: SymmetricBZ
+construction, volume identities for all BZ algorithms, MixedParameters merge
+algebra, IntegralSolver and batchsolve interfaces."""
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autobzcore_tpu import (
+    FBZ,
+    IAI,
+    PTR,
+    TAI,
+    AutoPTR,
+    CubicLimits,
+    CubicSymIBZ,
+    EvalCounter,
+    IntegralProblem,
+    IntegralSolver,
+    InversionSymIBZ,
+    MixedParameters,
+    ParameterIntegrand,
+    QuadGKJL,
+    TetrahedralLimits,
+    TrivialRep,
+    batchsolve,
+    canonical_reciprocal_basis,
+    load_bz,
+    nsyms,
+    paramproduct,
+    paramzip,
+    solve,
+)
+from autobzcore_tpu.parameters import merge_parameters
+
+
+class TestSymmetricBZ:
+    def test_load_bz(self):
+        dims = 3
+        A = np.eye(dims)
+        B = canonical_reciprocal_basis(A)
+        fbz = load_bz(FBZ(), A)
+        assert np.allclose(fbz.A, A)
+        assert np.allclose(fbz.B, B)
+        assert nsyms(fbz) == 1
+        assert fbz.lims == CubicLimits(np.zeros(3), np.ones(3))
+
+        ibz = load_bz(InversionSymIBZ(), A)
+        assert nsyms(ibz) == 2**dims
+        assert all(np.allclose(S, np.diag(np.diag(S))) for S in ibz.syms)
+        assert ibz.lims == CubicLimits(np.zeros(3), 0.5 * np.ones(3))
+
+        cbz = load_bz(CubicSymIBZ(), A)
+        assert nsyms(cbz) == 2**dims * 6
+        assert cbz.lims == TetrahedralLimits(0.5, 3)
+
+
+class TestBZAlgorithms:
+    @pytest.mark.parametrize("bzkind", [FBZ(), InversionSymIBZ()])
+    @pytest.mark.parametrize("algname", ["IAI", "TAI", "PTR", "AutoPTR"])
+    def test_unit_measure(self, bzkind, algname):
+        """Integral of 1 over the BZ = (2 pi)^d for every algorithm
+        (reference ``test/brillouin.jl:33-44``)."""
+        dims = 3
+        vol = (2 * np.pi) ** dims
+        bz = load_bz(bzkind, np.eye(dims))
+        alg = {"IAI": IAI, "TAI": TAI, "PTR": PTR, "AutoPTR": AutoPTR}[algname]()
+
+        def f(x, p):
+            return jnp.asarray(1.0)
+
+        sol = solve(IntegralProblem(f, bz), alg)
+        assert float(sol.u) == pytest.approx(vol, rel=1e-6)
+
+    def test_infinite_interval_not_supported_yet(self):
+        # reference also checks an (-inf, inf) Gaussian through QuadGKJL; our
+        # native GK uses finite pools, so map the infinite domain manually.
+        def g(t, p):  # x = t/(1-t^2) substitution
+            x = t / (1 - t**2)
+            jac = (1 + t**2) / (1 - t**2) ** 2
+            return jnp.exp(-(x**2)) * jac
+
+        sol = solve(IntegralProblem(g, -1.0 + 1e-14, 1.0 - 1e-14), QuadGKJL(), abstol=1e-8)
+        assert float(sol.u) == pytest.approx(np.sqrt(np.pi), abs=1e-6)
+
+
+class TestInterfaces:
+    def test_mixed_parameters(self):
+        p = MixedParameters(1, 2)
+        q = MixedParameters(a="a", b="b")
+        for pq in (merge_parameters(p, q), merge_parameters(p, {"a": "a", "b": "b"})):
+            assert pq[0] == 1 and pq[1] == 2
+            assert pq.a == "a" and pq.b == "b"
+        assert merge_parameters(p, 3)[2] == 3
+        assert merge_parameters(q, 3)[0] == 3
+        assert merge_parameters(p, {"a": "c"}).a == "c"
+
+    def test_integral_solver(self):
+        f = lambda x, p: p * jnp.ones_like(x)
+        prob = IntegralProblem(f, 0.0, 1.0, 33.0)
+        solver = IntegralSolver(prob, QuadGKJL())
+        assert float(solver(0.81)) == pytest.approx(
+            float(solve(IntegralProblem(f, 0.0, 1.0, 0.81), QuadGKJL()).u)
+        )
+
+    def test_integral_solver_bz(self):
+        dims = 3
+        bz = load_bz(FBZ(), np.eye(dims))
+        f = lambda x, p: p * jnp.asarray(1.0)
+        prob = IntegralProblem(f, bz, 0.81)
+        solver = IntegralSolver(IntegralProblem(f, bz), IAI())
+        assert float(solver(0.81)) == pytest.approx(float(solve(prob, IAI()).u), rel=1e-9)
+
+    def test_parameter_integrand(self):
+        def f(x, a, b=None):
+            return a * x + b
+
+        pi = ParameterIntegrand(f, 1.3, b=4.2)
+        from autobzcore_tpu import NullParameters
+
+        assert float(pi(6.7, NullParameters())) == pytest.approx(f(6.7, 1.3, b=4.2))
+        assert float(ParameterIntegrand(f)(6.7, MixedParameters(1.3, b=4.2))) == pytest.approx(
+            f(6.7, 1.3, b=4.2)
+        )
+        prob = IntegralProblem(ParameterIntegrand(f, 1.3, b=4.2), 0.0, 1.0)
+        u = IntegralSolver(prob, QuadGKJL())()
+        v = IntegralSolver(ParameterIntegrand(f), 0.0, 1.0, QuadGKJL())(1.3, b=4.2)
+        w = IntegralSolver(ParameterIntegrand(f, b=4.2), 0.0, 1.0, QuadGKJL())(1.3)
+        assert float(u) == pytest.approx(float(v)) == pytest.approx(float(w))
+        sol = solve(prob, EvalCounter(QuadGKJL(order=7)))
+        assert sol.numevals == 15
+
+    def test_batchsolve(self):
+        prob = IntegralProblem(lambda x, p: p * jnp.ones_like(x), 0.0, 1.0)
+        solver = IntegralSolver(prob, QuadGKJL())
+        params = np.linspace(1, 2, 3)
+        assert [float(solver(p)) for p in params] == [float(u) for u in batchsolve(solver, params)]
+
+        def f(x, a, b=None):
+            return a * x + b
+
+        solver = IntegralSolver(ParameterIntegrand(f), 0.0, 1.0, QuadGKJL())
+        a_vals = np.random.rand(3)
+        b_vals = np.random.rand(3)
+        direct = [float(solver(a, b=b)) for a, b in zip(a_vals, b_vals)]
+        batch = [float(u) for u in batchsolve(solver, paramzip(a_vals, b=b_vals))]
+        assert direct == pytest.approx(batch)
+        prod_direct = [
+            float(solver(a, b=b)) for a in a_vals for b in b_vals
+        ]
+        prod_batch = [float(u) for u in batchsolve(solver, paramproduct(a_vals, b=b_vals).reshape(-1))]
+        assert prod_direct == pytest.approx(prod_batch)
+
+    def test_unknown_rep_fallback(self):
+        """Non-scalar result + unknown symmetry rep -> warn and recompute on
+        the full BZ (reference ``src/brillouin.jl:346-351``)."""
+        bz = load_bz(InversionSymIBZ(), np.eye(2))
+
+        def f(x, p):
+            return jnp.ones(2)  # vector-valued, rep unknown
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            sol = solve(IntegralProblem(f, bz), PTR(npt=10))
+            assert any("full BZ" in str(x.message) for x in w)
+        assert np.allclose(np.asarray(sol.u), (2 * np.pi) ** 2)
+
+    def test_trivial_rep_integrand(self):
+        bz = load_bz(InversionSymIBZ(), np.eye(2))
+
+        class F:
+            rep = TrivialRep()
+
+            def __call__(self, x, p):
+                return jnp.ones(2)
+
+        sol = solve(IntegralProblem(F(), bz), PTR(npt=10))
+        assert np.allclose(np.asarray(sol.u), (2 * np.pi) ** 2)

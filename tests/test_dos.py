@@ -1,0 +1,113 @@
+"""DOS acceptance suite, mirroring reference ``test/dos.jl``: GGR vs analytic
+solutions for graphene + integer-lattice tight-binding models over FBZ and
+reduced zones, plus cache-invalidation semantics.
+
+Exact references use scipy's elliptic integrals in place of Elliptic.jl.
+Note scipy's ``ellipk(m)`` takes the modulus m = k^2, same convention as
+Elliptic.jl (reference ``test/dos.jl:60``).
+"""
+import numpy as np
+import pytest
+from scipy.integrate import quad
+from scipy.special import ellipk
+
+from autobzcore_tpu import FBZ, CubicSymIBZ, DOSProblem, GGR, InversionSymIBZ, load_bz
+from autobzcore_tpu.dos import init as dos_init, solve_ as dos_solve_
+from autobzcore_tpu.fourier import FourierSeries
+from autobzcore_tpu.models import tb_graphene, tb_integer
+
+
+def dos_integer_1d_exact(E, t=1.0):
+    x = abs(E / (2 * t))
+    return 1 / np.sqrt(1 - x**2) / (np.pi * 2 * t) if x <= 1 else 0.0
+
+
+def dos_integer_2d_exact(E, t=1.0):
+    x = abs(E / (4 * t))
+    return ellipk(1 - x**2) / (np.pi**2 * 2 * t) if x <= 1 else 0.0
+
+
+def dos_integer_3d_exact(E, t=1.0):
+    x = abs(E / (6 * t))
+    f = lambda u: ellipk(1 - ((3 * x - np.cos(u)) / 2) ** 2)
+    if 3 * x < 1:
+        up = np.arccos(3 * x)
+        I1 = quad(f, 0, up, points=[up], limit=200)[0]
+        I2 = quad(f, up, np.pi, points=[up], limit=200)[0]
+        return (I1 + I2) / (np.pi**3 * 2 * t)
+    elif x < 1:
+        return quad(f, 0, np.arccos(3 * x - 2), limit=200)[0] / (np.pi**3 * 2 * t)
+    return 0.0
+
+
+def dos_graphene_exact(E, t=1.0):
+    E = abs(E)
+    x = abs(E / t)
+    if x <= 1:
+        f = (1 + x) ** 2 - (x**2 - 1) ** 2 / 4
+        return 2 * E / ((np.pi * t) ** 2 * np.sqrt(f)) * ellipk(4 * x / f)
+    elif 1 < x < 3:
+        f = (1 + x) ** 2 - (x**2 - 1) ** 2 / 4
+        return 2 * E / ((np.pi * t) ** 2 * np.sqrt(4 * x)) * ellipk(f / (4 * x))
+    return 0.0
+
+
+CASES = [
+    ("graphene", 2, dos_graphene_exact, 4, FBZ(), 200),
+    ("int1d", 1, dos_integer_1d_exact, 2, FBZ(), 200),
+    ("int2d", 2, dos_integer_2d_exact, 4, FBZ(), 200),
+    ("int3d", 3, dos_integer_3d_exact, 6, FBZ(), 120),
+    ("int1d", 1, dos_integer_1d_exact, 2, InversionSymIBZ(), 200),
+    ("int2d", 2, dos_integer_2d_exact, 4, InversionSymIBZ(), 200),
+    ("int3d", 3, dos_integer_3d_exact, 6, InversionSymIBZ(), 120),
+    ("int1d", 1, dos_integer_1d_exact, 2, CubicSymIBZ(), 200),
+    ("int2d", 2, dos_integer_2d_exact, 4, CubicSymIBZ(), 200),
+    ("int3d", 3, dos_integer_3d_exact, 6, CubicSymIBZ(), 120),
+]
+
+
+@pytest.mark.parametrize("name,ndim,exact,bandwidth,bzkind,npt", CASES)
+def test_ggr_vs_exact(name, ndim, exact, bandwidth, bzkind, npt):
+    model = tb_graphene() if name == "graphene" else tb_integer(ndim)
+    Bw = bandwidth
+    bz = load_bz(bzkind, np.eye(ndim))
+    prob = DOSProblem(model, 0.0, bz)
+    energies = [-Bw - 1, -0.8 * Bw, -0.6 * Bw, -0.2 * Bw, 0.1 * Bw, 0.3 * Bw,
+                0.5 * Bw, 0.7 * Bw, 0.9 * Bw, Bw + 2]
+    cache = dos_init(prob, GGR(npt=npt))
+    for e in energies:
+        cache.domain = e
+        got = float(dos_solve_(cache).u)
+        assert got == pytest.approx(exact(e), abs=1e-2), f"E={e}"
+
+
+class TestCacheSemantics:
+    def test_isfresh_invalidation(self):
+        """Replacing H through the cache rebuilds spectral data; doubling H
+        halves the DOS at a regular energy: D_{2H}(E) = D_H(E/2)/2."""
+        h = tb_integer(1)
+        bz = load_bz(FBZ(), np.eye(1))
+        prob = DOSProblem(h, 0.6, bz)
+        cache = dos_init(prob, GGR(npt=200))
+        sol1 = dos_solve_(cache)
+        assert float(sol1.u) == pytest.approx(dos_integer_1d_exact(0.6), abs=1e-2)
+
+        h2 = FourierSeries(2 * h.c, period=h.period, offset=h.offset, ndim=1)
+        cache.H = h2  # marks isfresh
+        cache.domain = 1.2  # same relative position in the doubled band
+        sol2 = dos_solve_(cache)
+        assert float(sol2.u) == pytest.approx(float(sol1.u) / 2, abs=1e-2)
+
+    def test_sweep_reuses_eig_grid(self):
+        h = tb_integer(2)
+        bz = load_bz(InversionSymIBZ(), np.eye(2))
+        alg = GGR(npt=100)
+        cache = dos_init(DOSProblem(h, 0.0, bz), alg)
+        dos_solve_(cache)  # builds cacheval
+        Es = np.linspace(-4.5, 4.5, 181)  # 2D integer lattice band is [-4, 4]
+        sweep = np.asarray(alg.dos_sweep(cache.cacheval, Es))
+        for i in (10, 50, 90):
+            cache.domain = Es[i]
+            assert float(dos_solve_(cache).u) == pytest.approx(sweep[i], rel=1e-12)
+        # integrates to ~1 state (trapezoid over the sweep)
+        assert np.trapezoid(sweep, Es) == pytest.approx(1.0, abs=5e-2)

@@ -1,0 +1,146 @@
+"""Fourier layer tests, mirroring reference ``test/fourier.jl``: evaluation
+correctness, FourierIntegrand parameter interface, consistency of specialized
+vs fallback paths, and BZ volume identities through the Fourier fast path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autobzcore_tpu import (
+    FBZ,
+    IAI,
+    PTR,
+    TAI,
+    AutoPTR,
+    Basis,
+    CubicLimits,
+    EvalCounter,
+    FourierIntegrand,
+    FourierSeries,
+    FourierValue,
+    HCubatureJL,
+    HyperCube,
+    IntegralProblem,
+    IntegralSolver,
+    InversionSymIBZ,
+    JacobianSeries,
+    MonkhorstPack,
+    NestedQuad,
+    AuxQuadGKJL,
+    load_bz,
+    solve,
+)
+from autobzcore_tpu.models import integer_lattice, tb_integer
+
+
+class TestFourierSeries:
+    @pytest.mark.parametrize("dims", [1, 2, 3])
+    def test_evaluation_matches_direct_sum(self, dims):
+        rng = np.random.default_rng(0)
+        shape = (3,) * dims
+        C = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+        s = FourierSeries(C, period=1.0, offset=(-1,) * dims)
+        x = rng.uniform(size=dims)
+        direct = 0.0
+        for idx in np.ndindex(*shape):
+            f = np.array(idx) - 1
+            direct += C[idx] * np.exp(2j * np.pi * f @ x)
+        val = np.complex128(s(jnp.asarray(x)))
+        assert val == pytest.approx(direct, rel=1e-12)
+
+    @pytest.mark.parametrize("dims", [1, 2, 3])
+    def test_grid_matches_points(self, dims):
+        C = integer_lattice(dims)
+        s = FourierSeries(C, period=1.0, offset=(-1,) * dims)
+        npt = 5
+        grid = s.eval_grid([np.arange(npt) / npt] * dims)
+        u = np.arange(npt) / npt
+        mesh = np.meshgrid(*([u] * dims), indexing="ij")
+        X = np.stack([m.reshape(-1) for m in mesh], axis=-1)
+        pts = s.eval_points(jnp.asarray(X))
+        assert np.allclose(np.asarray(grid).reshape(-1), np.asarray(pts))
+
+    def test_contract_consistency(self):
+        C = integer_lattice(3)
+        s = FourierSeries(C, period=1.0, offset=(-1, -1, -1))
+        x = np.array([0.11, 0.27, 0.63])
+        s2 = s.contract(x[2])
+        s1 = s2.contract(x[1])
+        v = s1(jnp.asarray(x[:1]))
+        assert np.complex128(v) == pytest.approx(np.complex128(s(jnp.asarray(x))), rel=1e-12)
+
+    def test_jacobian_series(self):
+        s = tb_integer(2)
+        j = JacobianSeries(s)
+        x = jnp.asarray([0.2, 0.4])
+        h, v = j(x)
+        # H = 2 cos(2 pi x1) + 2 cos(2 pi x2); dH/dz_i = -4 pi sin(2 pi x_i)
+        assert np.real(np.complex128(h[0, 0])) == pytest.approx(
+            2 * np.cos(2 * np.pi * 0.2) + 2 * np.cos(2 * np.pi * 0.4), rel=1e-12
+        )
+        assert np.real(np.complex128(v[0][0, 0])) == pytest.approx(
+            -4 * np.pi * np.sin(2 * np.pi * 0.2), rel=1e-12
+        )
+        assert np.real(np.complex128(v[1][0, 0])) == pytest.approx(
+            -4 * np.pi * np.sin(2 * np.pi * 0.4), rel=1e-12
+        )
+
+
+class TestFourierIntegrand:
+    @pytest.mark.parametrize("dims", [1, 2, 3])
+    def test_parameter_interface(self, dims):
+        s = FourierSeries(integer_lattice(dims), period=1.0, offset=(-1,) * dims)
+
+        def f(v, a, b=None):
+            return a * v.s * jnp.sum(v.x) + b
+
+        prob = IntegralProblem(
+            FourierIntegrand(f, s, 1.3, b=4.2), np.zeros(dims), np.ones(dims)
+        )
+        u = IntegralSolver(prob, HCubatureJL())()
+        v = IntegralSolver(FourierIntegrand(f, s), np.zeros(dims), np.ones(dims), HCubatureJL())(1.3, b=4.2)
+        w = IntegralSolver(FourierIntegrand(f, s, b=4.2), np.zeros(dims), np.ones(dims), HCubatureJL())(1.3)
+        assert np.complex128(u) == pytest.approx(np.complex128(v)) == pytest.approx(np.complex128(w))
+
+    @pytest.mark.parametrize("dims", [1, 2, 3])
+    def test_algorithm_consistency(self, dims):
+        """Specialized rules (PTR grid eval, nested contraction) agree with
+        the fallback pointwise path (reference ``test/fourier.jl:24-38``)."""
+        s = FourierSeries(integer_lattice(dims), period=1.0, offset=(-1,) * dims)
+
+        def f(v, a, b=None):
+            return a * v.s + b
+
+        fi = FourierIntegrand(f, s, 1.3, b=4.2)
+        results = {}
+        for name, alg, dom in (
+            ("hcub", HCubatureJL(), HyperCube(np.zeros(dims), np.ones(dims))),
+            ("nested", NestedQuad(AuxQuadGKJL()), CubicLimits(np.zeros(dims), np.ones(dims))),
+            ("mp", MonkhorstPack(npt=20), Basis(np.eye(dims))),
+        ):
+            results[name] = np.complex128(solve(IntegralProblem(fi, dom), alg, abstol=1e-8).u)
+        assert results["hcub"] == pytest.approx(results["nested"], abs=1e-6)
+        assert results["hcub"] == pytest.approx(results["mp"], abs=1e-6)
+
+
+class TestFourierBZ:
+    @pytest.mark.parametrize("dims", [1, 2, 3])
+    @pytest.mark.parametrize("bzkind", [FBZ(), InversionSymIBZ()])
+    @pytest.mark.parametrize("algname", ["IAI", "PTR", "AutoPTR", "TAI"])
+    @pytest.mark.parametrize("counter", [False, True])
+    def test_unit_measure(self, dims, bzkind, algname, counter):
+        if dims == 3 and algname == "IAI":
+            pytest.skip("3D nested adaptive is exercised in test_dos/bench (slow compile on CPU)")
+        vol = (2 * np.pi) ** dims
+        s = FourierSeries(integer_lattice(dims), period=1.0, offset=(-1,) * dims)
+        bz = load_bz(bzkind, np.eye(dims))
+
+        def f(v, a, b=None):
+            return jnp.real(a * v.s) + b
+
+        fi = FourierIntegrand(f, s, 0.0, b=1.0)
+        alg = {"IAI": IAI, "PTR": PTR, "AutoPTR": AutoPTR, "TAI": TAI}[algname]()
+        if counter:
+            alg = EvalCounter(alg)
+        solver = IntegralSolver(IntegralProblem(fi, bz), alg, reltol=0, abstol=1e-6)
+        assert float(solver()) == pytest.approx(vol, abs=1e-5)

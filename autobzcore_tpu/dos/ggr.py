@@ -27,23 +27,25 @@ from .interfaces import DOSAlgorithm, DOSSolution
 _EPS = 1e-300
 
 
-def _ggr_1d(b, dw, v):
+def _ggr_1d(b, dw, v, vtol):
     v1 = jnp.abs(v[..., 0])
-    inside = dw <= b * v1
+    # critical points (v ~ 0) are measure-zero in the box model; the reference
+    # formula yields Inf there (src/dos_ggr.jl:75-79) — we drop them instead
+    inside = (dw <= b * v1) & (v1 > vtol)
     return jnp.where(inside, 1.0 / jnp.maximum(v1, _EPS), 0.0)
 
 
-def _ggr_2d(b, dw, v):
+def _ggr_2d(b, dw, v, vtol):
     av = jnp.sort(jnp.abs(v), axis=-1)  # ascending
     v2, v1 = av[..., 0], av[..., 1]
     w1 = b * jnp.abs(v1 - v2)
     w3 = b * (v1 + v2)
     r1 = 2 * b / jnp.maximum(v1, _EPS)
     r2 = (b * (v1 + v2) - dw) / jnp.maximum(v1 * v2, _EPS)
-    return jnp.where(dw <= w1, r1, jnp.where(dw <= w3, r2, 0.0))
+    return jnp.where(v1 > vtol, jnp.where(dw <= w1, r1, jnp.where(dw <= w3, r2, 0.0)), 0.0)
 
 
-def _ggr_3d(b, dw, v):
+def _ggr_3d(b, dw, v, vtol):
     av = jnp.sort(jnp.abs(v), axis=-1)  # ascending: v3 <= v2 <= v1
     v3, v2, v1 = av[..., 0], av[..., 1], av[..., 2]
     w1 = b * jnp.abs(v1 - v2 - v3)
@@ -67,7 +69,7 @@ def _ggr_3d(b, dw, v):
         jnp.where(v1 >= v2 + v3, caseA, caseB),
         jnp.where(dw <= w2, caseC, jnp.where(dw <= w3, caseD, jnp.where(dw <= w4, caseE, 0.0))),
     )
-    return res
+    return jnp.where(v1 > vtol, res, 0.0)
 
 
 _GGR_FORMULAS = {1: _ggr_1d, 2: _ggr_2d, 3: _ggr_3d}
@@ -128,12 +130,15 @@ class GGR(DOSAlgorithm):
         w = jnp.asarray(weights)
         formula = _GGR_FORMULAS[d]
         b = 1.0 / (2 * npt)
+        # velocities at band critical points are numerical noise, not exact
+        # zeros; gate the 1/v formulas on a scale-relative threshold
+        vtol = 1e-10 * float(jnp.maximum(1.0, jnp.max(jnp.abs(velocities))))
 
         @jax.jit
         def dos_at(E):
             dw = jnp.abs(E - energies)  # (K, m)
             vt = jnp.moveaxis(velocities, 1, 2)  # (K, m, d)
-            contrib = formula(b, dw, vt)  # (K, m)
+            contrib = formula(b, dw, vt, vtol)  # (K, m)
             return jnp.sum(w[:, None] * contrib)
 
         return {

@@ -48,6 +48,16 @@ class QuadGKJL(IntegralAlgorithm):
         val, err, ne, conv = cacheval["run"](p, atol, rtol)
         return IntegralSolution(val, err, bool(conv), int(ne))
 
+    def solve_fn(self, cacheval):
+        """Pure jittable/vmappable solve: fn(p, atol, rtol) -> (u, resid)."""
+        run = cacheval["run"]
+
+        def fn(p, atol, rtol):
+            val, err, _, _ = run(p, atol, rtol)
+            return val, err
+
+        return fn
+
 
 class AuxQuadGKJL(QuadGKJL):
     """Gauss-Kronrod with auxiliary error control — the workhorse inner rule

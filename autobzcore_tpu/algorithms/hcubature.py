@@ -72,3 +72,12 @@ class HCubatureJL(IntegralAlgorithm):
         atol, rtol = effective_tolerances(abstol, reltol)
         val, err, ne, conv = cacheval["run"](p, atol, rtol)
         return IntegralSolution(val, err, bool(conv), int(ne))
+
+    def solve_fn(self, cacheval):
+        run = cacheval["run"]
+
+        def fn(p, atol, rtol):
+            val, err, _, _ = run(p, atol, rtol)
+            return val, err
+
+        return fn

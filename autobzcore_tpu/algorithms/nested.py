@@ -125,3 +125,12 @@ class NestedQuad(IntegralAlgorithm):
         atol, rtol = effective_tolerances(abstol, reltol)
         val, err, ne, conv = cacheval["run"](p, atol, rtol)
         return IntegralSolution(val, err, bool(conv), -1)
+
+    def solve_fn(self, cacheval):
+        run = cacheval["run"]
+
+        def fn(p, atol, rtol):
+            val, err, _, _ = run(p, atol, rtol)
+            return val, err
+
+        return fn

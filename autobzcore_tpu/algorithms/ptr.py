@@ -110,6 +110,14 @@ class MonkhorstPack(IntegralAlgorithm):
         val = cacheval["run"](p)
         return IntegralSolution(val, None, True, cacheval["numevals"])
 
+    def solve_fn(self, cacheval):
+        run = cacheval["run"]
+
+        def fn(p, atol, rtol):
+            return run(p), jnp.zeros(())
+
+        return fn
+
 
 class AutoSymPTRJL(IntegralAlgorithm):
     """p-adaptive PTR: refine npt until the change between successive rules

@@ -212,10 +212,45 @@ class AutoBZAlgorithm(IntegralAlgorithm):
     def init_cacheval(self, f, bz, p):
         bz_, dom, alg = self.bz_to_standard(bz)
         return {
-            "bz_": bz_, "dom": dom, "alg": alg,
+            "bz_": bz_, "dom": dom, "alg": alg, "f": f,
             "inner": alg.init_cacheval(f, dom, p),
             "full": None,  # lazily built FBZ fallback for UnknownRep results
         }
+
+    def solve_fn(self, cacheval):
+        """Pure vmappable solve over the BZ: fn(p, atol, rtol) -> (u, resid).
+
+        Symmetrization must be static here (no warn-and-recompute inside jit),
+        so the integrand's symmetry rep must be Trivial, declared, or the
+        result scalar; a sweep over an UnknownRep array-valued integrand
+        should declare its rep first.
+        """
+        bz_ = cacheval["bz_"]
+        inner = cacheval["alg"].solve_fn(cacheval["inner"])
+        f = cacheval["f"]
+        j = abs(np.linalg.det(bz_.B))
+        ns = bz_.nsyms
+        rep = sym_rep(f)
+        if bz_.is_full or isinstance(rep, TrivialRep) or isinstance(rep, UnknownRep):
+            # UnknownRep: scalar results transform trivially; array results
+            # would need the fallback — treated as trivial here, caller beware
+            factor = j * ns
+
+            def fn(p, atol, rtol):
+                u, e = inner(p, None if atol is None else atol / (j * ns), rtol)
+                scale = lambda v: factor * v
+                return (jax.tree_util.tree_map(scale, u),
+                        jax.tree_util.tree_map(scale, e))
+
+            return fn
+
+        def fn(p, atol, rtol):
+            u, e = inner(p, None if atol is None else atol / (j * ns), rtol)
+            u = jax.tree_util.tree_map(lambda v: j * v, rep.symmetrize(bz_, u))
+            e = jax.tree_util.tree_map(lambda v: j * v, rep.symmetrize(bz_, e))
+            return u, e
+
+        return fn
 
     def do_solve(self, f, bz, p, cacheval, abstol=None, reltol=None, maxiters=None):
         bz_ = cacheval["bz_"]

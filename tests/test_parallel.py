@@ -1,0 +1,70 @@
+"""Sharding/sweep tests on the 8-virtual-CPU-device mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from autobzcore_tpu import (
+    FBZ,
+    PTR,
+    FourierIntegrand,
+    IntegralProblem,
+    InversionSymIBZ,
+    QuadGKJL,
+    load_bz,
+)
+from autobzcore_tpu.models import tb_integer
+from autobzcore_tpu.parallel.kshard import spectral_sum_sharded
+from autobzcore_tpu.parallel.sweep import make_mesh, sweep_solve
+
+
+def test_sweep_solve_quadgk():
+    prob = IntegralProblem(lambda x, p: jnp.exp(-p * x**2), 0.0, 1.0)
+    ps = jnp.linspace(0.5, 2.0, 16)
+    us, errs = sweep_solve(prob, QuadGKJL(), ps, abstol=1e-10)
+    from scipy.special import erf
+
+    exact = np.sqrt(np.pi / (4 * np.asarray(ps))) * erf(np.sqrt(np.asarray(ps)))
+    assert np.allclose(np.asarray(us), exact, atol=1e-8)
+
+
+def test_sweep_solve_bz_with_mesh():
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    s = tb_integer(2)
+
+    def green(v, om, eta=None):
+        return -jnp.imag(jnp.trace(jnp.linalg.inv((om + 1j * eta) * jnp.eye(1) - v.s))) / jnp.pi
+
+    fi = FourierIntegrand(green, s, eta=0.1)
+    mesh = make_mesh(8, ("p",), devices=jax.devices("cpu"))
+    omegas = jnp.linspace(-5.0, 5.0, 16)
+    from autobzcore_tpu.parameters import MixedParameters
+
+    ps = MixedParameters(omegas)  # stacked positional parameter
+    us, _ = sweep_solve(IntegralProblem(fi, bz), PTR(npt=40), ps, mesh=mesh)
+    assert us.shape == (16,)
+    # Lorentzian-broadened DOS integrates to ~ #bands * vol over omega
+    integral = np.trapezoid(np.asarray(us), np.asarray(omegas))
+    assert integral == pytest.approx((2 * np.pi) ** 2, rel=0.1)
+
+
+def test_spectral_sum_sharded_matches_dense():
+    devs = jax.devices("cpu")
+    assert len(devs) >= 8
+    mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("k", "w"))
+    s = tb_integer(2)
+    bz = load_bz(FBZ(), np.eye(2))
+    omegas = jnp.linspace(-5, 5, 8)
+    eta = 0.2
+    dos = spectral_sum_sharded(s, bz, npt=32, omegas=omegas, eta=eta, mesh=mesh)
+
+    # dense single-device reference
+    u = np.arange(32) / 32
+    kx, ky = np.meshgrid(u, u, indexing="ij")
+    e = 2 * np.cos(2 * np.pi * kx) + 2 * np.cos(2 * np.pi * ky)
+    vol = (2 * np.pi) ** 2
+    ref = [
+        vol * np.mean(eta / ((om - e) ** 2 + eta**2) / np.pi) for om in np.asarray(omegas)
+    ]
+    assert np.allclose(np.asarray(dos), ref, rtol=1e-10)

@@ -161,7 +161,7 @@ def load_bz(kind, A=None, B=None, *, species=None, positions=None, atol=None, di
         out = read_wout(A)
         if isinstance(kind, IBZ):
             return load_bz(kind, out["lattice"], out["recip_lattice"],
-                           species=out["atom_labels"], positions=out["atom_positions_frac"].T,
+                           species=out["atom_labels"], positions=out["atom_positions_frac"],
                            atol=atol)
         return load_bz(kind, out["lattice"], out["recip_lattice"], atol=atol)
     if A is None:

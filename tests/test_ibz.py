@@ -1,0 +1,90 @@
+"""Polyhedral IBZ tests, mirroring reference ``test/test_ibz.jl``: polytope
+volumes across Bravais lattice types validated against |G|-fold reduction,
+both geometrically and by nested adaptive integration over the loaded limits."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autobzcore_tpu import IAI, PTR, IBZ, IntegralProblem, load_bz, solve
+from autobzcore_tpu.brillouin import canonical_reciprocal_basis
+from autobzcore_tpu.ibz import (
+    crystal_pointgroup,
+    ibz_polytope,
+    lattice_pointgroup,
+    load_ibz,
+    wigner_seitz,
+)
+
+
+def lattices_3d():
+    a, b, c = 1.0, 1.3, 1.7
+    return {
+        "cubic": np.eye(3),
+        "tetragonal": np.diag([a, a, c]),
+        "orthorhombic": np.diag([a, b, c]),
+        "fcc": 0.5 * np.array([[0, 1, 1], [1, 0, 1], [1, 1, 0]]).T,
+        "bcc": 0.5 * np.array([[-1, 1, 1], [1, -1, 1], [1, 1, -1]]).T,
+        "hexagonal": np.array([[1, -0.5, 0], [0, np.sqrt(3) / 2, 0], [0, 0, c]]),
+    }
+
+
+class TestPointGroup:
+    def test_cubic_order(self):
+        assert len(lattice_pointgroup(np.eye(3))) == 48
+
+    def test_hexagonal_order(self):
+        assert len(lattice_pointgroup(lattices_3d()["hexagonal"])) == 24
+
+    def test_fcc_bcc_order(self):
+        assert len(lattice_pointgroup(lattices_3d()["fcc"])) == 48
+        assert len(lattice_pointgroup(lattices_3d()["bcc"])) == 48
+
+    def test_basis_reduces_group(self):
+        # one off-center atom at a general position kills every nontrivial op
+        A = np.eye(3)
+        ops = crystal_pointgroup(A, ["X", "Y"], [[0, 0, 0], [0.1, 0.23, 0.37]])
+        assert len(ops) < 48
+        # all ops survive with the single atom at the origin
+        assert len(crystal_pointgroup(A, ["X"], [[0.0, 0.0, 0.0]])) == 48
+
+
+class TestWignerSeitz:
+    @pytest.mark.parametrize("name", list(lattices_3d()))
+    def test_ws_volume(self, name):
+        A = lattices_3d()[name]
+        B = canonical_reciprocal_basis(A)
+        ws = wigner_seitz(B)
+        assert ws.volume == pytest.approx(abs(np.linalg.det(B)), rel=1e-9)
+
+
+class TestIBZ:
+    @pytest.mark.parametrize("name", list(lattices_3d()))
+    def test_ibz_volume_fraction(self, name):
+        A = lattices_3d()[name]
+        B = canonical_reciprocal_basis(A)
+        W = crystal_pointgroup(A)
+        S = np.array([np.round(np.linalg.inv(w).T).astype(np.int64) for w in W])
+        poly = ibz_polytope(B, S)
+        # fractional-coordinate volume of a fundamental domain = 1/|G|
+        assert poly.volume == pytest.approx(1.0 / len(S), rel=1e-7)
+
+    @pytest.mark.parametrize("name", ["cubic", "fcc", "hexagonal"])
+    def test_ibz_ptr_unit_measure(self, name):
+        A = lattices_3d()[name]
+        bz = load_ibz(A, canonical_reciprocal_basis(A))
+        sol = solve(IntegralProblem(lambda x, p: jnp.asarray(1.0), bz), PTR(npt=24))
+        assert float(sol.u) == pytest.approx(abs(np.linalg.det(bz.B)), rel=1e-8)
+
+    @pytest.mark.parametrize("name", ["cubic", "orthorhombic"])
+    def test_ibz_iai_unit_measure(self, name):
+        """Nested adaptive integration over the polytope wedge reproduces the
+        zone volume (reference ``test/test_ibz.jl:121-149``)."""
+        A = lattices_3d()[name]
+        bz = load_ibz(A, canonical_reciprocal_basis(A))
+        sol = solve(IntegralProblem(lambda x, p: jnp.asarray(1.0), bz), IAI(), abstol=1e-6)
+        assert float(sol.u) == pytest.approx(abs(np.linalg.det(bz.B)), rel=1e-4)
+
+    def test_load_bz_ibz_kind(self):
+        A = np.eye(3)
+        bz = load_bz(IBZ(), A, species=["V"], positions=np.array([[0.0, 0.0, 0.0]]))
+        assert bz.nsyms == 48

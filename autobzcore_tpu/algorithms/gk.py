@@ -23,6 +23,9 @@ from .base import IntegralAlgorithm, effective_tolerances, segments_of
 
 
 class QuadGKJL(IntegralAlgorithm):
+    """h-adaptive Gauss-Kronrod (order 2n+1) via the fixed-shape interval
+    pool; the reference wrapper over ``quadgk`` (``src/algorithms.jl:13``)."""
+
     def __init__(self, order=7, norm=tree_norm, cap=2048, nbisect=4):
         self.order = order
         self.norm = norm

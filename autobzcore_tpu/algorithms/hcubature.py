@@ -20,6 +20,9 @@ from .base import IntegralAlgorithm, effective_tolerances
 
 
 class HCubatureJL(IntegralAlgorithm):
+    """h-adaptive Genz-Malik cubature over hypercubes
+    (``src/algorithms.jl:99``); 1D domains degrade to adaptive GK."""
+
     def __init__(self, norm=tree_norm, initdiv=1, cap=4096, nbisect=4):
         self.norm = norm
         self.initdiv = initdiv

@@ -86,11 +86,14 @@ class NestedQuad(IntegralAlgorithm):
             d_rem = lims.ndim
             alg = algs[d_rem - 1]
             segs = lims.outer_segments()
+            inner_stats = d_rem > 1
 
             if d_rem == 1:
                 def batch_f(xs, pp):
                     return carrier.eval_batch(xs, coords, pp)
             else:
+                # inner solves return their innermost evaluation counts, which
+                # the outer driver accumulates (exact EvalCounter semantics)
                 def batch_f(xs, pp):
                     def one(x):
                         lims2 = lims.fix(x)
@@ -98,20 +101,21 @@ class NestedQuad(IntegralAlgorithm):
                         segs2 = lims2.outer_segments()
                         len2 = segs2[-1] - segs2[0]
                         inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
-                        val, _, _, _ = solve_level(lims2, car2, coords + (x,), pp, inner_atol, rtol)
-                        return val
+                        val, _, ne, _ = solve_level(lims2, car2, coords + (x,), pp, inner_atol, rtol)
+                        return val, ne
 
                     return jax.vmap(one)(xs)
 
             if isinstance(alg, QuadratureFunction):
                 x, w = alg.fun(alg.npt)
-                val = fixed_rule_eval(batch_f, p, segs, x, w)
+                val, ne = fixed_rule_eval(batch_f, p, segs, x, w, stats=inner_stats)
                 z = jnp.zeros((), segs.dtype)
-                return val, z, jnp.asarray(0, jnp.int32), jnp.asarray(True)
+                return val, z, ne, jnp.asarray(True)
             if isinstance(alg, QuadGKJL):  # includes AuxQuadGKJL
                 return gk_adaptive(
                     batch_f, p, segs, order=alg.order, cap=alg.cap,
                     nbisect=alg.nbisect, abstol=atol, reltol=rtol, norm=alg.norm,
+                    stats=inner_stats,
                 )
             raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")
 
@@ -124,7 +128,7 @@ class NestedQuad(IntegralAlgorithm):
     def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
         atol, rtol = effective_tolerances(abstol, reltol)
         val, err, ne, conv = cacheval["run"](p, atol, rtol)
-        return IntegralSolution(val, err, bool(conv), -1)
+        return IntegralSolution(val, err, bool(conv), int(ne))
 
     def solve_fn(self, cacheval):
         run = cacheval["run"]

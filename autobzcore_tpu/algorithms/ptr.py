@@ -98,6 +98,10 @@ def build_ptr_run(f, dom: Basis, npt: int, syms):
 
 
 class MonkhorstPack(IntegralAlgorithm):
+    """Fixed-npt periodic trapezoidal rule over a lattice ``Basis``; with
+    ``syms`` the sum runs over host-precomputed weighted representatives
+    (``src/algorithms.jl:342``)."""
+
     def __init__(self, npt=50, syms=None):
         self.npt = npt
         self.syms = syms

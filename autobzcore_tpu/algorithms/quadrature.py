@@ -19,6 +19,9 @@ from .base import IntegralAlgorithm, segments_of
 
 
 class QuadratureFunction(IntegralAlgorithm):
+    """Fixed rule ``x, w = fun(npt)`` on [-1,1] applied per segment
+    (``src/algorithms.jl:156``)."""
+
     def __init__(self, fun=trapz, npt=50):
         self.fun = fun
         self.npt = npt
@@ -30,7 +33,7 @@ class QuadratureFunction(IntegralAlgorithm):
 
         @jax.jit
         def run(p):
-            return fixed_rule_eval(batch_f, p, jnp.asarray(segs), x, w)
+            return fixed_rule_eval(batch_f, p, jnp.asarray(segs), x, w)[0]
 
         nseg = (len(segs) - 1) if hasattr(segs, "__len__") else int(segs.shape[0]) - 1
         return {"run": run, "numevals": len(x) * nseg}

@@ -82,20 +82,23 @@ class SymmetricBZ:
 
 
 def nsyms(bz: SymmetricBZ):
+    """Number of symmetry operations of the reduced zone (1 for full BZ)."""
     return bz.nsyms
 
 
 # --- symmetry representation traits (src/brillouin.jl:51-113) --------------
 class AbstractSymRep:
-    pass
+    """Base of symmetry-representation traits (``src/brillouin.jl:56``)."""
 
 
 class UnknownRep(AbstractSymRep):
-    pass
+    """Fallback trait: transformation under the group unknown; non-scalar
+    results trigger the full-BZ recompute (``src/brillouin.jl:65``)."""
 
 
 class TrivialRep(AbstractSymRep):
-    pass
+    """Trait for integrands invariant under the group: IBZ results map to the
+    full zone by multiplying with ``nsyms`` (``src/brillouin.jl:72``)."""
 
 
 def sym_rep(f):

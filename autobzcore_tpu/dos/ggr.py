@@ -76,10 +76,23 @@ _GGR_FORMULAS = {1: _ggr_1d, 2: _ggr_2d, 3: _ggr_3d}
 
 
 class GGR(DOSAlgorithm):
-    """``GGR(npt=50)`` (reference ``src/dos_algorithms.jl:23``)."""
+    """``GGR(npt=50)`` (reference ``src/dos_algorithms.jl:23``).
 
-    def __init__(self, npt=50):
+    ``precision='auto'`` picks the complex path on CPU and the split-complex
+    f64 path (real-pair contraction + real-embedding eigh) on TPU, where
+    complex128 is unavailable; force with ``'complex'``/``'split'``.
+    """
+
+    def __init__(self, npt=50, precision="auto"):
         self.npt = npt
+        self.precision = precision
+
+    def _use_split(self):
+        if self.precision == "split":
+            return True
+        if self.precision == "complex":
+            return False
+        return jax.devices()[0].platform == "tpu"
 
     def init_cacheval(self, h, domain, p):
         if isinstance(h, JacobianSeries):
@@ -100,33 +113,71 @@ class GGR(DOSAlgorithm):
         else:
             reps, weights = symptr_rule(npt, d, bz.syms)
 
-        # spectral data: one batched evaluation + eigh over the reduced grid
+        # spectral data: grid evaluation + batched eigh in ONE compiled
+        # program.  Coefficients enter as HLO literals and only real arrays
+        # (energies, velocities) cross the jit boundary, so this runs on TPU
+        # backends that reject complex runtime parameters.
         u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
-        hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
-        grads = []
-        for j in range(d):
-            derivs = tuple(1 if i == j else 0 for i in range(d))
-            grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
-        vk = jnp.stack(grads, axis=d)  # (npt.., d, m, m)
-        m = hk.shape[-1] if hk.ndim > d else 1
-        hk = hk.reshape((-1,) + hk.shape[d:])
-        vk = vk.reshape((-1, d) + vk.shape[d + 1:])
         if reps is not None:
             lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
-            hk = hk[lin]
-            vk = vk[lin]
-        if hk.ndim == 1:  # scalar-valued series -> 1x1 Hamiltonian
-            hk = hk[:, None, None]
-            vk = vk[:, :, None, None]
+        else:
+            lin = None
+
+        use_split = self._use_split()
 
         @jax.jit
-        def spectral(hk, vk):
+        def spectral():
+            if use_split:
+                from ..ops.csplit_eval import eigh_split, evaluate_grid_split
+
+                c_np = np.asarray(h.c)
+                cre, cim = c_np.real, c_np.imag
+
+                def ev(derivs):
+                    return evaluate_grid_split(cre, cim, d, u, h.offset, h.period, derivs=derivs)
+
+                hr, hi = ev(None)
+                gr = [ev(tuple(1 if i == j else 0 for i in range(d))) for j in range(d)]
+                vr = jnp.stack([g[0] for g in gr], axis=d)
+                vi = jnp.stack([g[1] for g in gr], axis=d)
+                hr = hr.reshape((npt**d,) + hr.shape[d:])
+                hi = hi.reshape((npt**d,) + hi.shape[d:])
+                vr = vr.reshape((npt**d, d) + vr.shape[d + 1:])
+                vi = vi.reshape((npt**d, d) + vi.shape[d + 1:])
+                if lin is not None:
+                    hr, hi, vr, vi = hr[lin], hi[lin], vr[lin], vi[lin]
+                if hr.ndim == 1:  # scalar-valued series
+                    hr, hi = hr[:, None, None], hi[:, None, None]
+                    vr, vi = vr[:, :, None, None], vi[:, :, None, None]
+                e, ur, ui = eigh_split(hr, hi)
+                # real part of diag(U^H V U) with split arithmetic
+                v = (
+                    jnp.einsum("kim,kdij,kjm->kdm", ur, vr, ur)
+                    + jnp.einsum("kim,kdij,kjm->kdm", ur, vi * -1, ui)
+                    + jnp.einsum("kim,kdij,kjm->kdm", ui, vi, ur)
+                    + jnp.einsum("kim,kdij,kjm->kdm", ui, vr, ui)
+                )
+                return e, v
+            hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
+            grads = []
+            for j in range(d):
+                derivs = tuple(1 if i == j else 0 for i in range(d))
+                grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
+            vk = jnp.stack(grads, axis=d)  # (npt.., d, m, m)
+            hk = hk.reshape((npt**d,) + hk.shape[d:])  # flatten grid axes
+            vk = vk.reshape((npt**d, d) + vk.shape[d + 1:])
+            if lin is not None:
+                hk = hk[lin]
+                vk = vk[lin]
+            if hk.ndim == 1:  # scalar-valued series -> 1x1 Hamiltonian
+                hk = hk[:, None, None]
+                vk = vk[:, :, None, None]
             e, U = jnp.linalg.eigh(hk)  # (K, m), (K, m, m)
             # band velocities: diag(U' dH U) per direction
             v = jnp.einsum("kmi,kdij,kjm->kdm", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
             return e, jnp.real(v)
 
-        energies, velocities = spectral(hk, vk)
+        energies, velocities = spectral()
         w = jnp.asarray(weights)
         formula = _GGR_FORMULAS[d]
         b = 1.0 / (2 * npt)
@@ -147,7 +198,7 @@ class GGR(DOSAlgorithm):
             "energies": energies,
             "velocities": velocities,
             "weights": w,
-            "numevals": int(hk.shape[0]),
+            "numevals": int(energies.shape[0]),
         }
 
     def dos_solve(self, h, domain, p, cacheval, abstol=None, reltol=None, maxiters=None):

@@ -23,6 +23,9 @@ class DOSAlgorithm:
 
 
 class DOSProblem:
+    """Density-of-states problem: operator ``H(p)``, spectral ``domain``,
+    parameters ``p`` (reference ``src/dos_interfaces.jl:33``)."""
+
     def __init__(self, H, domain, p=NullParameters()):
         self.H = H
         self.domain = domain

@@ -53,7 +53,11 @@ class FourierSeries:
     """
 
     def __init__(self, c, period=1.0, offset=None, ndim=None, dtype=jnp.complex128):
-        c = jnp.asarray(c, dtype)
+        # Coefficients stay HOST-resident (numpy) unless already traced: they
+        # are rule-construction data, and embedding them as HLO literals
+        # sidesteps TPU backends that reject complex runtime parameters.
+        if not isinstance(c, jax.core.Tracer):
+            c = np.asarray(c, dtype)
         d = ndim if ndim is not None else c.ndim
         self.c = c
         self.sndim = int(d)
@@ -164,6 +168,26 @@ class FourierValue:
         return f"FourierValue(x={self.x!r}, s={self.s!r})"
 
 
+class StoredSeriesValues:
+    """Series values stored as (re, im) real array pairs.
+
+    Complex arrays cannot be runtime parameters on all TPU backends, so
+    persisted rule data is split into real pairs at jit boundaries and
+    re-joined inside compiled programs.
+    """
+
+    def __init__(self, parts, jacobian):
+        self.parts = parts
+        self.jacobian = jacobian
+
+    def join(self):
+        if self.jacobian:
+            (hr, hi), (vr, vi) = self.parts
+            return hr + 1j * hi, vr + 1j * vi
+        re, im = self.parts
+        return re + 1j * im
+
+
 class FourierIntegrand:
     """``FourierIntegrand(f, s, *args, **kwargs)``: integrand evaluating
     ``f(FourierValue(x, s(x)), *args, **kwargs)`` with the series evaluated
@@ -204,46 +228,59 @@ class FourierIntegrand:
         hierarchical contraction, then (optionally) gather the symmetry
         representatives ``frac`` (K, d) — the stored-series design of the
         reference's ``FourierPTR``/``FourierMonkhorstPack``
-        (``src/fourier.jl:127-130,210-214``)."""
+        (``src/fourier.jl:127-130,210-214``).
+
+        Returns a :class:`StoredSeriesValues` holding (re, im) real device
+        arrays: complex data never crosses a jit boundary (TPU backends reject
+        complex runtime parameters), coefficients enter as HLO literals.
+        """
         d = self.s.ndim
         periods = self.s.period if not isinstance(self.s, JacobianSeries) else self.s.s.period
         u = [np.arange(npt) / npt * periods[j] for j in range(d)]
-        if isinstance(self.s, JacobianSeries):
-            base = self.s.s
-            h = evaluate_grid(base.c, d, u, base.offset, base.period, None, base.dtype)
-            grads = []
-            for j in range(d):
-                derivs = tuple(1 if i == j else 0 for i in range(d))
-                grads.append(evaluate_grid(base.c, d, u, base.offset, base.period, derivs, base.dtype))
-            vals = (h, jnp.stack(grads, axis=d))
-            vshape_h = h.shape[d:]
-            if frac is not None:
-                idx = np.rint(np.asarray(frac) * npt).astype(np.int64)
-                lin = np.ravel_multi_index(tuple(idx.T), (npt,) * d)
-                vals = (
-                    h.reshape((-1,) + h.shape[d:])[lin],
-                    vals[1].reshape((-1,) + vals[1].shape[d:])[lin],
-                )
-            else:
-                vals = (
-                    h.reshape((-1,) + h.shape[d:]),
-                    vals[1].reshape((-1,) + vals[1].shape[d:]),
-                )
-            return vals
-        s = self.s
-        vals = evaluate_grid(s.c, d, u, s.offset, s.period, None, s.dtype)
-        flat = vals.reshape((-1,) + vals.shape[d:])
         if frac is not None:
             idx = np.rint(np.asarray(frac) * npt).astype(np.int64)
             lin = np.ravel_multi_index(tuple(idx.T), (npt,) * d)
-            flat = flat[lin]
-        return flat
+        else:
+            lin = None
+        if isinstance(self.s, JacobianSeries):
+            base = self.s.s
+
+            @jax.jit
+            def ev():
+                h = evaluate_grid(base.c, d, u, base.offset, base.period, None, base.dtype)
+                grads = []
+                for j in range(d):
+                    derivs = tuple(1 if i == j else 0 for i in range(d))
+                    grads.append(evaluate_grid(base.c, d, u, base.offset, base.period, derivs, base.dtype))
+                v = jnp.stack(grads, axis=d)
+                h = h.reshape((-1,) + h.shape[d:])
+                v = v.reshape((-1, d) + v.shape[d + 1:])
+                if lin is not None:
+                    h = h[lin]
+                    v = v[lin]
+                return (jnp.real(h), jnp.imag(h)), (jnp.real(v), jnp.imag(v))
+
+            return StoredSeriesValues(ev(), jacobian=True)
+        ser = self.s
+
+        @jax.jit
+        def ev():
+            vals = evaluate_grid(ser.c, d, u, ser.offset, ser.period, None, ser.dtype)
+            flat = vals.reshape((-1,) + vals.shape[d:])
+            if lin is not None:
+                flat = flat[lin]
+            return jnp.real(flat), jnp.imag(flat)
+
+        return StoredSeriesValues(ev(), jacobian=False)
 
     def user_batch_fn(self):
-        """``g(xs (K,d), svals, p)``: vmapped user kernel over stored series values."""
+        """``g(xs (K,d), stored, p)``: vmapped user kernel over stored series
+        values (joined to complex inside the jit that calls this)."""
         pf = self.pf
 
-        def g(xs, svals, p):
+        def g(xs, stored, p):
+            svals = stored.join()
+
             def one(x, s, q):
                 return pf(FourierValue(x, s), q)
 

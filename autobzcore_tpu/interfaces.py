@@ -38,6 +38,9 @@ class IntegralSolution:
 
 
 class IntegralProblem:
+    """``IntegralProblem(f, dom[, p])`` / ``(f, a, b[, p])``: integrand
+    ``f(x, p)``, domain, parameters (reference ``src/interfaces.jl:34``)."""
+
     def __init__(self, f, *args):
         # forms: (f, dom), (f, dom, p), (f, a, b), (f, a, b, p)
         if len(args) == 1:
@@ -75,6 +78,9 @@ def checkkwargs(kwargs):
 
 
 class IntegralCache:
+    """Reusable solve state: problem data + algorithm cacheval (compiled
+    executables, device rules) + solver kwargs (``src/interfaces.jl:50``)."""
+
     def __init__(self, f, dom, p, alg, cacheval, kwargs):
         self.f = f
         self.dom = dom
@@ -85,6 +91,8 @@ class IntegralCache:
 
 
 def init(prob: IntegralProblem, alg, **kwargs) -> IntegralCache:
+    """Build a reusable (compiled) cache for the problem/algorithm pair;
+    kwargs are ``abstol``/``reltol``/``maxiters`` (``src/interfaces.jl:78``)."""
     checkkwargs(kwargs)
     f, p = _resolve_parameters(prob.f, prob.p)
     cacheval = alg.init_cacheval(f, prob.dom, p)
@@ -92,6 +100,7 @@ def init(prob: IntegralProblem, alg, **kwargs) -> IntegralCache:
 
 
 def solve(prob: IntegralProblem, alg, **kwargs) -> IntegralSolution:
+    """One-shot ``init`` + ``solve_`` (reference ``src/interfaces.jl:106``)."""
     return solve_(init(prob, alg, **kwargs))
 
 

@@ -28,6 +28,9 @@ class IteratedLimits:
 
 
 class CubicLimits(IteratedLimits):
+    """Axis-aligned box as iterated limits (IteratedIntegration
+    ``CubicLimits`` surface)."""
+
     def __init__(self, a, b):
         self.a = tuple(np.atleast_1d(np.asarray(a, dtype=np.float64)))
         self.b = tuple(np.atleast_1d(np.asarray(b, dtype=np.float64)))

@@ -45,12 +45,15 @@ def _err_norm(tree, batch_ndim):
     return tree_norm(tree)
 
 
-def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder):
+def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder, stats=False):
     """Evaluate the GK rule on a batch of intervals.
 
     ``aa, bb``: (K,) interval endpoints.  Returns (val pytree with leading K,
-    err (K,), nodes evaluated).  ``node_builder(xs_flat) -> integrand input``
-    lets callers lift 1D nodes into d-dim points (NestedQuad).
+    err (K,), stat_sum).  ``node_builder(xs_flat) -> integrand input`` lets
+    callers lift 1D nodes into d-dim points (NestedQuad).  With ``stats``,
+    ``batch_f`` returns (values, per-node counts) and the summed counts are
+    threaded out — used to propagate exact integrand evaluation counts through
+    nested solves.
     """
     K = aa.shape[0]
     npts = xk.shape[0]
@@ -58,7 +61,13 @@ def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder):
     half = (bb - aa) / 2
     nodes = mid[:, None] + half[:, None] * xk[None, :]  # (K, npts)
     flat = nodes.reshape(-1)
-    fx = batch_f(node_builder(flat), p)  # leaves (K*npts, ...)
+    out = batch_f(node_builder(flat), p)  # leaves (K*npts, ...)
+    if stats:
+        fx, per_node = out
+        stat_sum = jnp.sum(per_node).astype(jnp.int32)
+    else:
+        fx = out
+        stat_sum = jnp.asarray(K * npts, jnp.int32)
 
     def per_leaf(v):
         v = v.reshape((K, npts) + v.shape[1:])
@@ -72,7 +81,7 @@ def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder):
     valg = jax.tree_util.tree_map(lambda v: per_leaf(v)[1], fx)
     diff = jax.tree_util.tree_map(lambda k, g: k - g, valk, valg)
     err = _err_norm(diff, 1)
-    return valk, err
+    return valk, err, stat_sum
 
 
 def gk_adaptive(
@@ -88,6 +97,7 @@ def gk_adaptive(
     maxiters=None,
     node_builder=lambda x: x,
     norm=tree_norm,
+    stats=False,
 ):
     """Adaptive GK integration of ``batch_f`` over the segments ``segs``.
 
@@ -117,7 +127,7 @@ def gk_adaptive(
     # initial evaluation of all starting segments
     a0 = segs[:-1]
     b0 = segs[1:]
-    val0, err0 = gk_rule_eval(batch_f, p, a0, b0, xk, wk, wg, node_builder)
+    val0, err0, stat0 = gk_rule_eval(batch_f, p, a0, b0, xk, wk, wg, node_builder, stats)
 
     def pad_leaf(v):
         out = jnp.zeros((cap,) + v.shape[1:], v.dtype)
@@ -128,7 +138,7 @@ def gk_adaptive(
     pool_b = jnp.zeros((cap,), dt).at[:nseg].set(b0)
     pool_err = jnp.zeros((cap,), dt).at[:nseg].set(err0)
     n0 = jnp.asarray(nseg, jnp.int32)
-    evals0 = jnp.asarray(nseg * npts, max_evals.dtype)
+    evals0 = stat0.astype(max_evals.dtype)
 
     def totals(pool_val, pool_err):
         tot_val = jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0), pool_val)
@@ -154,7 +164,7 @@ def gk_adaptive(
         mm = (aa + bb) / 2
         ca = jnp.concatenate([aa, mm])
         cb = jnp.concatenate([mm, bb])
-        cval, cerr = gk_rule_eval(batch_f, p, ca, cb, xk, wk, wg, node_builder)
+        cval, cerr, cstat = gk_rule_eval(batch_f, p, ca, cb, xk, wk, wg, node_builder, stats)
         # left children overwrite parents; right children go to fresh slots
         new_idx = n + jnp.arange(nbisect, dtype=n.dtype)
         slots = jnp.concatenate([idx.astype(n.dtype), new_idx])
@@ -165,7 +175,7 @@ def gk_adaptive(
             lambda pv, cv: pv.at[slots].set(cv), pool_val, cval
         )
         return (pool_a, pool_b, pool_val, pool_err_arr, n + nbisect,
-                evals + 2 * nbisect * npts)
+                evals + cstat)
 
     state = (pool_a, pool_b, pool_val, pool_err, n0, evals0)
     state = jax.lax.while_loop(cond, body, state)
@@ -176,7 +186,7 @@ def gk_adaptive(
     return tot_val, tot_err, evals, converged
 
 
-def fixed_rule_eval(batch_f, p, segs, x, w, node_builder=lambda x: x):
+def fixed_rule_eval(batch_f, p, segs, x, w, node_builder=lambda x: x, stats=False):
     """Apply a fixed rule (nodes ``x``, weights ``w`` on [-1,1]) to each
     segment of ``segs`` and sum (reference ``QuadratureFunction`` semantics,
     ``src/algorithms.jl:156-191``)."""
@@ -188,9 +198,15 @@ def fixed_rule_eval(batch_f, p, segs, x, w, node_builder=lambda x: x):
     mid = (aa + bb) / 2
     half = (bb - aa) / 2
     nodes = (mid[:, None] + half[:, None] * x[None, :]).reshape(-1)  # (S*npt,)
-    fx = batch_f(node_builder(nodes), p)
+    out = batch_f(node_builder(nodes), p)
     S = aa.shape[0]
     npt = x.shape[0]
+    if stats:
+        fx, per_node = out
+        stat_sum = jnp.sum(per_node).astype(jnp.int32)
+    else:
+        fx = out
+        stat_sum = jnp.asarray(S * npt, jnp.int32)
 
     def leaf(v):
         v = v.reshape((S, npt) + v.shape[1:])
@@ -198,4 +214,4 @@ def fixed_rule_eval(batch_f, p, segs, x, w, node_builder=lambda x: x):
         hshape = (S,) + (1,) * (v.ndim - 2)
         return jnp.sum(jnp.sum(w.reshape(wshape) * v, axis=1) * half.reshape(hshape), axis=0)
 
-    return jax.tree_util.tree_map(leaf, fx)
+    return jax.tree_util.tree_map(leaf, fx), stat_sum

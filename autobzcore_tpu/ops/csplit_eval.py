@@ -1,0 +1,95 @@
+"""Split-complex (re, im) evaluation kernels for full f64 precision on TPU.
+
+TPU hardware has no complex types; XLA decomposes complex64 into f32 pairs,
+but the f64 emulation layer does not handle complex128 at all (the x64
+rewriter aborts on f64->c128 conversion).  For workloads that need double
+precision — abstol <= 1e-5 spectral integrals, the BASELINE north star — this
+module implements the complex arithmetic manually over f64 real pairs:
+
+- ``grid_hermitian_split``: Fourier-series evaluation on a tensor grid via
+  cos/sin phase contractions (4 real tensordots per dimension);
+- ``eigvalsh_split`` / ``eigh_split``: Hermitian eigensolve through the real
+  symmetric embedding ``[[Re, -Im], [Im, Re]]`` (eigenvalues doubled; for
+  eigenvectors, columns pair as (u_re, u_im)).
+
+Everything here is jit-safe with only real arrays at the boundaries.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def phase_cs(x, n, offset, period, dtype=jnp.float64, deriv=0):
+    """(cos, sin) parts of ``(2 pi i f)^deriv e^{i ang}``, ang = 2 pi f x/t.
+
+    ``deriv=1`` gives the z-derivative phase ``2 pi f (-sin + i cos)``."""
+    x = jnp.asarray(x, dtype)
+    f = (offset + jnp.arange(n)).astype(dtype)
+    ang = (2 * np.pi) * jnp.outer(x / period, f)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    for _ in range(deriv):
+        fac = (2 * np.pi) * f[None, :]
+        c, s = -fac * s, fac * c  # multiply by i*2pi*f
+    return c, s
+
+
+def contract_split(vre, vim, cos, sin, axis):
+    """Contract split-complex ``v`` with phase ``e^{i ang}`` along ``axis``:
+    (re + i im)(cos + i sin) summed over the axis, new axis prepends."""
+    rr = jnp.tensordot(cos, vre, axes=([1], [axis]))
+    ri = jnp.tensordot(cos, vim, axes=([1], [axis]))
+    ir = jnp.tensordot(sin, vre, axes=([1], [axis]))
+    ii = jnp.tensordot(sin, vim, axes=([1], [axis]))
+    return rr - ii, ri + ir
+
+
+def evaluate_grid_split(c_re, c_im, spatial_ndim, nodes, offsets, periods,
+                        dtype=jnp.float64, derivs=None):
+    """Split-complex tensor-grid evaluation; returns (re, im) arrays of shape
+    ``(g_1, ..., g_d, *valshape)``.  Mirrors ``fourier_eval.evaluate_grid``."""
+    d = spatial_ndim
+    if derivs is None:
+        derivs = (0,) * d
+    vre = jnp.asarray(c_re, dtype)
+    vim = jnp.asarray(c_im, dtype)
+    vshape = vre.shape[d:]
+    vre = vre.reshape(vre.shape[:d] + (-1,))
+    vim = vim.reshape(vim.shape[:d] + (-1,))
+    for j in range(d - 1, -1, -1):
+        cos, sin = phase_cs(nodes[j], vre.shape[d - 1], offsets[j], periods[j], dtype, derivs[j])
+        vre, vim = contract_split(vre, vim, cos, sin, d - 1)
+    return (vre.reshape(vre.shape[:d] + vshape), vim.reshape(vim.shape[:d] + vshape))
+
+
+def hermitian_embedding(h_re, h_im):
+    """Real symmetric 2m x 2m embedding of Hermitian ``h = h_re + i h_im``:
+    ``[[Re, -Im], [Im, Re]]`` (batched over leading axes)."""
+    top = jnp.concatenate([h_re, -h_im], axis=-1)
+    bot = jnp.concatenate([h_im, h_re], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def eigvalsh_split(h_re, h_im):
+    """Eigenvalues of Hermitian ``h_re + i h_im`` via the real embedding.
+
+    The embedding's 2m eigenvalues come in duplicated pairs; with ascending
+    sort the distinct values sit at even indices."""
+    E = hermitian_embedding(h_re, h_im)
+    e2 = jnp.linalg.eigvalsh(E)  # (..., 2m) ascending, duplicated
+    return e2[..., ::2]
+
+
+def eigh_split(h_re, h_im):
+    """Eigen-decomposition of Hermitian ``h_re + i h_im`` via the real
+    embedding: returns (e (..., m), u_re (..., m, m), u_im (..., m, m)) with
+    eigenvector columns ``u[:, j] = u_re[:, j] + i u_im[:, j]``."""
+    m = h_re.shape[-1]
+    E = hermitian_embedding(h_re, h_im)
+    e2, V = jnp.linalg.eigh(E)  # (..., 2m), (..., 2m, 2m)
+    e = e2[..., ::2]
+    W = V[..., ::2]  # one representative per duplicated pair
+    u_re = W[..., :m, :]
+    u_im = W[..., m:, :]
+    # normalize: embedding eigenvectors satisfy |u_re|^2 + |u_im|^2 = 1 already
+    return e, u_re, u_im

@@ -38,10 +38,49 @@ def symptr_rule(npt: int, d: int, syms, chunk: int = 1 << 20):
     Returns ``(reps, weights)``: representative grid indices (K, d) int32 and
     orbit sizes (K,) float64, with ``sum(weights) == npt**d``.  Representatives
     are the orbit members with minimal C-order linear index.
+
+    The canonicalization inner loop runs in the native C++ kernel
+    (``native/symptr.cpp``, OpenMP) when available, else chunked numpy.
     """
     syms_int = as_integer_syms(syms)
     strides = npt ** np.arange(d - 1, -1, -1, dtype=np.int64)
     total = npt**d
+    best = _canonicalize_native(npt, d, syms_int)
+    if best is None:
+        best = _canonicalize_numpy(npt, d, syms_int, strides, total, chunk)
+    reps_lin, counts = np.unique(best, return_counts=True)
+    reps = np.empty((reps_lin.shape[0], d), dtype=np.int32)
+    rem = reps_lin.copy()
+    for j in range(d):
+        reps[:, j] = rem // strides[j]
+        rem = rem % strides[j]
+    return reps, counts.astype(np.float64)
+
+
+def _canonicalize_native(npt, d, syms_int):
+    if d > 8:
+        return None
+    try:
+        from ..native.build import load_symptr_lib
+    except ImportError:
+        return None
+    lib = load_symptr_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    total = npt**d
+    best = np.empty(total, dtype=np.int64)
+    syms_c = np.ascontiguousarray(syms_int, dtype=np.int64)
+    lib.symptr_canonicalize(
+        npt, d, syms_c.shape[0],
+        syms_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        best.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return best
+
+
+def _canonicalize_numpy(npt, d, syms_int, strides, total, chunk):
     best = np.empty(total, dtype=np.int64)
     for start in range(0, total, chunk):
         stop = min(start + chunk, total)
@@ -56,13 +95,7 @@ def symptr_rule(npt: int, d: int, syms, chunk: int = 1 << 20):
             mapped = (idx @ S.T) % npt
             np.minimum(b, mapped @ strides, out=b)
         best[start:stop] = b
-    reps_lin, counts = np.unique(best, return_counts=True)
-    reps = np.empty((reps_lin.shape[0], d), dtype=np.int32)
-    rem = reps_lin.copy()
-    for j in range(d):
-        reps[:, j] = rem // strides[j]
-        rem = rem % strides[j]
-    return reps, counts.astype(np.float64)
+    return best
 
 
 def inversion_syms(d: int):

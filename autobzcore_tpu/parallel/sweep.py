@@ -24,7 +24,17 @@ def sweep_solve(prob: IntegralProblem, alg, ps, abstol=None, reltol=None, mesh=N
     Returns ``(us, resids)`` with the sweep axis leading.  With ``mesh``, the
     parameter axis is sharded over ``mesh.axis_names[0]`` and results are
     gathered (data-parallel over omega/temperature/chemical-potential grids).
+
+    Adaptive-npt PTR algorithms run a *batched refinement ladder*: every rung
+    evaluates the whole sweep through one vmapped rule, refining until the
+    worst parameter in the batch converges — so the smoothest and the
+    sharpest omega share rule evaluations.
     """
+    from ..algorithms.ptr import AutoSymPTRJL
+    from ..brillouin import AutoPTR
+
+    if isinstance(alg, (AutoPTR, AutoSymPTRJL)):
+        return _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh)
     cache = init(prob, alg)
     fn = alg.solve_fn(cache.cacheval)
     atol, rtol = effective_tolerances(abstol, reltol)
@@ -57,3 +67,50 @@ def make_mesh(n_devices=None, axis_names=("p",), devices=None):
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), axis_names)
+
+
+def _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh):
+    """Batched AutoPTR ladder (see :func:`sweep_solve`)."""
+    from ..algorithms.base import effective_tolerances
+    from ..algorithms.ptr import AutoSymPTRJL, build_ptr_run
+    from ..brillouin import AutoPTR
+    from ..domains import Basis
+    from ..interfaces import _resolve_parameters, _takes_mixed_parameters
+    from ..parameters import merge_parameters
+    from ..utils.tree import tree_batched_norm, tree_sub
+
+    f, p0 = _resolve_parameters(prob.f, prob.p)
+    if isinstance(alg, AutoPTR):
+        bz_, dom, inner = alg.bz_to_standard(prob.dom)
+        scale = abs(float(np.linalg.det(bz_.B))) * bz_.nsyms  # trivial-rep x jacobian
+    else:
+        dom, inner = prob.dom, alg
+        scale = 1.0
+    atol, rtol = effective_tolerances(abstol, reltol)
+
+    if _takes_mixed_parameters(prob.f):
+        def wrap(run):
+            return jax.jit(jax.vmap(lambda p: run(merge_parameters(p0, p))))
+    else:
+        def wrap(run):
+            return jax.jit(jax.vmap(run))
+
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+        ps = jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), sharding), ps)
+
+    prev = None
+    val = None
+    err = None
+    for npt in inner.npt_ladder():
+        run, _ = build_ptr_run(f, dom, npt, inner.syms)
+        val = wrap(run)(ps)
+        if prev is not None:
+            err = tree_batched_norm(tree_sub(val, prev)) * scale
+            tol = jnp.maximum(atol, rtol * tree_batched_norm(val) * scale)
+            if bool(jnp.all(err <= tol)):
+                break
+        prev = val
+    us = jax.tree_util.tree_map(lambda v: scale * v, val)
+    errs = None if err is None else err
+    return us, errs

@@ -28,6 +28,9 @@ import jax.numpy as jnp
 
 
 class InplaceIntegrand:
+    """``f(y, x, p) -> y``: functional in-place integrand with a declared
+    result prototype (shape/dtype), replacing probe evaluation."""
+
     def __init__(self, f, result_prototype):
         self.f = f
         self.result_prototype = result_prototype
@@ -52,6 +55,9 @@ class BatchIntegrand:
 
 
 class NestedBatchIntegrand(BatchIntegrand):
+    """API-parity alias of :class:`BatchIntegrand`: JAX needs no per-thread
+    worker replicas (reference ``src/batch.jl:50``)."""
+
     def __init__(self, f, max_batch=None):
         super().__init__(f, max_batch)
 

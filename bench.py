@@ -36,40 +36,45 @@ def main():
     u = [np.arange(npt) / npt] * 3
     offsets, periods, sndim = s.offset, s.period, s.sndim
 
+    # complex coefficients enter split as (re, im): TPU backends reject
+    # complex runtime parameters
     @jax.jit
-    def hk_eigh(coeffs):
-        hk = evaluate_grid(coeffs, sndim, u, offsets, periods, None, cdtype)
+    def hk_eigh(c_re, c_im):
+        hk = evaluate_grid(c_re + 1j * c_im, sndim, u, offsets, periods, None, cdtype)
         hk = hk.reshape(-1, m, m)
-        return jnp.linalg.eigvalsh(hk)
+        e = jnp.linalg.eigvalsh(hk)
+        # checksum forces materialization through the remote-device tunnel
+        return e, jnp.sum(e).astype(jnp.float32)
 
     @jax.jit
     def dos_sweep(e, omegas, eta):
         lor = eta / ((omegas[:, None, None] - e[None, :, :]) ** 2 + eta**2) / jnp.pi
-        return jnp.mean(jnp.sum(lor, axis=2), axis=1)
+        d = jnp.mean(jnp.sum(lor, axis=2), axis=1)
+        return d, jnp.sum(d).astype(jnp.float32)
 
-    coeffs = jax.device_put(s.c, dev)
+    c_np = np.asarray(s.c)
+    rdt = np.float32 if on_tpu else np.float64
+    c_re = jax.device_put(jnp.asarray(c_np.real, rdt), dev)
+    c_im = jax.device_put(jnp.asarray(c_np.imag, rdt), dev)
 
-    def sync(x):
-        # force full materialization: block_until_ready alone can return
-        # early through the remote-device tunnel, so read a scalar back
-        return float(jnp.sum(x).astype(jnp.float32))
-
-    # warmup + compile
-    sync(hk_eigh(coeffs))
+    # warmup + compile; float(checksum) blocks on the actual computation
+    e, chk = hk_eigh(c_re, c_im)
+    float(chk)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        e = hk_eigh(coeffs)
-        sync(e)
+        e, chk = hk_eigh(c_re, c_im)
+        float(chk)
     t_grid = (time.perf_counter() - t0) / reps
     kpts_per_sec = npt**3 / t_grid
 
-    omegas = jnp.linspace(10.0, 15.0, 1000, dtype=e.dtype)
-    eta = jnp.asarray(0.01, e.dtype)
-    sync(dos_sweep(e, omegas, eta))
+    omegas = jnp.linspace(10.0, 15.0, 1000, dtype=np.float32 if on_tpu else np.float64)
+    eta = jnp.asarray(0.01, omegas.dtype)
+    d, dchk = dos_sweep(e, omegas, eta)
+    float(dchk)
     t0 = time.perf_counter()
-    d = dos_sweep(e, omegas, eta)
-    sync(d)
+    d, dchk = dos_sweep(e, omegas, eta)
+    float(dchk)
     t_sweep = time.perf_counter() - t0
 
     # single-threaded numpy baseline on a subsample, extrapolated

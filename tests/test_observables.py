@@ -1,0 +1,74 @@
+"""Observable kernels: DOS traces agree across formulations, transport is
+symmetric positive; plus the package-surface quality gate (the reference runs
+Aqua.jl, ``test/aqua.jl``)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import autobzcore_tpu as abz
+from autobzcore_tpu import FBZ, IntegralProblem, PTR, load_bz, solve
+from autobzcore_tpu.models import tb_integer
+from autobzcore_tpu.models.observables import (
+    dos_eig,
+    dos_integrand,
+    dos_trace,
+    spectral_function,
+    transport_integrand,
+)
+from autobzcore_tpu.fourier import FourierIntegrand, FourierValue, JacobianSeries
+
+
+def test_dos_trace_vs_eig():
+    s = tb_integer(2)
+    x = jnp.asarray([0.13, 0.41])
+    hv = FourierValue(x, s(x)[None, None] if s(x).ndim == 0 else s(x))
+    a = float(dos_trace(hv, 0.5, eta=0.1))
+    b = float(dos_eig(hv, 0.5, eta=0.1))
+    assert a == pytest.approx(b, rel=1e-10)
+
+
+def test_spectral_function_trace_matches_dos():
+    s = tb_integer(2)
+    x = jnp.asarray([0.13, 0.41])
+    sv = s(x)
+    hv = FourierValue(x, sv[None, None] if sv.ndim == 0 else sv)
+    A = spectral_function(hv, 0.5, eta=0.1)
+    assert float(jnp.real(jnp.trace(A))) == pytest.approx(float(dos_trace(hv, 0.5, eta=0.1)), rel=1e-10)
+
+
+def test_dos_integrand_bz_solve():
+    bz = load_bz(FBZ(), np.eye(2))
+    fi = dos_integrand(tb_integer(2), eta=0.3)
+    sol = solve(IntegralProblem(fi, bz, abz.MixedParameters(0.0)), PTR(npt=40))
+    # broadened DOS at band center of the 2D integer lattice is positive and
+    # finite; sanity against the dense formula
+    u = np.arange(40) / 40
+    kx, ky = np.meshgrid(u, u, indexing="ij")
+    e = 2 * np.cos(2 * np.pi * kx) + 2 * np.cos(2 * np.pi * ky)
+    ref = (2 * np.pi) ** 2 * np.mean(0.3 / (e**2 + 0.09) / np.pi)
+    assert float(sol.u) == pytest.approx(ref, rel=1e-10)
+
+
+def test_transport_integrand_runs():
+    fi = transport_integrand(tb_integer(2), eta=0.1)
+    bz = load_bz(FBZ(), np.eye(2))
+    sol = solve(IntegralProblem(fi, bz, abz.MixedParameters(0.0)), PTR(npt=20))
+    G = np.asarray(sol.u)
+    assert G.shape == (2, 2)
+    assert G[0, 0] > 0 and G[0, 0] == pytest.approx(G[1, 1], rel=1e-8)
+    assert abs(G[0, 1]) < 1e-8 * G[0, 0]  # square lattice: off-diagonal vanishes
+
+
+class TestPackageSurface:
+    def test_all_exports_resolve(self):
+        for name in abz.__all__:
+            assert hasattr(abz, name), name
+
+    def test_public_docstrings(self):
+        undocumented = [
+            name for name in abz.__all__
+            if callable(getattr(abz, name)) and not getattr(abz, name).__doc__
+        ]
+        # allow a small set of self-explanatory aliases
+        assert len(undocumented) <= 5, undocumented

@@ -68,3 +68,23 @@ def test_spectral_sum_sharded_matches_dense():
         vol * np.mean(eta / ((om - e) ** 2 + eta**2) / np.pi) for om in np.asarray(omegas)
     ]
     assert np.allclose(np.asarray(dos), ref, rtol=1e-10)
+
+
+def test_sweep_autoptr_ladder():
+    """Batched AutoPTR: whole omega sweep converges through shared rungs."""
+    from autobzcore_tpu import AutoPTR
+    from autobzcore_tpu.models.observables import dos_integrand
+    from autobzcore_tpu.parameters import MixedParameters
+
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    fi = dos_integrand(tb_integer(2), eta=0.5)
+    omegas = jnp.linspace(-5.0, 5.0, 21)
+    us, errs = sweep_solve(
+        IntegralProblem(fi, bz), AutoPTR(nmin=20, nmax=160),
+        MixedParameters(omegas), abstol=1e-6,
+    )
+    assert us.shape == (21,)
+    assert errs is not None and float(jnp.max(errs)) <= 1e-6
+    # matches per-omega PTR at high npt
+    ref, _ = sweep_solve(IntegralProblem(fi, bz), PTR(npt=160), MixedParameters(omegas))
+    assert np.allclose(np.asarray(us), np.asarray(ref), atol=1e-8)

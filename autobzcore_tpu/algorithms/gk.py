@@ -22,9 +22,42 @@ from ..wrappers import batch_eval_fn
 from .base import IntegralAlgorithm, effective_tolerances, segments_of
 
 
+def _infinity_transform(segs):
+    """Map (semi-)infinite segments to finite ones, quadgk-style.
+
+    Both ends infinite: x = t/(1-t^2) over (-1, 1); right-infinite [a, inf):
+    x = a + t/(1-t) over [0, 1); left-infinite mirrored.  Returns
+    (finite_segs, map_fn, jac_fn) or None when all endpoints are finite.
+    """
+    segs = np.asarray(segs, dtype=np.float64)
+    if np.all(np.isfinite(segs)):
+        return None
+    if len(segs) != 2:
+        raise ValueError("infinite domains support a single segment")
+    a, b = segs
+    if np.isinf(a) and np.isinf(b):
+        return (
+            np.array([-1.0 + 1e-15, 1.0 - 1e-15]),
+            lambda t: t / (1 - t**2),
+            lambda t: (1 + t**2) / (1 - t**2) ** 2,
+        )
+    if np.isinf(b):
+        return (
+            np.array([0.0, 1.0 - 1e-15]),
+            lambda t: a + t / (1 - t),
+            lambda t: 1 / (1 - t) ** 2,
+        )
+    return (
+        np.array([0.0, 1.0 - 1e-15]),
+        lambda t: b - t / (1 - t),
+        lambda t: 1 / (1 - t) ** 2,
+    )
+
+
 class QuadGKJL(IntegralAlgorithm):
     """h-adaptive Gauss-Kronrod (order 2n+1) via the fixed-shape interval
-    pool; the reference wrapper over ``quadgk`` (``src/algorithms.jl:13``)."""
+    pool; the reference wrapper over ``quadgk`` (``src/algorithms.jl:13``),
+    including its infinite-limit variable transformations."""
 
     def __init__(self, order=7, norm=tree_norm, cap=2048, nbisect=4):
         self.order = order
@@ -36,6 +69,19 @@ class QuadGKJL(IntegralAlgorithm):
         batch_f = batch_eval_fn(f)
         segs = segments_of(dom)
         order, cap, nbisect, norm = self.order, self.cap, self.nbisect, self.norm
+
+        tf = _infinity_transform(segs) if isinstance(segs, np.ndarray) else None
+        if tf is not None:
+            segs, map_fn, jac_fn = tf
+            inner_f = batch_f
+
+            def batch_f(ts, pp):  # noqa: F811 — transformed integrand
+                xs = map_fn(ts)
+                fx = inner_f(xs, pp)
+                jac = jac_fn(ts)
+                return jax.tree_util.tree_map(
+                    lambda v: v * jac.reshape(jac.shape + (1,) * (v.ndim - 1)), fx
+                )
 
         @jax.jit
         def run(p, atol, rtol):

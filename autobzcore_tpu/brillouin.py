@@ -162,6 +162,8 @@ def load_bz(kind, A=None, B=None, *, species=None, positions=None, atol=None, di
         from .io.wannier90 import read_wout
 
         out = read_wout(A)
+        if atol is None:
+            atol = 1e-5  # .wout files print 6 decimals (reference ext default)
         if isinstance(kind, IBZ):
             return load_bz(kind, out["lattice"], out["recip_lattice"],
                            species=out["atom_labels"], positions=out["atom_positions_frac"],

@@ -114,3 +114,49 @@ def _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh):
     us = jax.tree_util.tree_map(lambda v: scale * v, val)
     errs = None if err is None else err
     return us, errs
+
+
+class SweepSolver:
+    """Reusable compiled parameter sweep with fixed-chunk padding.
+
+    Build once, call with any number of parameters: inputs are padded to a
+    multiple of ``chunk`` so the compiled executable is reused across calls of
+    varying size (e.g. hchebinterp refinement frontiers).  Parameters are
+    single numeric arrays; for FourierIntegrand/ParameterIntegrand problems
+    each value is merged as the next positional argument.
+    """
+
+    def __init__(self, prob, alg, abstol=None, reltol=None, chunk=256, mesh=None):
+        from ..algorithms.base import effective_tolerances
+        from ..interfaces import _takes_mixed_parameters, init
+        from ..parameters import MixedParameters, merge_parameters
+
+        cache = init(prob, alg)
+        fn = alg.solve_fn(cache.cacheval)
+        atol, rtol = effective_tolerances(abstol, reltol)
+        if _takes_mixed_parameters(prob.f):
+            preset = cache.p
+
+            def one(x):
+                return fn(merge_parameters(preset, MixedParameters(x)), atol, rtol)[0]
+        else:
+            def one(x):
+                return fn(x, atol, rtol)[0]
+
+        self.chunk = chunk
+        self.mesh = mesh
+        self._batched = jax.jit(jax.vmap(one))
+        self.numevals = 0
+
+    def __call__(self, xs):
+        xs = jnp.asarray(xs)
+        n = xs.shape[0]
+        c = self.chunk
+        npad = -(-n // c) * c
+        xp = jnp.zeros((npad,), xs.dtype).at[:n].set(xs)
+        if self.mesh is not None:
+            sharding = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+            xp = jax.device_put(xp, sharding)
+        outs = [self._batched(xp[i: i + c]) for i in range(0, npad, c)]
+        self.numevals += npad
+        return np.concatenate([np.asarray(o) for o in outs])[:n]

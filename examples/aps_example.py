@@ -14,10 +14,13 @@ TPU-native improvements over the reference flow:
 Usage: python examples/aps_example.py [--hr svo_hr.dat] [--wout svo.wout]
 """
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
@@ -58,16 +61,15 @@ def main(argv=None):
 
     integrand = FourierIntegrand(dos_integrand, h, eta=eta)
 
-    # PTR path: batched omega sweeps through the shared npt^3 IBZ rule
+    # PTR path: batched omega sweeps through the shared npt^3 IBZ rule,
+    # compiled once (fixed-chunk padding across hchebinterp frontiers)
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
     prob = IntegralProblem(integrand, bz)
     alg = PTR(npt=args.npt)
 
     t0 = time.time()
-
-    def dos_sweep(omegas):
-        us, _ = sweep_solve(prob, alg, MixedParameters(jnp.asarray(omegas)), abstol=args.abstol)
-        return np.asarray(us)
-
+    dos_sweep = SweepSolver(prob, alg, abstol=args.abstol, chunk=264)
     dos_ptr = hchebinterp(dos_sweep, 10.0, 15.0, atol=args.atol_interp)
     t_ptr = time.time() - t0
     print(f"PTR(npt={args.npt}) interpolant: {dos_ptr.numevals} solver evals, "

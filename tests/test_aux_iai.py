@@ -1,0 +1,60 @@
+"""AuxValue error control through nested BZ integration (the reference's
+auxquadgk-inside-IAI workhorse path) and GGR over a generic polyhedral IBZ."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autobzcore_tpu import (
+    FBZ,
+    GGR,
+    IAI,
+    AuxValue,
+    DOSProblem,
+    FourierIntegrand,
+    IntegralProblem,
+    InversionSymIBZ,
+    load_bz,
+    solve,
+)
+from autobzcore_tpu.dos import init as dos_init, solve_ as dos_solve_
+from autobzcore_tpu.ibz import load_ibz
+from autobzcore_tpu.models import tb_integer
+
+
+def test_auxvalue_through_iai():
+    """Green's function with auxiliary spectral weight: both channels of the
+    AuxValue converge through the nested adaptive solve."""
+    s = tb_integer(2)
+    eta = 0.05
+    om = 0.3
+
+    def f(v):
+        h = jnp.real(v.s[0, 0]) if v.s.ndim == 2 else jnp.real(v.s)
+        g = 1.0 / (om + 1j * eta - h)
+        return AuxValue(-jnp.imag(g) / jnp.pi, jnp.abs(g) ** 2)
+
+    bz = load_bz(FBZ(), np.eye(2))
+    fi = FourierIntegrand(f, s)
+    sol = solve(IntegralProblem(fi, bz), IAI(), abstol=1e-4)
+    assert sol.retcode
+    # dense reference on a fine grid
+    u = np.arange(400) / 400
+    kx, ky = np.meshgrid(u, u, indexing="ij")
+    e = 2 * np.cos(2 * np.pi * kx) + 2 * np.cos(2 * np.pi * ky)
+    g = 1.0 / (om + 1j * eta - e)
+    vol = (2 * np.pi) ** 2
+    assert float(sol.u.val) == pytest.approx(vol * np.mean(-g.imag / np.pi), rel=2e-3)
+    assert float(sol.u.aux) == pytest.approx(vol * np.mean(np.abs(g) ** 2), rel=2e-3)
+
+
+def test_ggr_polyhedral_ibz():
+    """GGR DOS over the polyhedral IBZ (48 ops) matches the InversionSymIBZ
+    result for the cubic integer lattice."""
+    h = tb_integer(3)
+    bz_poly = load_ibz(np.eye(3), 2 * np.pi * np.eye(3))
+    bz_inv = load_bz(InversionSymIBZ(), np.eye(3))
+    assert bz_poly.nsyms == 48
+    E = 1.7
+    a = float(dos_solve_(dos_init(DOSProblem(h, E, bz_poly), GGR(npt=60))).u)
+    b = float(dos_solve_(dos_init(DOSProblem(h, E, bz_inv), GGR(npt=60))).u)
+    assert a == pytest.approx(b, rel=1e-10)

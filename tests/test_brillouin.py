@@ -73,16 +73,26 @@ class TestBZAlgorithms:
         sol = solve(IntegralProblem(f, bz), alg)
         assert float(sol.u) == pytest.approx(vol, rel=1e-6)
 
-    def test_infinite_interval_not_supported_yet(self):
-        # reference also checks an (-inf, inf) Gaussian through QuadGKJL; our
-        # native GK uses finite pools, so map the infinite domain manually.
-        def g(t, p):  # x = t/(1-t^2) substitution
-            x = t / (1 - t**2)
-            jac = (1 + t**2) / (1 - t**2) ** 2
-            return jnp.exp(-(x**2)) * jac
-
-        sol = solve(IntegralProblem(g, -1.0 + 1e-14, 1.0 - 1e-14), QuadGKJL(), abstol=1e-8)
+    def test_infinite_interval(self):
+        """(-inf, inf) Gaussian through QuadGKJL (reference
+        ``test/brillouin.jl:42``) via the built-in t/(1-t^2) transform."""
+        sol = solve(
+            IntegralProblem(lambda x, p: jnp.exp(-(x**2)), -np.inf, np.inf),
+            QuadGKJL(), abstol=1e-8,
+        )
         assert float(sol.u) == pytest.approx(np.sqrt(np.pi), abs=1e-6)
+
+    def test_semi_infinite_interval(self):
+        sol = solve(
+            IntegralProblem(lambda x, p: jnp.exp(-x), 0.0, np.inf),
+            QuadGKJL(), abstol=1e-10,
+        )
+        assert float(sol.u) == pytest.approx(1.0, abs=1e-8)
+        sol = solve(
+            IntegralProblem(lambda x, p: jnp.exp(x), -np.inf, 0.0),
+            QuadGKJL(), abstol=1e-10,
+        )
+        assert float(sol.u) == pytest.approx(1.0, abs=1e-8)
 
 
 class TestInterfaces:

@@ -1,0 +1,115 @@
+"""Closed-form eigenvalues for batched small Hermitian matrices.
+
+``jnp.linalg.eigvalsh`` lowers to an iterative QR solver — overkill for the
+2x2/3x3 Hamiltonians that dominate Wannier DOS workloads and poorly shaped
+for the VPU.  These analytic forms (trigonometric Cardano for 3x3) are pure
+elementwise arithmetic: thousands of times more parallel, no iteration, and
+precision-polymorphic (f32 complex pairs or split-f64).
+
+Used by the benchmark spectral path; fall back to ``eigvalsh`` for m > 3.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def eigvalsh2(h):
+    """Eigenvalues of batched Hermitian 2x2 ``h`` (..., 2, 2), ascending."""
+    a = jnp.real(h[..., 0, 0])
+    c = jnp.real(h[..., 1, 1])
+    b2 = jnp.abs(h[..., 0, 1]) ** 2
+    mean = (a + c) / 2
+    rad = jnp.sqrt(((a - c) / 2) ** 2 + b2)
+    return jnp.stack([mean - rad, mean + rad], axis=-1)
+
+
+def eigvalsh3(h):
+    """Eigenvalues of batched Hermitian 3x3 ``h`` (..., 3, 3), ascending.
+
+    Trigonometric (Cardano) solution of the characteristic cubic via matrix
+    invariants [Smith, Comm. ACM 4 (1961) 168]."""
+    rdt = jnp.real(h).dtype
+    a11 = jnp.real(h[..., 0, 0])
+    a22 = jnp.real(h[..., 1, 1])
+    a33 = jnp.real(h[..., 2, 2])
+    a12 = h[..., 0, 1]
+    a13 = h[..., 0, 2]
+    a23 = h[..., 1, 2]
+    p1 = jnp.abs(a12) ** 2 + jnp.abs(a13) ** 2 + jnp.abs(a23) ** 2
+    q = (a11 + a22 + a33) / 3
+    d1, d2, d3 = a11 - q, a22 - q, a33 - q
+    p2 = d1**2 + d2**2 + d3**2 + 2 * p1
+    p = jnp.sqrt(jnp.maximum(p2, jnp.finfo(rdt).tiny) / 6)
+    inv_p = 1.0 / p
+    # det(B) where B = (A - qI)/p, expanded for Hermitian entries
+    detB = (
+        d1 * d2 * d3
+        + 2 * jnp.real(a12 * a23 * jnp.conj(a13))
+        - d1 * jnp.abs(a23) ** 2
+        - d2 * jnp.abs(a13) ** 2
+        - d3 * jnp.abs(a12) ** 2
+    ) * inv_p**3
+    r = jnp.clip(detB / 2, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3
+    two_pi_3 = jnp.asarray(2 * np.pi / 3, rdt)
+    e1 = q + 2 * p * jnp.cos(phi)
+    e3 = q + 2 * p * jnp.cos(phi + 2 * two_pi_3)
+    e2 = 3 * q - e1 - e3
+    # exactly-diagonal matrices: p ~ 0 -> all eigenvalues = diagonal
+    diag = p2 < jnp.finfo(rdt).tiny * 6
+    e1 = jnp.where(diag, a33, e1)
+    e2 = jnp.where(diag, a22, e2)
+    e3 = jnp.where(diag, a11, e3)
+    return jnp.sort(jnp.stack([e3, e2, e1], axis=-1), axis=-1)
+
+
+def eigvalsh3_split(h_re, h_im):
+    """Split-complex variant: Hermitian ``h_re + i h_im`` without forming
+    complex arrays (full-f64 TPU path)."""
+    a11 = h_re[..., 0, 0]
+    a22 = h_re[..., 1, 1]
+    a33 = h_re[..., 2, 2]
+
+    def abs2(i, j):
+        return h_re[..., i, j] ** 2 + h_im[..., i, j] ** 2
+
+    p1 = abs2(0, 1) + abs2(0, 2) + abs2(1, 2)
+    q = (a11 + a22 + a33) / 3
+    d1, d2, d3 = a11 - q, a22 - q, a33 - q
+    p2 = d1**2 + d2**2 + d3**2 + 2 * p1
+    rdt = h_re.dtype
+    p = jnp.sqrt(jnp.maximum(p2, jnp.finfo(rdt).tiny) / 6)
+    inv_p = 1.0 / p
+    # Re(a12 a23 conj(a13)) with split arithmetic
+    r12, i12 = h_re[..., 0, 1], h_im[..., 0, 1]
+    r23, i23 = h_re[..., 1, 2], h_im[..., 1, 2]
+    r13, i13 = h_re[..., 0, 2], h_im[..., 0, 2]
+    re_triple = (r12 * r23 - i12 * i23) * r13 + (r12 * i23 + i12 * r23) * i13
+    detB = (
+        d1 * d2 * d3 + 2 * re_triple
+        - d1 * abs2(1, 2) - d2 * abs2(0, 2) - d3 * abs2(0, 1)
+    ) * inv_p**3
+    r = jnp.clip(detB / 2, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3
+    two_pi_3 = jnp.asarray(2 * np.pi / 3, rdt)
+    e1 = q + 2 * p * jnp.cos(phi)
+    e3 = q + 2 * p * jnp.cos(phi + 2 * two_pi_3)
+    e2 = 3 * q - e1 - e3
+    diag = p2 < jnp.finfo(rdt).tiny * 6
+    e1 = jnp.where(diag, a33, e1)
+    e2 = jnp.where(diag, a22, e2)
+    e3 = jnp.where(diag, a11, e3)
+    return jnp.sort(jnp.stack([e3, e2, e1], axis=-1), axis=-1)
+
+
+def eigvalsh_small(h):
+    """Dispatch: analytic for m in (1, 2, 3), LAPACK-style otherwise."""
+    m = h.shape[-1]
+    if m == 1:
+        return jnp.real(h[..., 0, 0])[..., None]
+    if m == 2:
+        return eigvalsh2(h)
+    if m == 3:
+        return eigvalsh3(h)
+    return jnp.linalg.eigvalsh(h)

@@ -38,11 +38,13 @@ def main():
 
     # complex coefficients enter split as (re, im): TPU backends reject
     # complex runtime parameters
+    from autobzcore_tpu.ops.eigh3 import eigvalsh_small
+
     @jax.jit
     def hk_eigh(c_re, c_im):
         hk = evaluate_grid(c_re + 1j * c_im, sndim, u, offsets, periods, None, cdtype)
         hk = hk.reshape(-1, m, m)
-        e = jnp.linalg.eigvalsh(hk)
+        e = eigvalsh_small(hk)  # closed-form 3x3 Hermitian eigenvalues
         # checksum forces materialization through the remote-device tunnel
         return e, jnp.sum(e).astype(jnp.float32)
 

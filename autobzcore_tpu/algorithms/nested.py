@@ -56,8 +56,14 @@ class NestedQuad(IntegralAlgorithm):
     """``NestedQuad(alg)`` or ``NestedQuad(algs_tuple)`` with one algorithm per
     dimension (index 0 = innermost), as in the reference."""
 
-    def __init__(self, algs):
+    def __init__(self, algs, inner_cap=512, inner_nbisect=2):
         self.algs = algs
+        # inner-level adaptive pools are instantiated once per outer node of
+        # every enclosing panel (vmap products), so their capacity/batch are
+        # derated to bound live memory: a d-level nest has
+        # prod(panel sizes) * cap live pool entries at the innermost level.
+        self.inner_cap = inner_cap
+        self.inner_nbisect = inner_nbisect
 
     def _algs_for(self, ndim):
         if isinstance(self.algs, (tuple, list)):
@@ -112,9 +118,12 @@ class NestedQuad(IntegralAlgorithm):
                 z = jnp.zeros((), segs.dtype)
                 return val, z, ne, jnp.asarray(True)
             if isinstance(alg, QuadGKJL):  # includes AuxQuadGKJL
+                outermost = d_rem == dom.ndim
+                cap = alg.cap if outermost else min(alg.cap, self.inner_cap)
+                nbisect = alg.nbisect if outermost else min(alg.nbisect, self.inner_nbisect)
                 return gk_adaptive(
-                    batch_f, p, segs, order=alg.order, cap=alg.cap,
-                    nbisect=alg.nbisect, abstol=atol, reltol=rtol, norm=alg.norm,
+                    batch_f, p, segs, order=alg.order, cap=cap,
+                    nbisect=nbisect, abstol=atol, reltol=rtol, norm=alg.norm,
                     stats=inner_stats,
                 )
             raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")

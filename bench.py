@@ -48,10 +48,13 @@ def main():
         # checksum forces materialization through the remote-device tunnel
         return e, jnp.sum(e).astype(jnp.float32)
 
+    from autobzcore_tpu.ops.pallas_kernels import lorentzian_dos
+
     @jax.jit
     def dos_sweep(e, omegas, eta):
-        lor = eta / ((omegas[:, None, None] - e[None, :, :]) ** 2 + eta**2) / jnp.pi
-        d = jnp.mean(jnp.sum(lor, axis=2), axis=1)
+        # fused Pallas kernel on TPU (k-block accumulation in VMEM)
+        wgt = jnp.full((e.shape[0],), 1.0 / e.shape[0], e.dtype)
+        d = lorentzian_dos(e, wgt, omegas, eta)
         return d, jnp.sum(d).astype(jnp.float32)
 
     c_np = np.asarray(s.c)
@@ -103,6 +106,30 @@ def main():
     t_np = time.perf_counter() - t0
     np_rate = nb / t_np
 
+    # secondary: full-f64 split-complex path (the abstol<=1e-5 tier)
+    from autobzcore_tpu.ops.csplit_eval import evaluate_grid_split
+    from autobzcore_tpu.ops.eigh3 import eigvalsh3_split
+
+    @jax.jit
+    def hk_eigh_f64(c_re, c_im):
+        hr, hi = evaluate_grid_split(c_re, c_im, sndim, u, offsets, periods, jnp.float64)
+        hr = hr.reshape(-1, m, m)
+        hi = hi.reshape(-1, m, m)
+        e = eigvalsh3_split(hr, hi)
+        return jnp.sum(e).astype(jnp.float32)
+
+    try:
+        c_re64 = jax.device_put(jnp.asarray(c_np.real, jnp.float64), dev)
+        c_im64 = jax.device_put(jnp.asarray(c_np.imag, jnp.float64), dev)
+        float(hk_eigh_f64(c_re64, c_im64))
+        t0 = time.perf_counter()
+        float(hk_eigh_f64(c_re64, c_im64))
+        t_f64 = time.perf_counter() - t0
+        f64_rate = npt**3 / t_f64
+    except Exception as exc:  # pragma: no cover - informational
+        t_f64, f64_rate = float("nan"), float("nan")
+        print(f"# f64 split path failed: {str(exc)[:80]}", file=sys.stderr)
+
     result = {
         "metric": "svo3_hk_eigh_kpoints_per_sec",
         "value": round(kpts_per_sec, 1),
@@ -111,6 +138,7 @@ def main():
     }
     print(
         f"# device={dev.platform} grid_time={t_grid:.4f}s sweep_1000w={t_sweep:.4f}s "
+        f"f64split_time={t_f64:.4f}s ({f64_rate:.0f} kpts/s) "
         f"numpy_1thread={np_rate:.0f} kpts/s",
         file=sys.stderr,
     )

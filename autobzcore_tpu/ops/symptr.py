@@ -48,7 +48,10 @@ def symptr_rule(npt: int, d: int, syms, chunk: int = 1 << 20):
     best = _canonicalize_native(npt, d, syms_int)
     if best is None:
         best = _canonicalize_numpy(npt, d, syms_int, strides, total, chunk)
-    reps_lin, counts = np.unique(best, return_counts=True)
+    # O(N) orbit-size counting (bincount) instead of sort-based unique
+    counts_all = np.bincount(best, minlength=total)
+    reps_lin = np.nonzero(counts_all)[0]
+    counts = counts_all[reps_lin]
     reps = np.empty((reps_lin.shape[0], d), dtype=np.int32)
     rem = reps_lin.copy()
     for j in range(d):

@@ -89,3 +89,68 @@ def spectral_sum_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int,
 
     dos = block(frac_sharded, w_sharded, om_sharded)
     return dos * scale
+
+
+def ggr_dos_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int, Es,
+                    mesh: Mesh, k_axis: str = "k", w_axis: str = "w"):
+    """Sharded Gilat-Raubenheimer DOS sweep: the eigensolve grid shards over
+    ``k_axis`` (psum-combined) while the energy grid is data-parallel over
+    ``w_axis`` — the pod-scale layout for near-singular DOS workloads
+    (BASELINE config 5).
+
+    Returns DOS values (len(Es),).
+    """
+    from ..dos.ggr import _GGR_FORMULAS
+    from ..ops.fourier_eval import evaluate_grid, evaluate_points
+
+    d = bz.ndim
+    formula = _GGR_FORMULAS[d]
+    reps, weights = _rule_data(series, bz, npt)
+    nk_dev = mesh.shape[k_axis]
+    nw_dev = mesh.shape[w_axis]
+    K = reps.shape[0]
+    Kpad = -(-K // nk_dev) * nk_dev
+    frac = np.zeros((Kpad, d))
+    wgt = np.zeros(Kpad)
+    frac[:K] = reps.astype(np.float64) / npt * np.asarray(series.period)
+    wgt[:K] = weights
+    Es = jnp.asarray(Es)
+    if Es.shape[0] % nw_dev:
+        raise ValueError(f"energy count {Es.shape[0]} must divide over {nw_dev} devices")
+    b = 1.0 / (2 * npt)
+
+    frac_sh = jax.device_put(jnp.asarray(frac), NamedSharding(mesh, P(k_axis, None)))
+    w_sh = jax.device_put(jnp.asarray(wgt), NamedSharding(mesh, P(k_axis)))
+    E_sh = jax.device_put(Es, NamedSharding(mesh, P(w_axis)))
+    c = series.c  # host numpy -> HLO literal, replicated
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(k_axis, None), P(k_axis), P(w_axis)),
+        out_specs=P(w_axis),
+    )
+    def block(frac_blk, w_blk, E_blk):
+        hk = evaluate_points(c, series.sndim, frac_blk, series.offset, series.period, None, series.dtype)
+        grads = []
+        for j in range(d):
+            derivs = tuple(1 if i == j else 0 for i in range(d))
+            grads.append(evaluate_points(c, series.sndim, frac_blk, series.offset,
+                                         series.period, derivs, series.dtype))
+        vk = jnp.stack(grads, axis=1)  # (Kloc, d, ...)
+        if hk.ndim == 1:
+            hk = hk[:, None, None]
+            vk = vk[:, :, None, None]
+        e, U = jnp.linalg.eigh(hk)
+        v = jnp.real(jnp.einsum("kmi,kdij,kjm->kdm", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U))
+        vt = jnp.moveaxis(v, 1, 2)  # (Kloc, m, d)
+        vtol = 1e-10
+
+        def dos_at(E):
+            dw = jnp.abs(E - e)
+            contrib = formula(b, dw, vt, vtol)
+            return jnp.sum(w_blk[:, None] * contrib)
+
+        local = jax.vmap(dos_at)(E_blk)
+        return jax.lax.psum(local, k_axis)
+
+    return block(frac_sh, w_sh, E_sh)

@@ -88,3 +88,21 @@ def test_sweep_autoptr_ladder():
     # matches per-omega PTR at high npt
     ref, _ = sweep_solve(IntegralProblem(fi, bz), PTR(npt=160), MixedParameters(omegas))
     assert np.allclose(np.asarray(us), np.asarray(ref), atol=1e-8)
+
+
+def test_ggr_sharded_matches_single_device():
+    from autobzcore_tpu import GGR, DOSProblem
+    from autobzcore_tpu.dos import init as dos_init
+    from autobzcore_tpu.parallel.kshard import ggr_dos_sharded
+
+    devs = jax.devices("cpu")
+    mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("k", "w"))
+    h = tb_integer(2)
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    Es = jnp.linspace(-3.5, 3.5, 16)
+    sharded = np.asarray(ggr_dos_sharded(h, bz, 40, Es, mesh))
+
+    alg = GGR(npt=40)
+    cache = dos_init(DOSProblem(h, 0.0, bz), alg)
+    ref = np.asarray(alg.dos_sweep(cache.cacheval, Es))
+    assert np.allclose(sharded, ref, rtol=1e-9)

@@ -1,3 +1,3 @@
-from .tight_binding import integer_lattice, tb_graphene, tb_integer
+from .tight_binding import integer_lattice, synthetic_wannier, tb_graphene, tb_integer
 
-__all__ = ["integer_lattice", "tb_graphene", "tb_integer"]
+__all__ = ["integer_lattice", "synthetic_wannier", "tb_graphene", "tb_integer"]

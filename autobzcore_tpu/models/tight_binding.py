@@ -52,3 +52,23 @@ def tb_graphene(t=1.0, period=1.0, dtype=None):
     put(2, -1, 1, 0, t)
     return FourierSeries(C, period=period, offset=(-2, -2), ndim=2,
                          dtype=dtype or jnp.complex128)
+
+
+def synthetic_wannier(nbands, nr=5, ndim=3, decay=1.0, seed=0, period=1.0, dtype=None):
+    """Random Hermitian-symmetric Wannier-like model: ``nbands`` bands with
+    exponentially decaying real-space hoppings on an ``nr^ndim`` R-box.
+    Used for scale tests (e.g. the 30+ band near-singular DOS config)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    shape = (nr,) * ndim
+    o = -((nr - 1) // 2)
+    C = rng.normal(size=shape + (nbands, nbands)) + 1j * rng.normal(size=shape + (nbands, nbands))
+    grids = np.meshgrid(*[np.arange(nr) + o] * ndim, indexing="ij")
+    dist = np.sqrt(sum(g.astype(float) ** 2 for g in grids))
+    C *= np.exp(-decay * dist)[..., None, None] / np.sqrt(nbands)
+    # hermitian symmetry: c(-R) = c(R)^dagger
+    C = (C + np.flip(C.conj(), axis=tuple(range(ndim))).swapaxes(-1, -2)) / 2
+    return FourierSeries(C, period=period, offset=(o,) * ndim, ndim=ndim,
+                         dtype=dtype or jnp.complex128)

@@ -44,40 +44,53 @@ def lorentzian_dos(e, wgt, omegas, eta, *, block_w=256, block_k=512, interpret=N
 
     K, m = e.shape
     W = omegas.shape[0]
+    # flatten (k, band) to one axis: Mosaic vector layouts want 2D kernel math
+    ef = e.reshape(-1)
+    wf = jnp.repeat(wgt, m)
+    N = ef.shape[0]
     bw = min(block_w, W)
-    bk = min(block_k, K)
+    bk = min(block_k * m, N)
     Wp = -(-W // bw) * bw
-    Kp = -(-K // bk) * bk
-    # pad: zero weights kill padded k rows; padded omegas are discarded
-    e_p = jnp.zeros((Kp, m), e.dtype).at[:K].set(e)
-    w_p = jnp.zeros((Kp,), e.dtype).at[:K].set(wgt)
+    Np = -(-N // bk) * bk
+    # pad: zero weights kill padded rows; padded omegas are discarded
+    e_p = jnp.zeros((Np,), e.dtype).at[:N].set(ef)
+    w_p = jnp.zeros((Np,), e.dtype).at[:N].set(wf)
     om_p = jnp.zeros((Wp,), e.dtype).at[:W].set(omegas)
-    eta = float(eta)
+    eta_arr = jnp.reshape(jnp.asarray(eta, e.dtype), (1, 1))  # SMEM scalar
 
-    def kernel(om_ref, e_ref, w_ref, out_ref):
+    def kernel(eta_ref, om_ref, e_ref, w_ref, out_ref):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
+        et = eta_ref[0, 0]
         om = om_ref[:]  # (bw,)
-        ee = e_ref[:]  # (bk, m)
+        ee = e_ref[:]  # (bk,)
         ww = w_ref[:]  # (bk,)
-        diff = om[:, None, None] - ee[None, :, :]
-        lor = eta / (diff * diff + eta * eta)
-        out_ref[:] += jnp.sum(lor * ww[None, :, None], axis=(1, 2)) * (1.0 / np.pi)
+        diff = om[:, None] - ee[None, :]
+        lor = et / (diff * diff + et * et)
+        out_ref[:] += jnp.sum(lor * ww[None, :], axis=1) * (1.0 / np.pi)
+
+    if platform == "tpu" and not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        eta_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    else:
+        eta_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0))
 
     out = pl.pallas_call(
         kernel,
-        grid=(Wp // bw, Kp // bk),
+        grid=(Wp // bw, Np // bk),
         in_specs=[
+            eta_spec,
             pl.BlockSpec((bw,), lambda i, j: (i,)),
-            pl.BlockSpec((bk, m), lambda i, j: (j, 0)),
+            pl.BlockSpec((bk,), lambda i, j: (j,)),
             pl.BlockSpec((bk,), lambda i, j: (j,)),
         ],
         out_specs=pl.BlockSpec((bw,), lambda i, j: (i,)),
         out_shape=jax.ShapeDtypeStruct((Wp,), e.dtype),
         interpret=interpret,
-    )(om_p, e_p, w_p)
+    )(eta_arr, om_p, e_p, w_p)
     return out[:W]

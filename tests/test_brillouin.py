@@ -187,3 +187,23 @@ class TestInterfaces:
 
         sol = solve(IntegralProblem(F(), bz), PTR(npt=10))
         assert np.allclose(np.asarray(sol.u), (2 * np.pi) ** 2)
+
+
+class TestMultiAlgorithms:
+    def test_ptr_iai(self):
+        from autobzcore_tpu import PTR_IAI, AutoPTR_IAI
+
+        bz = load_bz(InversionSymIBZ(), np.eye(2))
+        f = lambda x, p: jnp.asarray(1.0)
+        for alg in (PTR_IAI(), AutoPTR_IAI()):
+            sol = solve(IntegralProblem(f, bz), alg, reltol=1e-4)
+            assert float(sol.u) == pytest.approx((2 * np.pi) ** 2, rel=1e-4)
+
+    def test_nested_quad_mixed_algorithms(self):
+        from autobzcore_tpu import AuxQuadGKJL, NestedQuad, QuadratureFunction
+
+        dom = CubicLimits(np.zeros(2), 2 * np.pi * np.ones(2))
+        f = lambda x, p: 1.0 + jnp.sum(jnp.cos(x))
+        alg = NestedQuad((QuadratureFunction(npt=64), AuxQuadGKJL()))
+        sol = solve(IntegralProblem(f, dom), alg, abstol=1e-6)
+        assert float(sol.u) == pytest.approx((2 * np.pi) ** 2, abs=1e-4)

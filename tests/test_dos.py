@@ -111,3 +111,21 @@ class TestCacheSemantics:
             assert float(dos_solve_(cache).u) == pytest.approx(sweep[i], rel=1e-12)
         # integrates to ~1 state (trapezoid over the sweep)
         assert np.trapezoid(sweep, Es) == pytest.approx(1.0, abs=5e-2)
+
+
+def test_many_band_ggr():
+    """30-band model (BASELINE config 5 shape): GGR runs and yields a finite,
+    normalized DOS (integrates to ~nbands over the spectrum)."""
+    from autobzcore_tpu.models import synthetic_wannier
+    from autobzcore_tpu import GGR, DOSProblem, InversionSymIBZ, load_bz
+
+    h = synthetic_wannier(30, nr=3, ndim=2, seed=1)
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    alg = GGR(npt=48)
+    cache = dos_init(DOSProblem(h, 0.0, bz), alg)
+    dos_solve_(cache)
+    e = np.asarray(cache.cacheval["energies"])
+    Es = np.linspace(e.min() - 0.5, e.max() + 0.5, 241)
+    sweep = np.asarray(alg.dos_sweep(cache.cacheval, Es))
+    assert np.all(np.isfinite(sweep)) and np.all(sweep >= 0)
+    assert np.trapezoid(sweep, Es) == pytest.approx(30.0, rel=0.05)

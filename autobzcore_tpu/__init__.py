@@ -42,6 +42,7 @@ from .algorithms.meta import AbsoluteEstimate, EvalCounter
 from .algorithms.pole import ContQuadGKJL, MeroQuadGKJL
 from .brillouin import (
     FBZ,
+    LatticeRep,
     IAI,
     IBZ,
     PTR,
@@ -74,7 +75,7 @@ __all__ = [
     "ContQuadGKJL", "CubicLimits", "CubicSymIBZ", "DOSProblem", "DOSSolution",
     "EvalCounter", "FBZ", "FourierIntegrand", "FourierSeries", "FourierValue",
     "GGR", "HCubatureJL", "HyperCube", "IAI", "IBZ", "InplaceIntegrand",
-    "IntegralCache", "IntegralProblem", "IntegralSolution", "IntegralSolver",
+    "IntegralCache", "IntegralProblem", "IntegralSolution", "IntegralSolver", "LatticeRep",
     "JacobianSeries", "MeroQuadGKJL", "MixedParameters", "MonkhorstPack",
     "NestedBatchIntegrand", "NestedQuad", "NullParameters", "PTR", "PTR_IAI",
     "ParameterIntegrand", "PuncturedInterval", "QuadGKJL", "QuadratureFunction",

@@ -101,6 +101,33 @@ class TrivialRep(AbstractSymRep):
     full zone by multiplying with ``nsyms`` (``src/brillouin.jl:72``)."""
 
 
+class LatticeRep(AbstractSymRep):
+    """Rank-2 tensor representation in the lattice (fractional) basis, e.g.
+    transport/conductivity tensors built from band velocities: an IBZ integral
+    ``x`` maps to the full zone as ``sum_S S^{-T} x S^{-1}`` (gradients
+    transform with the inverse-transpose of the k-space operation).
+
+    This is the native face of the reference's user-extensible ``SymRep``
+    mechanism (``src/brillouin.jl:76-84``): set ``integrand.rep =
+    LatticeRep()`` for velocity-bilinear observables.
+    """
+
+    def symmetrize(self, bz, x):
+        import jax.numpy as jnp
+
+        Ss = np.asarray(bz.syms, dtype=np.float64)
+        Sinv = np.linalg.inv(Ss)  # (n, d, d)
+        SinvT = np.swapaxes(Sinv, 1, 2)
+
+        def leaf(v):
+            return jnp.sum(
+                jnp.einsum("sab,...bc,scd->s...ad", jnp.asarray(SinvT), v, jnp.asarray(Sinv)),
+                axis=0,
+            )
+
+        return jax.tree_util.tree_map(leaf, x)
+
+
 def sym_rep(f):
     """The reference's ``SymRep(f)`` trait: UnknownRep unless the integrand
     declares otherwise via a ``rep`` attribute."""

@@ -55,9 +55,10 @@ def transport_distribution(hv, om, eta=None):
     """
     h, v = hv.s  # (m, m), (d, m, m)
     e, U = jnp.linalg.eigh(h)
-    vband = jnp.einsum("ia,dij,jb->dab", jnp.conj(U), v, U)  # (d, m, m)
+    vband = jnp.einsum("im,dij,jn->dmn", jnp.conj(U), v, U)  # (d, m, m) band basis
     a = eta / ((om - e) ** 2 + eta**2) / jnp.pi  # (m,) spectral weights
-    return jnp.einsum("dab,b,gba,a->dg", vband, a, jnp.conj(jnp.swapaxes(vband, -1, -2)).transpose(0, 2, 1), a).real
+    # Gamma_ab = sum_{nm} (v_a)_nm (v_b)_mn A_n A_m; v Hermitian per direction
+    return jnp.real(jnp.einsum("anm,bnm,n,m->ab", vband, jnp.conj(vband), a, a))
 
 
 def dos_integrand(h: FourierSeries, eta, rep=True):
@@ -69,5 +70,82 @@ def dos_integrand(h: FourierSeries, eta, rep=True):
 
 
 def transport_integrand(h: FourierSeries, eta):
-    """FourierIntegrand over ``JacobianSeries(h)`` for transport sweeps."""
-    return FourierIntegrand(transport_distribution, JacobianSeries(h), eta=eta)
+    """FourierIntegrand over ``JacobianSeries(h)`` for transport sweeps.
+
+    Declares :class:`LatticeRep` so IBZ solves symmetrize the rank-2 tensor
+    correctly (velocity bilinears are not group-invariant pointwise)."""
+    from ..brillouin import LatticeRep
+
+    fi = FourierIntegrand(transport_distribution, JacobianSeries(h), eta=eta)
+    fi.rep = LatticeRep()
+    return fi
+
+
+def transport_sweep(h: FourierSeries, bz, npt, omegas, eta):
+    """Kubo-Greenwood transport sweep: Gamma_ab(omega) over a frequency grid.
+
+    The (H, dH) grid is evaluated and eigendecomposed ONCE; each frequency
+    costs a vectorized band-pair accumulation (the reference would re-solve
+    the BZ integral per frequency).  Returns (W, d, d).
+
+    Gamma_ab(w) = sum_k w_k sum_{nm} Re[(v_a)_nm (v_b)_mn] A_n(w) A_m(w),
+    with A_n = eta/((w - e_n)^2 + eta^2)/pi and v the band-basis velocities.
+    """
+    import jax
+    import numpy as np
+
+    from ..ops.fourier_eval import evaluate_grid
+    from ..ops.symptr import symptr_rule
+
+    d = bz.ndim
+    if bz.syms is None:
+        strides = npt ** np.arange(d - 1, -1, -1)
+        lin = None
+        weights = np.ones(npt**d)
+    else:
+        reps, weights = symptr_rule(npt, d, bz.syms)
+        lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
+    u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
+    vol = abs(np.linalg.det(bz.B))
+    nsyms = 1 if bz.syms is None else len(bz.syms)
+    scale = vol / (npt**d)  # full-zone normalization (sum of all weights)
+
+    @jax.jit
+    def spectral():
+        hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
+        grads = []
+        for j in range(d):
+            derivs = tuple(1 if i == j else 0 for i in range(d))
+            grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
+        vk = jnp.stack(grads, axis=d)
+        hk = hk.reshape((npt**d,) + hk.shape[d:])
+        vk = vk.reshape((npt**d, d) + vk.shape[d + 1:])
+        if lin is not None:
+            hk = hk[lin]
+            vk = vk[lin]
+        e, U = jnp.linalg.eigh(hk)
+        vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
+        # band-pair velocity products, real part: (K, d, d, m, m)
+        P = jnp.real(jnp.einsum("kamn,kbnm->kabmn", vband, vband))
+        return e, P
+
+    e, P = spectral()
+    w = jnp.asarray(weights)
+
+    # group-average the rank-2 tensor: sum_full = (1/|G|) sum_S S^-T G_ibz S^-1
+    if bz.syms is None:
+        Savg = None
+    else:
+        Sinv = np.linalg.inv(np.asarray(bz.syms, dtype=np.float64))
+        Savg = (np.swapaxes(Sinv, 1, 2), Sinv, len(Sinv))
+
+    @jax.jit
+    def gamma(om):
+        A = eta / ((om - e) ** 2 + eta**2) / jnp.pi  # (K, m)
+        G = scale * jnp.einsum("k,kabmn,km,kn->ab", w, P, A, A)
+        if Savg is not None:
+            SinvT, Sinv_, n = Savg
+            G = jnp.einsum("sab,bc,scd->ad", jnp.asarray(SinvT), G, jnp.asarray(Sinv_)) / n
+        return G
+
+    return jax.jit(jax.vmap(gamma))(jnp.asarray(omegas))

@@ -72,3 +72,25 @@ class TestPackageSurface:
         ]
         # allow a small set of self-explanatory aliases
         assert len(undocumented) <= 5, undocumented
+
+
+def test_transport_sweep_matches_per_omega_solve():
+    from autobzcore_tpu import InversionSymIBZ, MixedParameters
+    from autobzcore_tpu.models.observables import transport_sweep
+    from autobzcore_tpu import solve as _solve
+
+    h = tb_integer(2)
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    omegas = np.array([-1.0, 0.0, 1.5])
+    sweep = np.asarray(transport_sweep(h, bz, 40, omegas, eta=0.3))
+    assert sweep.shape == (3, 2, 2)
+    from autobzcore_tpu import FBZ as _FBZ
+
+    bz_full = load_bz(_FBZ(), np.eye(2))
+    for i, om in enumerate(omegas):
+        sol = _solve(IntegralProblem(transport_integrand(h, eta=0.3), bz_full, MixedParameters(float(om))), PTR(npt=40))
+        assert np.allclose(sweep[i], np.asarray(sol.u), rtol=1e-8, atol=1e-10), om
+    # IBZ solve with LatticeRep symmetrization agrees with the full-BZ solve
+    sol_ibz = _solve(IntegralProblem(transport_integrand(h, eta=0.3), bz, MixedParameters(0.0)), PTR(npt=40))
+    sol_fbz = _solve(IntegralProblem(transport_integrand(h, eta=0.3), bz_full, MixedParameters(0.0)), PTR(npt=40))
+    assert np.allclose(np.asarray(sol_ibz.u), np.asarray(sol_fbz.u), rtol=1e-9, atol=1e-10)

@@ -44,19 +44,22 @@ def lorentzian_dos(e, wgt, omegas, eta, *, block_w=256, block_k=512, interpret=N
 
     K, m = e.shape
     W = omegas.shape[0]
-    # flatten (k, band) to one axis: Mosaic vector layouts want 2D kernel math
+    # flatten (k, band) to one axis and use strictly 2D blocks (Mosaic layout
+    # rules: last dim = lanes (128x), second-to-last = sublanes (8x))
     ef = e.reshape(-1)
     wf = jnp.repeat(wgt, m)
     N = ef.shape[0]
-    bw = min(block_w, W)
-    bk = min(block_k * m, N)
+    bw = min(block_w, max(8, -(-W // 8) * 8))
+    bk = min(block_k * m, max(128, -(-N // 128) * 128))
+    bw = max(8, (bw // 8) * 8)
+    bk = max(128, (bk // 128) * 128)
     Wp = -(-W // bw) * bw
     Np = -(-N // bk) * bk
     # pad: zero weights kill padded rows; padded omegas are discarded
-    e_p = jnp.zeros((Np,), e.dtype).at[:N].set(ef)
-    w_p = jnp.zeros((Np,), e.dtype).at[:N].set(wf)
-    om_p = jnp.zeros((Wp,), e.dtype).at[:W].set(omegas)
-    eta_arr = jnp.reshape(jnp.asarray(eta, e.dtype), (1, 1))  # SMEM scalar
+    e_p = jnp.zeros((1, Np), e.dtype).at[0, :N].set(ef)
+    w_p = jnp.zeros((1, Np), e.dtype).at[0, :N].set(wf)
+    om_p = jnp.zeros((Wp, 1), e.dtype).at[:W, 0].set(omegas)
+    eta_arr = jnp.reshape(jnp.asarray(eta, e.dtype), (1, 1))
 
     def kernel(eta_ref, om_ref, e_ref, w_ref, out_ref):
         j = pl.program_id(1)
@@ -66,12 +69,12 @@ def lorentzian_dos(e, wgt, omegas, eta, *, block_w=256, block_k=512, interpret=N
             out_ref[:] = jnp.zeros_like(out_ref)
 
         et = eta_ref[0, 0]
-        om = om_ref[:]  # (bw,)
-        ee = e_ref[:]  # (bk,)
-        ww = w_ref[:]  # (bk,)
-        diff = om[:, None] - ee[None, :]
+        om = om_ref[:]  # (bw, 1)
+        ee = e_ref[:]  # (1, bk)
+        ww = w_ref[:]  # (1, bk)
+        diff = om - ee  # (bw, bk)
         lor = et / (diff * diff + et * et)
-        out_ref[:] += jnp.sum(lor * ww[None, :], axis=1) * (1.0 / np.pi)
+        out_ref[:] += jnp.sum(lor * ww, axis=1, keepdims=True) * (1.0 / np.pi)
 
     if platform == "tpu" and not interpret:
         from jax.experimental.pallas import tpu as pltpu
@@ -85,12 +88,12 @@ def lorentzian_dos(e, wgt, omegas, eta, *, block_w=256, block_k=512, interpret=N
         grid=(Wp // bw, Np // bk),
         in_specs=[
             eta_spec,
-            pl.BlockSpec((bw,), lambda i, j: (i,)),
-            pl.BlockSpec((bk,), lambda i, j: (j,)),
-            pl.BlockSpec((bk,), lambda i, j: (j,)),
+            pl.BlockSpec((bw, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, bk), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bk), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((bw,), lambda i, j: (i,)),
-        out_shape=jax.ShapeDtypeStruct((Wp,), e.dtype),
+        out_specs=pl.BlockSpec((bw, 1), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Wp, 1), e.dtype),
         interpret=interpret,
     )(eta_arr, om_p, e_p, w_p)
-    return out[:W]
+    return out[:W, 0]

@@ -48,14 +48,23 @@ def main():
         # checksum forces materialization through the remote-device tunnel
         return e, jnp.sum(e).astype(jnp.float32)
 
-    from autobzcore_tpu.ops.pallas_kernels import lorentzian_dos
+    FULL = os.environ.get("BENCH_FULL", "") == "1"
 
-    @jax.jit
-    def dos_sweep(e, omegas, eta):
-        # fused Pallas kernel on TPU (k-block accumulation in VMEM)
-        wgt = jnp.full((e.shape[0],), 1.0 / e.shape[0], e.dtype)
-        d = lorentzian_dos(e, wgt, omegas, eta)
-        return d, jnp.sum(d).astype(jnp.float32)
+    if FULL:
+        from autobzcore_tpu.ops.pallas_kernels import lorentzian_dos
+
+        @jax.jit
+        def dos_sweep(e, omegas, eta):
+            # fused Pallas kernel on TPU (k-block accumulation in VMEM)
+            wgt = jnp.full((e.shape[0],), 1.0 / e.shape[0], e.dtype)
+            d = lorentzian_dos(e, wgt, omegas, eta)
+            return d, jnp.sum(d).astype(jnp.float32)
+    else:
+        @jax.jit
+        def dos_sweep(e, omegas, eta):
+            lor = eta / ((omegas[:, None, None] - e[None, :, :]) ** 2 + eta**2) / jnp.pi
+            d = jnp.mean(jnp.sum(lor, axis=2), axis=1)
+            return d, jnp.sum(d).astype(jnp.float32)
 
     c_np = np.asarray(s.c)
     rdt = np.float32 if on_tpu else np.float64
@@ -118,17 +127,20 @@ def main():
         e = eigvalsh3_split(hr, hi)
         return jnp.sum(e).astype(jnp.float32)
 
-    try:
-        c_re64 = jax.device_put(jnp.asarray(c_np.real, jnp.float64), dev)
-        c_im64 = jax.device_put(jnp.asarray(c_np.imag, jnp.float64), dev)
-        float(hk_eigh_f64(c_re64, c_im64))
-        t0 = time.perf_counter()
-        float(hk_eigh_f64(c_re64, c_im64))
-        t_f64 = time.perf_counter() - t0
-        f64_rate = npt**3 / t_f64
-    except Exception as exc:  # pragma: no cover - informational
+    if FULL:
+        try:
+            c_re64 = jax.device_put(jnp.asarray(c_np.real, jnp.float64), dev)
+            c_im64 = jax.device_put(jnp.asarray(c_np.imag, jnp.float64), dev)
+            float(hk_eigh_f64(c_re64, c_im64))
+            t0 = time.perf_counter()
+            float(hk_eigh_f64(c_re64, c_im64))
+            t_f64 = time.perf_counter() - t0
+            f64_rate = npt**3 / t_f64
+        except Exception as exc:  # pragma: no cover - informational
+            t_f64, f64_rate = float("nan"), float("nan")
+            print(f"# f64 split path failed: {str(exc)[:80]}", file=sys.stderr)
+    else:
         t_f64, f64_rate = float("nan"), float("nan")
-        print(f"# f64 split path failed: {str(exc)[:80]}", file=sys.stderr)
 
     result = {
         "metric": "svo3_hk_eigh_kpoints_per_sec",

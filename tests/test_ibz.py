@@ -17,15 +17,66 @@ from autobzcore_tpu.ibz import (
 
 
 def lattices_3d():
+    """All 14 Bravais lattice types (columns = lattice vectors), mirroring the
+    reference's coverage in ``test/test_ibz.jl:121-149``."""
     a, b, c = 1.0, 1.3, 1.7
+    cb = np.cos(np.deg2rad(75.0))  # monoclinic beta
+    sb = np.sin(np.deg2rad(75.0))
     return {
         "cubic": np.eye(3),
-        "tetragonal": np.diag([a, a, c]),
-        "orthorhombic": np.diag([a, b, c]),
         "fcc": 0.5 * np.array([[0, 1, 1], [1, 0, 1], [1, 1, 0]]).T,
         "bcc": 0.5 * np.array([[-1, 1, 1], [1, -1, 1], [1, 1, -1]]).T,
+        "tetragonal": np.diag([a, a, c]),
+        "tetragonal_I": 0.5 * np.array(
+            [[-a, a, c], [a, -a, c], [a, a, -c]]
+        ).T,
+        "orthorhombic": np.diag([a, b, c]),
+        "orthorhombic_C": np.array(
+            [[a / 2, -b / 2, 0], [a / 2, b / 2, 0], [0, 0, c]]
+        ).T,
+        "orthorhombic_I": 0.5 * np.array(
+            [[-a, b, c], [a, -b, c], [a, b, -c]]
+        ).T,
+        "orthorhombic_F": 0.5 * np.array(
+            [[0, b, c], [a, 0, c], [a, b, 0]]
+        ).T,
         "hexagonal": np.array([[1, -0.5, 0], [0, np.sqrt(3) / 2, 0], [0, 0, c]]),
+        "rhombohedral": np.array(
+            [
+                [a, 0.0, c],
+                [-a / 2, a * np.sqrt(3) / 2, c],
+                [-a / 2, -a * np.sqrt(3) / 2, c],
+            ]
+        ).T,
+        "monoclinic": np.array(
+            [[a, 0, 0], [0, b, 0], [c * cb, 0, c * sb]]
+        ).T,
+        "monoclinic_C": np.array(
+            [[a / 2, -b / 2, 0], [a / 2, b / 2, 0], [c * cb, 0, c * sb]]
+        ).T,
+        "triclinic": np.array(
+            [[a, 0, 0], [0.27 * b, b, 0], [0.21 * c, 0.13 * c, c]]
+        ).T,
     }
+
+
+# Laue-class point-group orders for each Bravais type
+POINTGROUP_ORDER = {
+    "cubic": 48,
+    "fcc": 48,
+    "bcc": 48,
+    "tetragonal": 16,
+    "tetragonal_I": 16,
+    "orthorhombic": 8,
+    "orthorhombic_C": 8,
+    "orthorhombic_I": 8,
+    "orthorhombic_F": 8,
+    "hexagonal": 24,
+    "rhombohedral": 12,
+    "monoclinic": 4,
+    "monoclinic_C": 4,
+    "triclinic": 2,
+}
 
 
 class TestPointGroup:
@@ -38,6 +89,11 @@ class TestPointGroup:
     def test_fcc_bcc_order(self):
         assert len(lattice_pointgroup(lattices_3d()["fcc"])) == 48
         assert len(lattice_pointgroup(lattices_3d()["bcc"])) == 48
+
+    @pytest.mark.parametrize("name", list(lattices_3d()))
+    def test_all_bravais_orders(self, name):
+        """Laue point-group order for each of the 14 Bravais types."""
+        assert len(lattice_pointgroup(lattices_3d()[name])) == POINTGROUP_ORDER[name]
 
     def test_basis_reduces_group(self):
         # one off-center atom at a general position kills every nontrivial op
@@ -68,7 +124,9 @@ class TestIBZ:
         # fractional-coordinate volume of a fundamental domain = 1/|G|
         assert poly.volume == pytest.approx(1.0 / len(S), rel=1e-7)
 
-    @pytest.mark.parametrize("name", ["cubic", "fcc", "hexagonal"])
+    @pytest.mark.parametrize(
+        "name", ["cubic", "fcc", "hexagonal", "tetragonal_I", "monoclinic", "triclinic"]
+    )
     def test_ibz_ptr_unit_measure(self, name):
         A = lattices_3d()[name]
         bz = load_ibz(A, canonical_reciprocal_basis(A))

@@ -242,6 +242,13 @@ class AutoBZAlgorithm(IntegralAlgorithm):
         raise NotImplementedError
 
     def init_cacheval(self, f, bz, p):
+        s = getattr(f, "s", None)
+        if s is not None and getattr(s, "sndim", bz.ndim) != bz.ndim:
+            raise ValueError(
+                f"FourierIntegrand series is {s.sndim}-dimensional but the BZ is "
+                f"{bz.ndim}-dimensional; pass ndim= to FourierSeries when the "
+                "coefficients are matrix-valued (trailing value axes)"
+            )
         bz_, dom, alg = self.bz_to_standard(bz)
         return {
             "bz_": bz_, "dom": dom, "alg": alg, "f": f,

@@ -18,11 +18,34 @@ from ..brillouin import TrivialRep
 from ..fourier import FourierIntegrand, FourierSeries, JacobianSeries
 
 
+def _trace_inv_small(M):
+    """Tr M^{-1} by the adjugate identity for m <= 3 — closed-form, no LU
+    (TPU's LuDecomposition expander rejects c128 and is slow for tiny m)."""
+    m = M.shape[-1]
+    if m == 1:
+        return 1.0 / M[..., 0, 0]
+    tr = jnp.trace(M)
+    det = jnp.linalg.det(M)  # explicit cofactor formula for m <= 3 in XLA
+    if m == 2:
+        return tr / det
+    # tr(M^2) = sum_ij M_ij M_ji as an elementwise reduction — a batched 3x3
+    # matmul would be padded onto MXU tiles (~50x memory blowup at 1e7 batch)
+    tr2 = jnp.sum(M * jnp.swapaxes(M, -1, -2), axis=(-1, -2))
+    return (tr * tr - tr2) / (2.0 * det)
+
+
 def greens_function_trace(hv, om, eta=None):
-    """Tr (om + i eta - H(k))^{-1} (retarded, scalar broadening)."""
+    """Tr (om + i eta - H(k))^{-1} (retarded, scalar broadening).
+
+    Small bands (m <= 3) use the closed-form adjugate trace; larger Hermitian
+    H goes through eigenvalues (Tr (z-H)^{-1} = sum_i 1/(z - e_i)), avoiding
+    batched LU entirely — both forms are exact and TPU-native."""
     m = hv.s.shape[-1]
-    z = (om + 1j * eta) * jnp.eye(m, dtype=hv.s.dtype)
-    return jnp.trace(jnp.linalg.inv(z - hv.s))
+    z = om + 1j * eta
+    if m <= 3:
+        return _trace_inv_small(z * jnp.eye(m, dtype=hv.s.dtype) - hv.s)
+    e = jnp.linalg.eigvalsh(hv.s)
+    return jnp.sum(1.0 / (z - e), axis=-1)
 
 
 def dos_trace(hv, om, eta=None):

@@ -37,10 +37,13 @@ def phase_cs(x, n, offset, period, dtype=jnp.float64, deriv=0):
 def contract_split(vre, vim, cos, sin, axis):
     """Contract split-complex ``v`` with phase ``e^{i ang}`` along ``axis``:
     (re + i im)(cos + i sin) summed over the axis, new axis prepends."""
-    rr = jnp.tensordot(cos, vre, axes=([1], [axis]))
-    ri = jnp.tensordot(cos, vim, axes=([1], [axis]))
-    ir = jnp.tensordot(sin, vre, axes=([1], [axis]))
-    ii = jnp.tensordot(sin, vim, axes=([1], [axis]))
+    import jax
+
+    prec = jax.lax.Precision.HIGHEST  # TPU default matmul precision is bf16
+    rr = jnp.tensordot(cos, vre, axes=([1], [axis]), precision=prec)
+    ri = jnp.tensordot(cos, vim, axes=([1], [axis]), precision=prec)
+    ir = jnp.tensordot(sin, vre, axes=([1], [axis]), precision=prec)
+    ii = jnp.tensordot(sin, vim, axes=([1], [axis]), precision=prec)
     return rr - ii, ri + ir
 
 

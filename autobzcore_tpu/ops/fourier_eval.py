@@ -24,8 +24,15 @@ velocities (``src/dos_ggr.jl:30``).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# All contractions run at HIGHEST precision: TPU's default matmul precision
+# is bfloat16, which costs ~3 decimal digits in H(k) — a visible DOS error at
+# sharp spectral features (eta ~ 1e-2).  The contraction is a tiny fraction
+# of the spectral pipeline's FLOPs, so full f32 accumulation is nearly free.
+_PREC = jax.lax.Precision.HIGHEST
 
 
 def phase_matrix(x, n, offset, period, deriv=0, dtype=jnp.complex128):
@@ -63,7 +70,7 @@ def evaluate_grid(c, spatial_ndim, nodes, offsets, periods, derivs=None, dtype=j
         # after each contraction one grid axis prepends and one spatial axis
         # drops, so the axis holding n_j is always position d-1
         ph = phase_matrix(nodes[j], v.shape[d - 1], offsets[j], periods[j], derivs[j], dtype)
-        v = jnp.tensordot(ph, v, axes=([1], [d - 1]))
+        v = jnp.tensordot(ph, v, axes=([1], [d - 1]), precision=_PREC)
     # axes are now (g_1, ..., g_d, V)
     return v.reshape(v.shape[:d] + vshape)
 
@@ -80,7 +87,7 @@ def evaluate_points(c, spatial_ndim, X, offsets, periods, derivs=None, dtype=jnp
         ph = phase_matrix(X[:, j], nj, offsets[j], periods[j], derivs[j], dtype)
         if j == d - 1:
             # first contraction: big matmul (K, n_d) x (n_1..n_d, V)
-            v = jnp.tensordot(ph, v, axes=([1], [d - 1]))  # (K, n_1..n_{d-1}, V)
+            v = jnp.tensordot(ph, v, axes=([1], [d - 1]), precision=_PREC)  # (K, n_1..n_{d-1}, V)
         else:
             # batched: v (K, n_1..n_j.., V), contract axis j+1 per batch element
             v = _batched_contract(v, ph, j + 1)
@@ -90,7 +97,7 @@ def evaluate_points(c, spatial_ndim, X, offsets, periods, derivs=None, dtype=jnp
 def _batched_contract(v, ph, axis):
     """Contract ``v[k, ..., n, ...]`` (n at ``axis``) with ``ph[k, n]``."""
     v = jnp.moveaxis(v, axis, 1)  # (K, n, rest...)
-    out = jnp.einsum("kn,kn...->k...", ph, v)
+    out = jnp.einsum("kn,kn...->k...", ph, v, precision=_PREC)
     return out
 
 
@@ -101,7 +108,7 @@ def contract(c, spatial_ndim, x, offsets, periods, derivs=None, dtype=jnp.comple
     v = jnp.asarray(c, dtype)
     deriv = 0 if derivs is None else derivs[d - 1]
     ph = phase_matrix(jnp.reshape(x, (1,)), v.shape[d - 1], offsets[d - 1], periods[d - 1], deriv, dtype)
-    out = jnp.tensordot(ph, v, axes=([1], [d - 1]))  # (1, n_1..n_{d-1}, val)
+    out = jnp.tensordot(ph, v, axes=([1], [d - 1]), precision=_PREC)  # (1, n_1..n_{d-1}, val)
     return out[0]
 
 

@@ -42,6 +42,19 @@ def symptr_rule(npt: int, d: int, syms, chunk: int = 1 << 20):
     The canonicalization inner loop runs in the native C++ kernel
     (``native/symptr.cpp``, OpenMP) when available, else chunked numpy.
     """
+    reps, counts, _ = _symptr_reduce(npt, d, syms, chunk, want_map=False)
+    return reps, counts
+
+
+def symptr_orbit_map(npt: int, d: int, syms, chunk: int = 1 << 20):
+    """Like :func:`symptr_rule` but additionally returns ``full2rep``: for
+    every grid point (C-order linear index) the position of its orbit
+    representative in ``reps`` — the scatter map that reconstructs full-grid
+    per-point data from representative-only evaluations."""
+    return _symptr_reduce(npt, d, syms, chunk, want_map=True)
+
+
+def _symptr_reduce(npt, d, syms, chunk, want_map):
     syms_int = as_integer_syms(syms)
     strides = npt ** np.arange(d - 1, -1, -1, dtype=np.int64)
     total = npt**d
@@ -57,7 +70,10 @@ def symptr_rule(npt: int, d: int, syms, chunk: int = 1 << 20):
     for j in range(d):
         reps[:, j] = rem // strides[j]
         rem = rem % strides[j]
-    return reps, counts.astype(np.float64)
+    full2rep = None
+    if want_map:
+        full2rep = np.searchsorted(reps_lin, best).astype(np.int32)
+    return reps, counts.astype(np.float64), full2rep
 
 
 def _canonicalize_native(npt, d, syms_int):

@@ -46,6 +46,9 @@ def main(argv=None):
     from autobzcore_tpu.parameters import MixedParameters
 
     on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        # no native f64/c128 on TPU: run the whole flow in f32/c64
+        jax.config.update("jax_enable_x64", False)
     cdtype = jnp.complex64 if on_tpu else jnp.complex128
 
     hr = read_w90_hrdat(args.hr)
@@ -55,9 +58,11 @@ def main(argv=None):
 
     eta = args.eta
 
+    from autobzcore_tpu.models.observables import dos_trace
+
     def dos_integrand(hv, om, eta=None):
-        z = (om + 1j * eta) * jnp.eye(hv.s.shape[-1], dtype=hv.s.dtype)
-        return -jnp.imag(jnp.trace(jnp.linalg.inv(z - hv.s))) / jnp.pi
+        # -Im Tr (om + i eta - H)^{-1} / pi via the LU-free closed form
+        return dos_trace(hv, om, eta=eta)
 
     integrand = FourierIntegrand(dos_integrand, h, eta=eta)
 

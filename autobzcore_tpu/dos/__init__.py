@@ -1,4 +1,6 @@
 from .interfaces import DOSProblem, DOSSolution, DOSCache, DOSAlgorithm, init, solve, solve_
 from .ggr import GGR
+from .tetrahedron import LTM, AdaptiveGaussianBroadening
 
-__all__ = ["DOSProblem", "DOSSolution", "DOSCache", "DOSAlgorithm", "GGR", "init", "solve", "solve_"]
+__all__ = ["DOSProblem", "DOSSolution", "DOSCache", "DOSAlgorithm", "GGR", "LTM",
+           "AdaptiveGaussianBroadening", "init", "solve", "solve_"]

@@ -65,6 +65,49 @@ def evaluate_grid_split(c_re, c_im, spatial_ndim, nodes, offsets, periods,
     return (vre.reshape(vre.shape[:d] + vshape), vim.reshape(vim.shape[:d] + vshape))
 
 
+def evaluate_points_split(c_re, c_im, spatial_ndim, X, offsets, periods,
+                          dtype=jnp.float64, derivs=None):
+    """Split-complex evaluation at an arbitrary (K, d) point batch; returns
+    (re, im) arrays of shape (K, *valshape).  Mirrors
+    ``fourier_eval.evaluate_points``: the trailing dimension contracts first
+    as a big matmul, the rest per-point."""
+    import jax
+
+    prec = jax.lax.Precision.HIGHEST
+    d = spatial_ndim
+    if derivs is None:
+        derivs = (0,) * d
+    vre = jnp.asarray(c_re, dtype)
+    vim = jnp.asarray(c_im, dtype)
+    vshape = vre.shape[d:]
+    vre = vre.reshape(vre.shape[:d] + (-1,))
+    vim = vim.reshape(vim.shape[:d] + (-1,))
+    K = X.shape[0]
+    for j in range(d - 1, -1, -1):
+        nj = vre.shape[j] if j == d - 1 else vre.shape[j + 1]
+        cos, sin = phase_cs(X[:, j], nj, offsets[j], periods[j], dtype, derivs[j])
+        if j == d - 1:
+            vre, vim = contract_split(vre, vim, cos, sin, d - 1)
+            # -> (K, n_1..n_{d-1}, V)
+        else:
+            # per-point contraction of axis j+1 with this point's phase row.
+            # Elementwise multiply+sum, NOT einsum/dot: TPU's x64 rewriter
+            # emulates elementwise f64 faithfully but batched dot-generals
+            # lose the low word (observed ~1e-2 relative error in H(k)).
+            a = j + 1
+            vre_m = jnp.moveaxis(vre, a, 1)
+            vim_m = jnp.moveaxis(vim, a, 1)
+            shape = (K, vre_m.shape[1]) + (1,) * (vre_m.ndim - 2)
+            cb = cos.reshape(shape)
+            sb = sin.reshape(shape)
+            rr = jnp.sum(cb * vre_m, axis=1)
+            ri = jnp.sum(cb * vim_m, axis=1)
+            ir = jnp.sum(sb * vre_m, axis=1)
+            ii = jnp.sum(sb * vim_m, axis=1)
+            vre, vim = rr - ii, ri + ir
+    return vre.reshape((K,) + vshape), vim.reshape((K,) + vshape)
+
+
 def hermitian_embedding(h_re, h_im):
     """Real symmetric 2m x 2m embedding of Hermitian ``h = h_re + i h_im``:
     ``[[Re, -Im], [Im, Re]]`` (batched over leading axes)."""

@@ -40,7 +40,12 @@ def eigvalsh3(h):
     q = (a11 + a22 + a33) / 3
     d1, d2, d3 = a11 - q, a22 - q, a33 - q
     p2 = d1**2 + d2**2 + d3**2 + 2 * p1
-    p = jnp.sqrt(jnp.maximum(p2, jnp.finfo(rdt).tiny) / 6)
+    # scale-RELATIVE degeneracy guard: finfo.tiny underflows to 0 in TPU's
+    # double-single f64 emulation (f32 exponent range), which would turn
+    # 1/sqrt into inf -> NaN for (near-)scalar matrices like Gamma-point H
+    scale2 = q * q + p2
+    thr = jnp.asarray(1e-24, rdt) * (scale2 + jnp.asarray(1e-30, rdt))
+    p = jnp.sqrt(jnp.maximum(p2, thr) / 6)
     inv_p = 1.0 / p
     # det(B) where B = (A - qI)/p, expanded for Hermitian entries
     detB = (
@@ -56,8 +61,8 @@ def eigvalsh3(h):
     e1 = q + 2 * p * jnp.cos(phi)
     e3 = q + 2 * p * jnp.cos(phi + 2 * two_pi_3)
     e2 = 3 * q - e1 - e3
-    # exactly-diagonal matrices: p ~ 0 -> all eigenvalues = diagonal
-    diag = p2 < jnp.finfo(rdt).tiny * 6
+    # (near-)scalar matrices: p ~ 0 -> all eigenvalues = diagonal
+    diag = p2 <= thr
     e1 = jnp.where(diag, a33, e1)
     e2 = jnp.where(diag, a22, e2)
     e3 = jnp.where(diag, a11, e3)
@@ -79,7 +84,10 @@ def eigvalsh3_split(h_re, h_im):
     d1, d2, d3 = a11 - q, a22 - q, a33 - q
     p2 = d1**2 + d2**2 + d3**2 + 2 * p1
     rdt = h_re.dtype
-    p = jnp.sqrt(jnp.maximum(p2, jnp.finfo(rdt).tiny) / 6)
+    # scale-relative guard (finfo.tiny flushes to 0 in TPU double-single f64)
+    scale2 = q * q + p2
+    thr = jnp.asarray(1e-24, rdt) * (scale2 + jnp.asarray(1e-30, rdt))
+    p = jnp.sqrt(jnp.maximum(p2, thr) / 6)
     inv_p = 1.0 / p
     # Re(a12 a23 conj(a13)) with split arithmetic
     r12, i12 = h_re[..., 0, 1], h_im[..., 0, 1]
@@ -96,7 +104,7 @@ def eigvalsh3_split(h_re, h_im):
     e1 = q + 2 * p * jnp.cos(phi)
     e3 = q + 2 * p * jnp.cos(phi + 2 * two_pi_3)
     e2 = 3 * q - e1 - e3
-    diag = p2 < jnp.finfo(rdt).tiny * 6
+    diag = p2 <= thr
     e1 = jnp.where(diag, a33, e1)
     e2 = jnp.where(diag, a22, e2)
     e3 = jnp.where(diag, a11, e3)

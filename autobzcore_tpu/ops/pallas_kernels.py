@@ -40,6 +40,19 @@ def lorentzian_dos(e, wgt, omegas, eta, *, block_w=256, block_k=512, interpret=N
     if platform != "tpu" and not interpret:
         return _lorentzian_ref(e, wgt, omegas, eta)
 
+    if platform == "tpu" and not interpret and jax.config.jax_enable_x64:
+        # Mosaic rejects the i64 index maps x64 tracing produces (and has no
+        # f64): trace the kernel in pure-f32 mode and restore dtype after
+        from jax._src.config import enable_x64 as _x64_ctx
+
+        with _x64_ctx(False):
+            out32 = lorentzian_dos(
+                e.astype(jnp.float32), wgt.astype(jnp.float32),
+                omegas.astype(jnp.float32), jnp.asarray(eta, jnp.float32),
+                block_w=block_w, block_k=block_k, interpret=interpret,
+            )
+        return out32.astype(e.dtype)
+
     from jax.experimental import pallas as pl
 
     K, m = e.shape

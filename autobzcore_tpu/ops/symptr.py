@@ -54,8 +54,72 @@ def symptr_orbit_map(npt: int, d: int, syms, chunk: int = 1 << 20):
     return _symptr_reduce(npt, d, syms, chunk, want_map=True)
 
 
+def _is_full_cubic_group(syms_int, d):
+    """True iff ``syms_int`` is exactly the 2^d d! signed-permutation group."""
+    import math
+
+    if len(syms_int) != (2**d) * math.factorial(d):
+        return False
+    want = {m.astype(np.int64).tobytes() for m in as_integer_syms(cube_automorphism_syms(d))}
+    got = {m.astype(np.int64).tobytes() for m in syms_int.astype(np.int64)}
+    return want == got
+
+
+def _cubic_rule_direct(npt, d):
+    """Closed-form symmetry reduction for the full cube automorphism group:
+    representatives are sorted tuples 0 <= v_1 <= ... <= v_d <= npt//2 and
+    orbit sizes follow from stabilizer counting — O(K) with K ~ npt^d / |G|,
+    no N x |G| canonicalization sweep.
+
+    Derivation: sign flips map c -> (npt - c) mod npt, so each coordinate
+    canonicalizes to min(c, npt - c) in [0, npt//2]; permutations sort the
+    tuple.  |orbit| = |G| / |stab| with |stab| = prod(multiplicity!) *
+    2^{#self-symmetric coords} (c in {0, npt/2} iff negation fixes it).
+    """
+    m = npt // 2
+    selfsym = {0, m} if npt % 2 == 0 else {0}
+    if d == 1:
+        reps = np.arange(m + 1, dtype=np.int32)[:, None]
+        w = np.where(np.isin(reps[:, 0], list(selfsym)), 1.0, 2.0)
+        return reps, w
+    ms = m if npt % 2 == 0 else -1  # second self-symmetric value (or none)
+    if d == 2:
+        b, c = np.triu_indices(m + 1)
+        b = b.astype(np.int32)
+        c = c.astype(np.int32)
+        reps = np.stack([b, c], axis=1)
+        perm = 2 - (b == c).astype(np.int32)
+        nself = ((b == 0) | (b == ms)).astype(np.int32) + ((c == 0) | (c == ms))
+    elif d == 3:
+        B, C = np.triu_indices(m + 1)
+        B = B.astype(np.int32)
+        C = C.astype(np.int32)
+        counts = (B + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(B), dtype=np.int64), counts)
+        starts = np.cumsum(counts) - counts
+        a = (np.arange(counts.sum(), dtype=np.int64) - starts[idx]).astype(np.int32)
+        b = B[idx]
+        c = C[idx]
+        reps = np.stack([a, b, c], axis=1)
+        eab = (a == b).astype(np.int32)
+        ebc = (b == c).astype(np.int32)
+        perm = 6 - 3 * eab - 3 * ebc + (eab & ebc)
+        nself = (
+            ((a == 0) | (a == ms)).astype(np.int32)
+            + ((b == 0) | (b == ms))
+            + ((c == 0) | (c == ms))
+        )
+    else:
+        raise ValueError("direct cubic reduction implemented for d <= 3")
+    w = (perm << (d - nself)).astype(np.float64)
+    return reps, w
+
+
 def _symptr_reduce(npt, d, syms, chunk, want_map):
     syms_int = as_integer_syms(syms)
+    if not want_map and d <= 3 and _is_full_cubic_group(syms_int, d):
+        reps, w = _cubic_rule_direct(npt, d)
+        return reps, w, None
     strides = npt ** np.arange(d - 1, -1, -1, dtype=np.int64)
     total = npt**d
     best = _canonicalize_native(npt, d, syms_int)

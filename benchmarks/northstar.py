@@ -1,0 +1,153 @@
+"""North-star benchmark: SrVO3 Wannier DOS, 1000 omegas, abstol <= 1e-5.
+
+The BASELINE.json target: "reproduce the aps_example SrVO3 DOS (1000
+frequency points, eta=1e-2) to abstol=1e-5 on TPU >= 100x faster than
+single-threaded Julia" (proxied by single-threaded numpy; bench.py measures
+that proxy at ~1e4 k-points/s).
+
+Error control is the framework's own AutoPTR ladder: symmetry-reduced PTR
+rungs npt -> ~1.4 npt, stopping when the sup-norm of the change of the whole
+1000-omega DOS curve falls under the tolerance (Richardson criterion,
+reference ``src/algorithms.jl:393-432``).
+
+abstol 1e-5 at eta = 1e-2 needs double precision (f32 energies carry ~1e-6
+error -> ~4e-4 DOS error through the eta-Lorentzian), so the whole pipeline
+runs in the split-complex f64 path (``ops/csplit_eval``): TPU has no native
+f64; XLA emulates real f64 in double-single arithmetic, and complex128 never
+materializes.
+
+Execution shape: the symmetry-reduced k-points (host C++ ``symptr_rule``)
+stream through ONE fixed-size jitted block kernel — scattered-point Fourier
+evaluation + closed-form Cardano eigenvalues + the 1000-omega Lorentzian
+partial sum — so every rung of the ladder reuses the same compiled
+executable (no per-rung recompiles, no padded-slab waste) and peak memory is
+O(block).  Partial DOS vectors accumulate in host f64.
+
+Usage: python benchmarks/northstar.py [--tol 1e-5] [--ladder 140,200,280,400,560]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BLOCK = 1 << 16  # k-points per compiled block
+
+
+def make_block_fn(h, omegas, eta):
+    """One compiled step: (B, 3) fractional points + weights -> eigenvalues'
+    Lorentzian partial DOS (W,) in f64 (double-single on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from autobzcore_tpu.ops.csplit_eval import evaluate_points_split, eigvalsh_split
+    from autobzcore_tpu.ops.eigh3 import eigvalsh3_split
+
+    c_np = np.asarray(h.c)
+    cre = jnp.asarray(c_np.real, jnp.float64)
+    cim = jnp.asarray(c_np.imag, jnp.float64)
+    m = c_np.shape[-1]
+    om = jnp.asarray(omegas, jnp.float64)
+
+    eta32 = jnp.float32(eta)
+
+    @jax.jit
+    def block(X, w):
+        hr, hi = evaluate_points_split(cre, cim, 3, X, h.offset, h.period)
+        if m == 3:
+            e = eigvalsh3_split(hr, hi)
+        else:
+            e = eigvalsh_split(hr, hi)
+        w32 = w.astype(jnp.float32)
+
+        def one(o):
+            # o - e in (emulated) f64 — the cancellation step — then the
+            # Lorentzian itself in f32: per-term rel error ~1e-7, and block
+            # partials are summed in host f64, so the total stays ~1e-6
+            t = (o - e).astype(jnp.float32)
+            lor = eta32 / (t * t + eta32 * eta32)
+            return jnp.sum(lor * w32[:, None]).astype(jnp.float64)
+
+        return jax.lax.map(one, om, batch_size=100) / np.pi
+
+    return block
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--eta", type=float, default=1e-2)
+    ap.add_argument("--nomega", type=int, default=1000)
+    ap.add_argument("--ladder", default="140,200,280,400,560")
+    ap.add_argument("--save", default=None, help="save each rung's DOS curve to this .npz")
+    ap.add_argument("--prev", default=None, help=".npz with a prior rung's curve (key D, npt) to diff against")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from autobzcore_tpu import CubicSymIBZ, load_bz
+    from autobzcore_tpu.io.wannier90 import hamiltonian_fourier_series, read_w90_hrdat
+    from autobzcore_tpu.ops.symptr import symptr_rule
+
+    hr = read_w90_hrdat("/root/reference/aps_example/svo_hr.dat")
+    h = hamiltonian_fourier_series(hr)
+    bz = load_bz(CubicSymIBZ(), "/root/reference/aps_example/svo.wout")
+    detB = abs(float(np.linalg.det(bz.B)))  # aps convention: integral over the BZ
+    omegas = np.linspace(10.0, 15.0, args.nomega)
+
+    block_fn = make_block_fn(h, omegas, args.eta)
+
+    # compile once on a dummy block
+    t0 = time.perf_counter()
+    block_fn(jnp.zeros((BLOCK, 3), jnp.float64), jnp.zeros((BLOCK,), jnp.float64)
+             ).block_until_ready()
+    t_compile = time.perf_counter() - t0
+    print(f"block kernel compile: {t_compile:.1f}s (one-time, cached across rungs)",
+          file=sys.stderr)
+
+    prev = None
+    if args.prev:
+        prev = np.load(args.prev)["D"]
+    total_t = 0.0
+    err = float("inf")
+    D = None
+    for npt in [int(x) for x in args.ladder.split(",")]:
+        t0 = time.perf_counter()
+        reps, weights = symptr_rule(npt, 3, bz.syms)  # host, native C++ kernel
+        t_host = time.perf_counter() - t0
+        K = reps.shape[0]
+        Kp = -(-K // BLOCK) * BLOCK
+        X = np.zeros((Kp, 3))
+        X[:K] = reps / npt
+        W = np.zeros(Kp)
+        W[:K] = weights
+        t0 = time.perf_counter()
+        acc = np.zeros(args.nomega)  # host f64 accumulation of block partials
+        for i in range(0, Kp, BLOCK):
+            acc += np.asarray(block_fn(jnp.asarray(X[i:i + BLOCK]),
+                                       jnp.asarray(W[i:i + BLOCK])))
+        D = acc * detB / npt**3
+        t_dev = time.perf_counter() - t0
+        total_t += t_host + t_dev
+        if prev is not None:
+            err = float(np.max(np.abs(D - prev)))
+        print(f"npt={npt}: K={K} ({Kp // BLOCK} blocks) symptr(host)={t_host:.2f}s "
+              f"device={t_dev:.2f}s max|dD|={err:.2e}", file=sys.stderr)
+        prev = D
+        if args.save:
+            np.savez(args.save, D=D, npt=npt, omegas=omegas)
+        if err <= args.tol:
+            break
+
+    conv = "CONVERGED" if err <= args.tol else "NOT converged"
+    i125 = int(np.argmin(np.abs(omegas - 12.5)))
+    print(f"{conv} to {args.tol:g}: ladder wall {total_t:.2f}s (+ {t_compile:.1f}s "
+          f"one-time compile); D({omegas[i125]:.4f})={D[i125]:.7f}", file=sys.stderr)
+    return D
+
+
+if __name__ == "__main__":
+    main()

@@ -248,7 +248,11 @@ class LTM(DOSAlgorithm):
 
     def fermi_level(self, cacheval, nstates, tol=1e-10, maxiter=200):
         """Energy E_F with N(E_F) = ``nstates`` (e.g. electrons per cell /
-        spin degeneracy), by bisection on the closed-form N(E)."""
+        spin degeneracy), by bisection on the closed-form N(E).
+
+        Conditioning: the E_F error is ~ (N-resolution)/D(E_F), so fillings
+        that pin E_F at a band-touching point (D -> 0, e.g. graphene at half
+        filling) resolve only to O(1/npt) — raise ``npt`` there."""
         ec = cacheval["corners"]
         lo = float(jnp.min(ec)) - 1.0
         hi = float(jnp.max(ec)) + 1.0

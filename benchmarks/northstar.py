@@ -126,9 +126,19 @@ def main(argv=None):
         W[:K] = weights
         t0 = time.perf_counter()
         acc = np.zeros(args.nomega)  # host f64 accumulation of block partials
-        for i in range(0, Kp, BLOCK):
+        start = 0
+        ckpt = f"{args.save}.rung{npt}.ckpt.npz" if args.save else None
+        if ckpt and os.path.exists(ckpt):
+            st = np.load(ckpt)
+            acc, start = st["acc"], int(st["next"])
+            print(f"  resuming rung npt={npt} at block {start // BLOCK}", file=sys.stderr)
+        for i in range(start, Kp, BLOCK):
             acc += np.asarray(block_fn(jnp.asarray(X[i:i + BLOCK]),
                                        jnp.asarray(W[i:i + BLOCK])))
+            if ckpt and (i // BLOCK) % 50 == 49:
+                np.savez(ckpt, acc=acc, next=i + BLOCK)
+        if ckpt and os.path.exists(ckpt):
+            os.remove(ckpt)
         D = acc * detB / npt**3
         t_dev = time.perf_counter() - t0
         total_t += t_host + t_dev

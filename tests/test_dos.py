@@ -56,7 +56,9 @@ CASES = [
     ("graphene", 2, dos_graphene_exact, 4, FBZ(), 200),
     ("int1d", 1, dos_integer_1d_exact, 2, FBZ(), 200),
     ("int2d", 2, dos_integer_2d_exact, 4, FBZ(), 200),
-    ("int3d", 3, dos_integer_3d_exact, 6, FBZ(), 120),
+    # npt=80 on the full grid: the unreduced-path check (the npt=120 accuracy
+    # tier is covered by the InversionSym/CubicSym rows below at 8x/48x less cost)
+    ("int3d", 3, dos_integer_3d_exact, 6, FBZ(), 80),
     ("int1d", 1, dos_integer_1d_exact, 2, InversionSymIBZ(), 200),
     ("int2d", 2, dos_integer_2d_exact, 4, InversionSymIBZ(), 200),
     ("int3d", 3, dos_integer_3d_exact, 6, InversionSymIBZ(), 120),

@@ -322,13 +322,20 @@ class AutoBZAlgorithm(IntegralAlgorithm):
 
 class IAI(AutoBZAlgorithm):
     """Iterated adaptive integration — most efficient for localized integrands
-    (``src/brillouin.jl:361-377``)."""
+    (``src/brillouin.jl:361-377``).
 
-    def __init__(self, algs=None):
+    ``inner_cap``/``inner_nbisect`` bound the per-level interval pools of the
+    underlying :class:`NestedQuad` (memory of a d-level nest scales with the
+    product of per-level panel sizes; lower them for 3D on small-HBM chips).
+    """
+
+    def __init__(self, algs=None, inner_cap=512, inner_nbisect=2):
         self.algs = algs if algs is not None else AuxQuadGKJL()
+        self.inner_cap = inner_cap
+        self.inner_nbisect = inner_nbisect
 
     def bz_to_standard(self, bz):
-        return bz, bz.lims, NestedQuad(self.algs)
+        return bz, bz.lims, NestedQuad(self.algs, self.inner_cap, self.inner_nbisect)
 
 
 class PTR(AutoBZAlgorithm):

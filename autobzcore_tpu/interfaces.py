@@ -106,7 +106,14 @@ def solve(prob: IntegralProblem, alg, **kwargs) -> IntegralSolution:
 
 def solve_(cache: IntegralCache) -> IntegralSolution:
     """``solve!`` — compute the solution from an initialized cache."""
-    return cache.alg.do_solve(cache.f, cache.dom, cache.p, cache.cacheval, **cache.kwargs)
+    sol = cache.alg.do_solve(cache.f, cache.dom, cache.p, cache.cacheval, **cache.kwargs)
+    from .utils.tree import host_complex_safe
+
+    # complex device buffers cannot cross the hosted-TPU transfer boundary;
+    # split them into real pairs on device and rejoin on host (no-op on CPU)
+    return IntegralSolution(
+        host_complex_safe(sol.u), host_complex_safe(sol.resid), sol.retcode, sol.numevals
+    )
 
 
 class IntegralSolver:

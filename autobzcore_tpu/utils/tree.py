@@ -75,3 +75,31 @@ def tree_real_dtype(a, default=jnp.float64):
 @partial(jax.jit, static_argnums=())
 def _noop(x):
     return x
+
+
+def host_complex_safe(x):
+    """Materialize a (possibly complex) device pytree for host consumption.
+
+    The hosted TPU tunnel cannot transfer complex buffers device->host (the
+    same backend limitation that forbids complex runtime *parameters*);
+    complex leaves on non-CPU devices are split into (re, im) real transfers
+    on device and rejoined as numpy complex arrays.  Real leaves and CPU
+    arrays pass through untouched.
+    """
+    import jax
+
+    def leaf(v):
+        if not isinstance(v, jax.Array) or not jnp.iscomplexobj(v):
+            return v
+        try:
+            platform = next(iter(v.devices())).platform
+        except Exception:
+            return v
+        if platform == "cpu":
+            return v
+        import numpy as _np
+
+        re, im = jax.jit(lambda u: (jnp.real(u), jnp.imag(u)))(v)
+        return _np.asarray(re) + 1j * _np.asarray(im)
+
+    return jax.tree_util.tree_map(leaf, x)

@@ -137,6 +137,15 @@ class NestedQuad(IntegralAlgorithm):
     def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
         atol, rtol = effective_tolerances(abstol, reltol)
         val, err, ne, conv = cacheval["run"](p, atol, rtol)
+        if not bool(conv):
+            import warnings
+
+            warnings.warn(
+                "NestedQuad did not reach the requested tolerance (pool "
+                "capacity or precision floor); inspect sol.resid, raise "
+                "cap/inner_cap, or use the f64 PTR ladder for tight tolerances",
+                stacklevel=2,
+            )
         return IntegralSolution(val, err, bool(conv), int(ne))
 
     def solve_fn(self, cacheval):

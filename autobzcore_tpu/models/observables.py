@@ -107,13 +107,34 @@ def transport_integrand(h: FourierSeries, eta):
 def transport_sweep(h: FourierSeries, bz, npt, omegas, eta):
     """Kubo-Greenwood transport sweep: Gamma_ab(omega) over a frequency grid.
 
-    The (H, dH) grid is evaluated and eigendecomposed ONCE; each frequency
-    costs a vectorized band-pair accumulation (the reference would re-solve
-    the BZ integral per frequency).  Returns (W, d, d).
+    One-shot convenience around :class:`TransportSolver`; build the solver
+    directly when sweeping repeatedly (temperature scans, hchebinterp
+    frontiers) so the spectral grid and compiled sweep persist across calls.
+    """
+    return TransportSolver(h, bz, npt, eta)(omegas)
+
+
+class TransportSolver:
+    """Reusable Kubo-Greenwood transport sweep.
+
+    The (H, dH) grid is evaluated and eigendecomposed ONCE at construction;
+    each call costs one MXU GEMM over (omega, k, band-pair) (the reference
+    would re-solve the BZ integral per frequency).  Returns (W, d, d).
 
     Gamma_ab(w) = sum_k w_k sum_{nm} Re[(v_a)_nm (v_b)_mn] A_n(w) A_m(w),
     with A_n = eta/((w - e_n)^2 + eta^2)/pi and v the band-basis velocities.
     """
+
+    def __init__(self, h: FourierSeries, bz, npt, eta):
+        self._data = _transport_build(h, bz, npt, eta)
+
+    def __call__(self, omegas):
+        import jax.numpy as jnp
+
+        return self._data(jnp.asarray(omegas))
+
+
+def _transport_build(h, bz, npt, eta):
     import jax
     import numpy as np
 
@@ -153,7 +174,13 @@ def transport_sweep(h: FourierSeries, bz, npt, omegas, eta):
         return e, P
 
     e, P = spectral()
-    w = jnp.asarray(weights)
+    w = jnp.asarray(weights, jnp.real(P).dtype)
+    m = e.shape[-1]
+    K = e.shape[0]
+    # weight-absorbed GEMM operand: W[(k,n,m), (a,b)] — the whole omega sweep
+    # becomes ONE (Omega, K m^2) x (K m^2, d^2) matmul on the MXU instead of
+    # per-omega tiny einsums
+    Wmat = (w[:, None, None, None, None] * P).transpose(0, 3, 4, 1, 2).reshape(K * m * m, d * d)
 
     # group-average the rank-2 tensor: sum_full = (1/|G|) sum_S S^-T G_ibz S^-1
     if bz.syms is None:
@@ -163,12 +190,21 @@ def transport_sweep(h: FourierSeries, bz, npt, omegas, eta):
         Savg = (np.swapaxes(Sinv, 1, 2), Sinv, len(Sinv))
 
     @jax.jit
-    def gamma(om):
-        A = eta / ((om - e) ** 2 + eta**2) / jnp.pi  # (K, m)
-        G = scale * jnp.einsum("k,kabmn,km,kn->ab", w, P, A, A)
+    def sweep(om_all):
+        def chunk(om):
+            A = eta / ((om[:, None, None] - e[None]) ** 2 + eta**2) / np.pi  # (C, K, m)
+            Pairs = (A[..., :, None] * A[..., None, :]).reshape(om.shape[0], K * m * m)
+            return scale * (Pairs @ Wmat)  # (C, d^2)
+
+        nw = om_all.shape[0]
+        C = min(64, nw)
+        pad = -(-nw // C) * C
+        omp = jnp.zeros((pad,), om_all.dtype).at[:nw].set(om_all)
+        G = jax.lax.map(chunk, omp.reshape(-1, C)).reshape(pad, d, d)[:nw]
         if Savg is not None:
             SinvT, Sinv_, n = Savg
-            G = jnp.einsum("sab,bc,scd->ad", jnp.asarray(SinvT), G, jnp.asarray(Sinv_)) / n
+            G = jnp.einsum("sab,wbc,scd->wad", jnp.asarray(SinvT, G.dtype), G,
+                           jnp.asarray(Sinv_, G.dtype)) / n
         return G
 
-    return jax.jit(jax.vmap(gamma))(jnp.asarray(omegas))
+    return sweep

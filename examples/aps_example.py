@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument("--atol-interp", type=float, default=1e-2)
     p.add_argument("--abstol", type=float, default=1e-3)
     p.add_argument("--with-iai", action="store_true", help="also run the IAI solver")
+    p.add_argument("--with-ltm", action="store_true",
+                   help="also compute the sharp (eta->0) DOS by the linear tetrahedron method")
     p.add_argument("--out", default="svo_dos.npz")
     args = p.parse_args(argv)
 
@@ -94,6 +96,21 @@ def main(argv=None):
         out["dos_iai"] = dos_iai(ws)
         out["t_iai"] = time.time() - t0
         print(f"IAI interpolant: {out['t_iai']:.2f}s", file=sys.stderr)
+
+    if args.with_ltm:
+        from autobzcore_tpu import DOSProblem
+        from autobzcore_tpu.dos import LTM
+        from autobzcore_tpu.dos import init as dos_init
+
+        t0 = time.time()
+        ltm = LTM(npt=args.npt)
+        cache = dos_init(DOSProblem(h, 12.5, bz), ltm)
+        # sharp DOS (no Lorentzian broadening) over the same omega window;
+        # aps convention: integral over the BZ, hence the det(B) factor
+        detB = abs(float(np.linalg.det(bz.B)))
+        out["dos_ltm"] = np.asarray(ltm.dos_sweep(cache.cacheval, jnp.asarray(ws))) * detB
+        out["t_ltm"] = time.time() - t0
+        print(f"LTM(npt={args.npt}) sharp DOS: {out['t_ltm']:.2f}s", file=sys.stderr)
 
     np.savez(args.out, **out)
     print(f"wrote {args.out}; DOS(12.5 eV) = {float(dos_ptr(12.5)):.4f}", file=sys.stderr)

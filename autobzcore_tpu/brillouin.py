@@ -121,7 +121,8 @@ class LatticeRep(AbstractSymRep):
 
         def leaf(v):
             return jnp.sum(
-                jnp.einsum("sab,...bc,scd->s...ad", jnp.asarray(SinvT), v, jnp.asarray(Sinv)),
+                jnp.einsum("sab,...bc,scd->s...ad", jnp.asarray(SinvT), v, jnp.asarray(Sinv),
+                           precision=jax.lax.Precision.HIGHEST),
                 axis=0,
             )
 

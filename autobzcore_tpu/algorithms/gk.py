@@ -22,6 +22,12 @@ from ..wrappers import batch_eval_fn
 from .base import IntegralAlgorithm, effective_tolerances, segments_of
 
 
+def _budget(maxiters):
+    """Evaluation budget as a jit-stable int32 scalar (no recompiles when the
+    user varies ``maxiters`` between solves)."""
+    return jnp.asarray(2**31 - 1 if maxiters is None else min(2**31 - 1, int(maxiters)), jnp.int32)
+
+
 def _infinity_transform(segs):
     """Map (semi-)infinite segments to finite ones, quadgk-style.
 
@@ -84,17 +90,18 @@ class QuadGKJL(IntegralAlgorithm):
                 )
 
         @jax.jit
-        def run(p, atol, rtol):
+        def run(p, atol, rtol, maxiters):
             return gk_adaptive(
                 batch_f, p, jnp.asarray(segs), order=order, cap=cap,
-                nbisect=nbisect, abstol=atol, reltol=rtol, norm=norm,
+                nbisect=nbisect, abstol=atol, reltol=rtol, maxiters=maxiters,
+                norm=norm,
             )
 
         return {"run": run}
 
     def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
         atol, rtol = effective_tolerances(abstol, reltol)
-        val, err, ne, conv = cacheval["run"](p, atol, rtol)
+        val, err, ne, conv = cacheval["run"](p, atol, rtol, _budget(maxiters))
         return IntegralSolution(val, err, bool(conv), int(ne))
 
     def solve_fn(self, cacheval):
@@ -102,7 +109,7 @@ class QuadGKJL(IntegralAlgorithm):
         run = cacheval["run"]
 
         def fn(p, atol, rtol):
-            val, err, _, _ = run(p, atol, rtol)
+            val, err, _, _ = run(p, atol, rtol, _budget(None))
             return val, err
 
         return fn

@@ -53,34 +53,40 @@ class HCubatureJL(IntegralAlgorithm):
                     return batch_f0(xs[:, None], p)
 
             @jax.jit
-            def run(p, atol, rtol):
+            def run(p, atol, rtol, maxiters):
                 return gk_adaptive(
                     batch_f, p, jnp.asarray([float(a[0]), float(b[0])]),
-                    cap=cap, nbisect=nbisect, abstol=atol, reltol=rtol, norm=norm,
+                    cap=cap, nbisect=nbisect, abstol=atol, reltol=rtol,
+                    maxiters=maxiters, norm=norm,
                 )
 
         else:
             batch_f = batch_eval_fn(f, in_ndim=1)
 
             @jax.jit
-            def run(p, atol, rtol):
+            def run(p, atol, rtol, maxiters):
                 return gm_adaptive(
                     batch_f, p, jnp.asarray(a), jnp.asarray(b),
-                    cap=cap, nbisect=nbisect, abstol=atol, reltol=rtol, norm=norm,
+                    cap=cap, nbisect=nbisect, abstol=atol, reltol=rtol,
+                    maxiters=maxiters, norm=norm,
                 )
 
         return {"run": run}
 
     def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
+        from .gk import _budget
+
         atol, rtol = effective_tolerances(abstol, reltol)
-        val, err, ne, conv = cacheval["run"](p, atol, rtol)
+        val, err, ne, conv = cacheval["run"](p, atol, rtol, _budget(maxiters))
         return IntegralSolution(val, err, bool(conv), int(ne))
 
     def solve_fn(self, cacheval):
+        from .gk import _budget
+
         run = cacheval["run"]
 
         def fn(p, atol, rtol):
-            val, err, _, _ = run(p, atol, rtol)
+            val, err, _, _ = run(p, atol, rtol, _budget(None))
             return val, err
 
         return fn

@@ -88,7 +88,7 @@ class NestedQuad(IntegralAlgorithm):
             def make_carrier():
                 return carrier0
 
-        def solve_level(lims, carrier, coords, p, atol, rtol):
+        def solve_level(lims, carrier, coords, p, atol, rtol, maxiters):
             d_rem = lims.ndim
             alg = algs[d_rem - 1]
             segs = lims.outer_segments()
@@ -107,7 +107,9 @@ class NestedQuad(IntegralAlgorithm):
                         segs2 = lims2.outer_segments()
                         len2 = segs2[-1] - segs2[0]
                         inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
-                        val, _, ne, _ = solve_level(lims2, car2, coords + (x,), pp, inner_atol, rtol)
+                        val, _, ne, _ = solve_level(
+                            lims2, car2, coords + (x,), pp, inner_atol, rtol, maxiters
+                        )
                         return val, ne
 
                     return jax.vmap(one)(xs)
@@ -123,21 +125,28 @@ class NestedQuad(IntegralAlgorithm):
                 nbisect = alg.nbisect if outermost else min(alg.nbisect, self.inner_nbisect)
                 return gk_adaptive(
                     batch_f, p, segs, order=alg.order, cap=cap,
-                    nbisect=nbisect, abstol=atol, reltol=rtol, norm=alg.norm,
+                    nbisect=nbisect, abstol=atol, reltol=rtol,
+                    maxiters=maxiters, norm=alg.norm,
                     stats=inner_stats,
                 )
             raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")
 
         @jax.jit
-        def run(p, atol, rtol):
-            return solve_level(dom, make_carrier(), (), p, atol, rtol)
+        def run(p, atol, rtol, maxiters):
+            # maxiters is threaded to every nesting level's adaptive driver,
+            # matching the reference's kwarg pass-through (src/interfaces.jl:64-69)
+            return solve_level(dom, make_carrier(), (), p, atol, rtol, maxiters)
 
         return {"run": run}
 
     def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
+        from .gk import _budget
+
         atol, rtol = effective_tolerances(abstol, reltol)
-        val, err, ne, conv = cacheval["run"](p, atol, rtol)
-        if not bool(conv):
+        val, err, ne, conv = cacheval["run"](p, atol, rtol, _budget(maxiters))
+        if not bool(conv) and maxiters is None:
+            # with an explicit eval budget, truncation is the requested
+            # behavior — retcode=False alone reports it
             import warnings
 
             warnings.warn(
@@ -149,10 +158,12 @@ class NestedQuad(IntegralAlgorithm):
         return IntegralSolution(val, err, bool(conv), int(ne))
 
     def solve_fn(self, cacheval):
+        from .gk import _budget
+
         run = cacheval["run"]
 
         def fn(p, atol, rtol):
-            val, err, _, _ = run(p, atol, rtol)
+            val, err, _, _ = run(p, atol, rtol, _budget(None))
             return val, err
 
         return fn

@@ -45,6 +45,18 @@ def _err_norm(tree, batch_ndim):
     return tree_norm(tree)
 
 
+def _as_eval_budget(maxiters):
+    """Evaluation budget as an int32 scalar; accepts None, Python ints, and
+    traced values (so ``maxiters`` can be a jit argument,
+    reference ``src/interfaces.jl:64-69``)."""
+    if maxiters is None:
+        return jnp.asarray(2**31 - 1, jnp.int32)
+    try:
+        return jnp.asarray(min(2**31 - 1, int(maxiters)), jnp.int32)
+    except (TypeError, jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+        return jnp.asarray(maxiters).astype(jnp.int32)
+
+
 def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder, stats=False):
     """Evaluate the GK rule on a batch of intervals.
 
@@ -120,9 +132,7 @@ def gk_adaptive(
     else:
         atol = jnp.asarray(0.0 if abstol is None else abstol, dt)
         rtol = jnp.asarray(0.0 if reltol is None else reltol, dt)
-    max_evals = jnp.asarray(
-        min(2**31 - 1, 2**31 - 1 if maxiters is None else int(maxiters)), jnp.int32
-    )
+    max_evals = _as_eval_budget(maxiters)
 
     # initial evaluation of all starting segments
     a0 = segs[:-1]
@@ -165,14 +175,24 @@ def gk_adaptive(
         ca = jnp.concatenate([aa, mm])
         cb = jnp.concatenate([mm, bb])
         cval, cerr, cstat = gk_rule_eval(batch_f, p, ca, cb, xk, wk, wg, node_builder, stats)
-        # left children overwrite parents; right children go to fresh slots
+        # Left children overwrite parents, right children go to fresh slots —
+        # as two SEQUENTIAL scatters, not one combined scatter: while n <
+        # nbisect, top_k picks uninitialized zero-error slots whose indices
+        # collide with the fresh-slot range, and a combined scatter with
+        # duplicate indices has unspecified winner in XLA.  Scattering the
+        # fresh right children second makes them win deterministically.
         new_idx = n + jnp.arange(nbisect, dtype=n.dtype)
-        slots = jnp.concatenate([idx.astype(n.dtype), new_idx])
-        pool_a = pool_a.at[slots].set(ca)
-        pool_b = pool_b.at[slots].set(cb)
-        pool_err_arr = pool_err_arr.at[slots].set(cerr)
+        li = idx.astype(n.dtype)
+
+        def two_scatter(arr, left, right):
+            return arr.at[li].set(left).at[new_idx].set(right)
+
+        pool_a = two_scatter(pool_a, ca[:nbisect], ca[nbisect:])
+        pool_b = two_scatter(pool_b, cb[:nbisect], cb[nbisect:])
+        pool_err_arr = two_scatter(pool_err_arr, cerr[:nbisect], cerr[nbisect:])
         pool_val = jax.tree_util.tree_map(
-            lambda pv, cv: pv.at[slots].set(cv), pool_val, cval
+            lambda pv, cv: two_scatter(pv, cv[:nbisect], cv[nbisect:]),
+            pool_val, cval,
         )
         return (pool_a, pool_b, pool_val, pool_err_arr, n + nbisect,
                 evals + cstat)

@@ -154,7 +154,9 @@ def gm_adaptive(
 
     atol = jnp.asarray(abstol, dt)
     rtol = jnp.asarray(reltol, dt)
-    max_evals = jnp.asarray(min(2**31 - 1, 2**31 - 1 if maxiters is None else int(maxiters)), jnp.int32)
+    from .adaptive import _as_eval_budget
+
+    max_evals = _as_eval_budget(maxiters)
 
     c0 = ((a + b) / 2)[None, :]
     h0 = ((b - a) / 2)[None, :]
@@ -196,13 +198,19 @@ def gm_adaptive(
         ca = jnp.concatenate([c_left, c_right])
         ha = jnp.concatenate([new_h, new_h])
         cval, cerr, csd = gm_box_eval(batch_f, p, ca, ha, pts, wk, we, diff_idx)
+        # two sequential scatters (fresh slots win) — a combined scatter has
+        # duplicate indices while n < nbisect, with unspecified winner in XLA
         new_idx = n + jnp.arange(nbisect, dtype=n.dtype)
-        slots = jnp.concatenate([idx.astype(n.dtype), new_idx])
-        pool_c = pool_c.at[slots].set(ca)
-        pool_h = pool_h.at[slots].set(ha)
-        pool_err = pool_err.at[slots].set(cerr)
-        pool_sd = pool_sd.at[slots].set(csd)
-        pool_val = jax.tree_util.tree_map(lambda pv, cv: pv.at[slots].set(cv), pool_val, cval)
+        li = idx.astype(n.dtype)
+
+        def two_scatter(arr, children):
+            return arr.at[li].set(children[:nbisect]).at[new_idx].set(children[nbisect:])
+
+        pool_c = two_scatter(pool_c, ca)
+        pool_h = two_scatter(pool_h, ha)
+        pool_err = two_scatter(pool_err, cerr)
+        pool_sd = two_scatter(pool_sd, csd)
+        pool_val = jax.tree_util.tree_map(lambda pv, cv: two_scatter(pv, cv), pool_val, cval)
         return (pool_c, pool_h, pool_val, pool_err, n + nbisect, pool_sd,
                 evals + 2 * nbisect * P)
 

@@ -52,7 +52,9 @@ def spectral_sum_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int,
     Kpad = -(-K // nk_dev) * nk_dev
     frac = np.zeros((Kpad, d))
     w = np.zeros(Kpad)
-    frac[:K] = reps.astype(np.float64) / npt
+    # evaluate_points divides by the period internally, so the grid must span
+    # [0, period) — same scaling as ggr_dos_sharded below
+    frac[:K] = reps.astype(np.float64) / npt * np.asarray(series.period)
     w[:K] = weights
     omegas = jnp.asarray(omegas)
     W = omegas.shape[0]

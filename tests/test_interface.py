@@ -171,3 +171,37 @@ class TestMultiAlgorithms:
         ):
             sol = solve(prob, EvalCounter(alg))
             assert sol.numevals == numevals
+
+
+class TestMaxiters:
+    """An explicit eval budget truncates the adaptive drivers and is reported
+    via retcode=False (reference ``src/interfaces.jl:64-69,91-104``)."""
+
+    def test_quadgk_budget_truncates(self):
+        prob = IntegralProblem(lambda x, p: 1.0 / (p - jnp.cos(x)), A, B, 1.0001)
+        full = solve(prob, QuadGKJL(), abstol=1e-12)
+        trunc = solve(prob, QuadGKJL(), abstol=1e-12, maxiters=60)
+        assert trunc.retcode is False
+        assert trunc.numevals < full.numevals
+        # the loop may overshoot by at most one bisection batch
+        assert trunc.numevals <= 60 + 2 * 4 * 15
+
+    def test_hcubature_budget_truncates(self):
+        def peak(x, p):
+            return 1.0 / (p + jnp.sum(jnp.cos(x), axis=-1) ** 2)
+
+        prob = IntegralProblem(peak, HyperCube(np.zeros(2), np.full(2, 2 * np.pi)), 1e-3)
+        full = solve(prob, HCubatureJL(), abstol=1e-9)
+        trunc = solve(prob, HCubatureJL(), abstol=1e-9, maxiters=200)
+        assert trunc.retcode is False
+        assert trunc.numevals < full.numevals
+
+    def test_nested_budget_truncates(self):
+        def peak(x, p):
+            return 1.0 / (p + jnp.sum(jnp.cos(x), axis=-1) ** 2)
+
+        prob = IntegralProblem(peak, CubicLimits(np.zeros(2), np.full(2, 2 * np.pi)), 1e-3)
+        full = solve(prob, NestedQuad(QuadGKJL()), abstol=1e-9)
+        trunc = solve(prob, NestedQuad(QuadGKJL()), abstol=1e-9, maxiters=300)
+        assert trunc.retcode is False
+        assert trunc.numevals < full.numevals

@@ -106,3 +106,20 @@ def test_ggr_sharded_matches_single_device():
     cache = dos_init(DOSProblem(h, 0.0, bz), alg)
     ref = np.asarray(alg.dos_sweep(cache.cacheval, Es))
     assert np.allclose(sharded, ref, rtol=1e-9)
+
+
+def test_spectral_sum_sharded_period_scaling():
+    """period != 1 models evaluate at true k-points (regression: the sharded
+    grid must span [0, period), matching the GGR/PTR paths)."""
+    devs = jax.devices("cpu")
+    mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("k", "w"))
+    omegas = jnp.linspace(-5, 5, 8)
+    eta = 0.2
+    bz = load_bz(FBZ(), np.eye(2))
+    dos2 = spectral_sum_sharded(tb_integer(2, period=2.0), bz, npt=32,
+                                omegas=omegas, eta=eta, mesh=mesh)
+    # H(k) = 2 cos(2 pi k/2) sampled on k = (i/32)*2 covers the same spectrum
+    # as period=1 on k = i/32: the DOS must be identical
+    dos1 = spectral_sum_sharded(tb_integer(2, period=1.0), bz, npt=32,
+                                omegas=omegas, eta=eta, mesh=mesh)
+    assert np.allclose(np.asarray(dos2), np.asarray(dos1), rtol=1e-12)

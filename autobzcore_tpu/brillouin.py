@@ -273,11 +273,24 @@ class AutoBZAlgorithm(IntegralAlgorithm):
         rep = sym_rep(f)
         if bz_.is_full or isinstance(rep, TrivialRep) or isinstance(rep, UnknownRep):
             # UnknownRep: scalar results transform trivially; array results
-            # would need the fallback — treated as trivial here, caller beware
+            # need the warn-and-recompute fallback, which is unavailable
+            # inside jit/vmap — raise at trace time instead of returning
+            # silently wrong values (reference guarantee src/brillouin.jl:346-351)
             factor = j * ns
+            check_unknown = not bz_.is_full and isinstance(rep, UnknownRep)
 
             def fn(p, atol, rtol):
                 u, e = inner(p, None if atol is None else atol / (j * ns), rtol)
+                if check_unknown and any(
+                    getattr(leaf, "ndim", 0) > 0 for leaf in jax.tree_util.tree_leaves(u)
+                ):
+                    raise ValueError(
+                        "vmapped/jitted solve over a symmetric BZ with an "
+                        "array-valued integrand whose symmetry representation "
+                        "is unknown: the full-BZ recompute fallback cannot run "
+                        "inside jit. Declare the integrand's `rep` (e.g. "
+                        "TrivialRep() or LatticeRep()) or load the full BZ."
+                    )
                 scale = lambda v: factor * v
                 return (jax.tree_util.tree_map(scale, u),
                         jax.tree_util.tree_map(scale, e))

@@ -34,7 +34,9 @@ def read_w90_hrdat(path):
     i = data[:, 3].astype(np.int64) - 1
     j = data[:, 4].astype(np.int64) - 1
     r = np.repeat(np.arange(nrpts), num_wann * num_wann)
-    H[r, j, i] = data[:, 5] + 1j * data[:, 6]  # file lists (i, j) column-major
+    # the (i, j) labels on each line are row/column of H_mn(R) = <m0|H|nR>
+    # directly; the file's column-major ordering only affects line order
+    H[r, i, j] = data[:, 5] + 1j * data[:, 6]
     return {"Rvectors": R, "Rdegens": degens, "H": H, "num_wann": num_wann}
 
 

@@ -126,16 +126,69 @@ def eigvalsh_split(h_re, h_im):
     return e2[..., ::2]
 
 
-def eigh_split(h_re, h_im):
+def eigh_split(h_re, h_im, indep_tol=1e-7):
     """Eigen-decomposition of Hermitian ``h_re + i h_im`` via the real
     embedding: returns (e (..., m), u_re (..., m, m), u_im (..., m, m)) with
-    eigenvector columns ``u[:, j] = u_re[:, j] + i u_im[:, j]``."""
+    eigenvector columns ``u[:, j] = u_re[:, j] + i u_im[:, j]``.
+
+    Every real-embedding eigenvector ``v = (x; y)`` projects to a complex
+    eigenvector ``u = x + iy`` and ``Jv = (-y; x)`` projects to ``i u``
+    (parallel).  Picking every other column therefore fails inside degenerate
+    eigenspaces (real dimension >= 4, e.g. at high-symmetry k-points), where
+    LAPACK may return real columns whose complex projections are dependent.
+    Instead, a sequential complex Gram-Schmidt over ALL ``2m`` projected
+    columns (in ascending-eigenvalue order) keeps the first ``m`` independent
+    ones: parallel projections drop out with residual ~eps and each degenerate
+    cluster contributes exactly its complex dimension, so slot order matches
+    the eigenvalue order."""
+    import jax
+
     m = h_re.shape[-1]
     E = hermitian_embedding(h_re, h_im)
     e2, V = jnp.linalg.eigh(E)  # (..., 2m), (..., 2m, 2m)
     e = e2[..., ::2]
-    W = V[..., ::2]  # one representative per duplicated pair
-    u_re = W[..., :m, :]
-    u_im = W[..., m:, :]
-    # normalize: embedding eigenvectors satisfy |u_re|^2 + |u_im|^2 = 1 already
+    batch = h_re.shape[:-2]
+    dt = V.dtype
+    # candidates: complex projections of all 2m real columns, scan axis first
+    cand_re = jnp.moveaxis(V[..., :m, :], -1, 0)  # (2m, ..., m)
+    cand_im = jnp.moveaxis(V[..., m:, :], -1, 0)
+
+    slots = jnp.arange(m)
+
+    def mgs_step(carry, cand):
+        kept_re, kept_im, count = carry  # (..., m, m) rows = kept vectors
+        ure, uim = cand
+
+        def orth(rre, rim):
+            # coef_j = <kept_j, r> (conjugated kept); unfilled rows are zero,
+            # so they contribute nothing.  Elementwise multiply+sum, NOT
+            # dot-general: TPU's f64 emulation loses the low word in batched
+            # dot-generals.
+            cre = jnp.sum(kept_re * rre[..., None, :] + kept_im * rim[..., None, :], axis=-1)
+            cim = jnp.sum(kept_re * rim[..., None, :] - kept_im * rre[..., None, :], axis=-1)
+            rre = rre - jnp.sum(cre[..., :, None] * kept_re - cim[..., :, None] * kept_im, axis=-2)
+            rim = rim - jnp.sum(cre[..., :, None] * kept_im + cim[..., :, None] * kept_re, axis=-2)
+            return rre, rim
+
+        rre, rim = orth(ure, uim)
+        rre, rim = orth(rre, rim)  # twice is enough (Kahan)
+        nrm = jnp.sqrt(jnp.sum(rre * rre + rim * rim, axis=-1))
+        keep = (nrm > indep_tol) & (count < m)
+        inv = jnp.where(keep, 1.0 / jnp.where(nrm > 0, nrm, 1.0), 0.0)
+        rre = rre * inv[..., None]
+        rim = rim * inv[..., None]
+        onehot = (slots == count[..., None]).astype(dt) * keep[..., None].astype(dt)
+        kept_re = kept_re + onehot[..., :, None] * rre[..., None, :]
+        kept_im = kept_im + onehot[..., :, None] * rim[..., None, :]
+        return (kept_re, kept_im, count + keep.astype(count.dtype)), None
+
+    init = (
+        jnp.zeros(batch + (m, m), dt),
+        jnp.zeros(batch + (m, m), dt),
+        jnp.zeros(batch, jnp.int32),
+    )
+    (kept_re, kept_im, _), _ = jax.lax.scan(mgs_step, init, (cand_re, cand_im))
+    # kept rows -> eigenvector columns
+    u_re = jnp.swapaxes(kept_re, -1, -2)
+    u_im = jnp.swapaxes(kept_im, -1, -2)
     return e, u_re, u_im

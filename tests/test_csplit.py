@@ -69,3 +69,35 @@ def test_ggr_split_matches_complex():
     a = dos_solve_(dos_init(prob, GGR(npt=60, precision="complex"))).u
     b = dos_solve_(dos_init(prob, GGR(npt=60, precision="split"))).u
     assert float(a) == pytest.approx(float(b), rel=1e-10)
+
+
+def test_eigh_split_degenerate_cluster():
+    """Inside a degenerate eigenspace the real embedding's eigenvector columns
+    can project to complex-parallel vectors; eigh_split must still return a
+    unitary U with H U = U diag(e) (regression for the J-related-column
+    hazard at high-symmetry k-points)."""
+    rng = np.random.default_rng(7)
+    m = 4
+    # random unitary via QR of a complex Gaussian
+    Q, _ = np.linalg.qr(rng.normal(size=(m, m)) + 1j * rng.normal(size=(m, m)))
+    evals = np.array([1.0, 1.0, 1.0, 2.5])  # 3-fold degenerate cluster
+    H = (Q * evals) @ Q.conj().T
+    H = (H + H.conj().T) / 2
+    Hb = np.broadcast_to(H, (6, m, m))  # batched path too
+
+    e, u_re, u_im = map(np.asarray, eigh_split(jnp.asarray(Hb.real), jnp.asarray(Hb.imag)))
+    U = u_re + 1j * u_im
+    assert np.allclose(e, evals, atol=1e-10)
+    eye = np.broadcast_to(np.eye(m), U.shape)
+    assert np.allclose(U.conj().swapaxes(-1, -2) @ U, eye, atol=1e-8), "U not unitary"
+    assert np.allclose(Hb @ U, U * e[..., None, :], atol=1e-8)
+
+    # cluster-trace of band velocities is basis-independent: compare to the
+    # complex eigendecomposition within the degenerate block
+    V = rng.normal(size=(m, m)) + 1j * rng.normal(size=(m, m))
+    V = (V + V.conj().T) / 2
+    _, Uref = np.linalg.eigh(H)
+    vref = np.real(np.einsum("im,ij,jm->m", Uref.conj(), V, Uref))
+    v = np.real(np.einsum("kim,ij,kjm->km", U.conj(), V, U))
+    assert np.allclose(np.sum(v[:, :3], axis=1), np.sum(vref[:3]), atol=1e-8)
+    assert np.allclose(v[:, 3], vref[3], atol=1e-8)

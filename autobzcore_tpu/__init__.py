@@ -66,6 +66,7 @@ from .fourier import FourierIntegrand, FourierSeries, FourierValue, JacobianSeri
 from .dos.interfaces import DOSProblem, DOSSolution
 from .dos.ggr import GGR
 from .ops.quad_rules import gausslegendre, trapz
+from .ops.scomplex import SplitComplex
 
 __version__ = "0.1.0"
 
@@ -79,7 +80,7 @@ __all__ = [
     "JacobianSeries", "MeroQuadGKJL", "MixedParameters", "MonkhorstPack",
     "NestedBatchIntegrand", "NestedQuad", "NullParameters", "PTR", "PTR_IAI",
     "ParameterIntegrand", "PuncturedInterval", "QuadGKJL", "QuadratureFunction",
-    "SymmetricBZ", "TAI", "TetrahedralLimits", "TrivialRep", "UnknownRep",
+    "SplitComplex", "SymmetricBZ", "TAI", "TetrahedralLimits", "TrivialRep", "UnknownRep",
     "batchsolve", "canonical_reciprocal_basis", "gausslegendre", "init",
     "load_bz", "load_limits", "nsyms", "paramproduct", "paramzip", "solve",
     "solve_", "sym_rep", "symmetrize", "trapz",

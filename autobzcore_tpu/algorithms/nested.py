@@ -56,8 +56,11 @@ class NestedQuad(IntegralAlgorithm):
     """``NestedQuad(alg)`` or ``NestedQuad(algs_tuple)`` with one algorithm per
     dimension (index 0 = innermost), as in the reference."""
 
-    def __init__(self, algs, inner_cap=512, inner_nbisect=2):
+    def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False):
         self.algs = algs
+        # split=True runs FourierIntegrand carriers in split-complex f64
+        # (true double-precision IAI on TPU, where c128 cannot exist)
+        self.split = split
         # inner-level adaptive pools are instantiated once per outer node of
         # every enclosing panel (vmap products), so their capacity/batch are
         # derated to bound live memory: a d-level nest has
@@ -80,8 +83,10 @@ class NestedQuad(IntegralAlgorithm):
         from ..fourier import FourierIntegrand
 
         if isinstance(f, FourierIntegrand):
+            split = self.split
+
             def make_carrier():
-                return f.nest_carrier()
+                return f.nest_carrier(split=split)
         else:
             carrier0 = PlainCarrier(f)
 

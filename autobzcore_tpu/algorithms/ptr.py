@@ -124,31 +124,64 @@ class MonkhorstPack(IntegralAlgorithm):
 
 
 class AutoSymPTRJL(IntegralAlgorithm):
-    """p-adaptive PTR: refine npt until the change between successive rules
-    meets the tolerance.
+    """p-adaptive PTR: refine npt until the change between rules meets the
+    tolerance (reference ``autosymptr``, ``src/algorithms.jl:393-432``).
 
-    The refinement ladder doubles npt from ``nmin`` to ``nmax`` (the
-    reference's ladder is controlled by ``a, n0, dn`` — accepted here for API
-    parity; doubling gives the same geometric growth with exact node reuse
-    opportunities).
+    The refinement schedule honors the reference's ``(a, n0, dn, nmin, nmax)``
+    parameters.  The upstream AutoSymPTR.jl use sites show the stored rule
+    definition carries an *initial npt* and an *additive increment*
+    (``nextrule`` builds ``npt + Δn``, ``src/fourier.jl:309-321``); with ``a``
+    the integrand's localization ratio (period / feature width, e.g. ``1/eta``
+    in lattice units):
+
+    - initial ``npt0 = clamp(round(n0 / a), nmin, nmax)`` — ``n0`` points per
+      localization feature;
+    - increment ``dnpt = max(1, round(exp(dn) / a))`` — PTR error for analytic
+      integrands decays exponentially in ``npt * a``, so a fixed additive step
+      reduces the error by a constant factor per rung (``dn = log(10)``
+      default: one decade per rung at ``a = 1``).
+
+    ``keepmost`` controls the error-estimate window: the residual compares the
+    newest rule against the oldest of the last ``keepmost`` iterates
+    (``keepmost=2``, the default, is the successive difference).
+
+    With ``bz`` set (the BZ layer's AutoPTR does this), every rung's value is
+    symmetrized to the full zone *before* the convergence test — the
+    reference's ``SymmetricRule`` in-loop symmetrization
+    (``src/brillouin.jl:116-144``) — and the returned value is already
+    symmetrized (``symmetrized_output``).
     """
 
     def __init__(self, norm=tree_norm, a=1.0, nmin=50, nmax=1000, n0=6.0,
-                 dn=np.log(10.0), keepmost=2, syms=None):
+                 dn=np.log(10.0), keepmost=2, syms=None, bz=None):
         self.norm = norm
         self.a = a
         self.nmin = nmin
         self.nmax = nmax
         self.n0 = n0
         self.dn = dn
-        self.keepmost = keepmost
+        self.keepmost = max(2, int(keepmost))
         self.syms = syms
+        self.bz = bz
+
+    @property
+    def symmetrized_output(self):
+        return self.bz is not None
 
     def npt_ladder(self):
-        ladder = [self.nmin]
+        npt0 = int(np.clip(round(self.n0 / self.a), self.nmin, self.nmax))
+        dnpt = max(1, int(round(np.exp(self.dn) / self.a)))
+        ladder = [npt0]
         while ladder[-1] < self.nmax:
-            ladder.append(min(2 * ladder[-1], self.nmax))
+            ladder.append(min(ladder[-1] + dnpt, self.nmax))
         return ladder
+
+    def _symmetrizer(self, f):
+        if self.bz is None:
+            return lambda v: v
+        from ..brillouin import symmetrize
+
+        return lambda v: symmetrize(f, self.bz, v)
 
     def init_cacheval(self, f, dom, p):
         return {"rules": {}, "f": f, "dom": dom}
@@ -156,7 +189,8 @@ class AutoSymPTRJL(IntegralAlgorithm):
     def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
         atol, rtol = effective_tolerances(abstol, reltol)
         rules = cacheval["rules"]
-        prev = None
+        sym = self._symmetrizer(f)
+        window = []  # last `keepmost` symmetrized iterates
         total_evals = 0
         val = None
         err = None
@@ -164,14 +198,16 @@ class AutoSymPTRJL(IntegralAlgorithm):
             if npt not in rules:
                 rules[npt] = build_ptr_run(f, dom, npt, self.syms)
             run, ne = rules[npt]
-            val = run(p)
+            val = sym(run(p))
             total_evals += ne
-            if prev is not None:
-                err = self.norm(tree_sub(val, prev))
+            if window:
+                err = self.norm(tree_sub(val, window[0]))
                 tol = max(atol, rtol * float(self.norm(val)))
                 if float(err) <= tol:
                     return IntegralSolution(val, err, True, total_evals)
             if maxiters is not None and total_evals >= maxiters:
                 break
-            prev = val
+            window.append(val)
+            if len(window) >= self.keepmost:
+                window.pop(0)
         return IntegralSolution(val, err, False, total_evals)

@@ -310,7 +310,11 @@ class AutoBZAlgorithm(IntegralAlgorithm):
         dom = cacheval["dom"]
         alg = cacheval["alg"]
         j = abs(np.linalg.det(bz_.B))
-        atol = None if abstol is None else abstol / (j * bz_.nsyms)
+        # with in-loop symmetrization the convergence test sees full-zone
+        # values, so only the jacobian rescales the tolerance
+        # (reference src/brillouin.jl:431-433 vs :340-342)
+        ns = 1 if getattr(alg, "symmetrized_output", False) else bz_.nsyms
+        atol = None if abstol is None else abstol / (j * ns)
         sol = alg.do_solve(f, dom, p, cacheval["inner"], abstol=atol, reltol=reltol, maxiters=maxiters)
 
         if (not bz_.is_full and isinstance(sym_rep(f), UnknownRep)
@@ -327,6 +331,15 @@ class AutoBZAlgorithm(IntegralAlgorithm):
             fbz, fcache = cacheval["full"]
             return self.do_solve(f, fbz, p, fcache, abstol=abstol, reltol=reltol, maxiters=maxiters)
 
+        if getattr(alg, "symmetrized_output", False):
+            # in-loop symmetrization (SymmetricRule) already mapped the value
+            # and residual to the full zone — only the jacobian remains
+            # (reference AutoPTR path, src/brillouin.jl:429-444)
+            val = jax.tree_util.tree_map(lambda v: j * v, sol.u)
+            resid = sol.resid
+            if resid is not None:
+                resid = jax.tree_util.tree_map(lambda v: j * v, resid)
+            return IntegralSolution(val, resid, sol.retcode, sol.numevals)
         val = jax.tree_util.tree_map(lambda v: j * v, symmetrize(f, bz_, sol.u))
         resid = sol.resid
         if resid is not None:
@@ -343,13 +356,21 @@ class IAI(AutoBZAlgorithm):
     product of per-level panel sizes; lower them for 3D on small-HBM chips).
     """
 
-    def __init__(self, algs=None, inner_cap=512, inner_nbisect=2):
+    def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex"):
         self.algs = algs if algs is not None else AuxQuadGKJL()
         self.inner_cap = inner_cap
         self.inner_nbisect = inner_nbisect
+        if precision not in ("complex", "split"):
+            raise ValueError("precision must be 'complex' or 'split'")
+        # "split": FourierIntegrand series evaluate in split-complex f64
+        # pairs — the double-precision adaptive tier on TPU, where complex128
+        # cannot exist (kernels receive SplitComplex values; the shipped
+        # observables handle both)
+        self.precision = precision
 
     def bz_to_standard(self, bz):
-        return bz, bz.lims, NestedQuad(self.algs, self.inner_cap, self.inner_nbisect)
+        return bz, bz.lims, NestedQuad(self.algs, self.inner_cap, self.inner_nbisect,
+                                       split=self.precision == "split")
 
 
 class PTR(AutoBZAlgorithm):
@@ -377,8 +398,12 @@ class AutoPTR(AutoBZAlgorithm):
         self.keepmost = keepmost
 
     def bz_to_standard(self, bz):
+        # bz= enables the SymmetricRule semantics: each ladder iterate is
+        # symmetrized to the full zone before the convergence test
+        # (reference src/brillouin.jl:116-144,421-444)
         alg = AutoSymPTRJL(norm=self.norm, a=self.a, nmin=self.nmin, nmax=self.nmax,
-                           n0=self.n0, dn=self.dn, keepmost=self.keepmost, syms=bz.syms)
+                           n0=self.n0, dn=self.dn, keepmost=self.keepmost, syms=bz.syms,
+                           bz=bz)
         return bz, Basis(np.eye(bz.ndim)), alg
 
 

@@ -290,9 +290,18 @@ class FourierIntegrand:
         return g
 
     # --- nested quadrature support ----------------------------------------
-    def nest_carrier(self):
+    def nest_carrier(self, split=False):
         if isinstance(self.s, JacobianSeries):
             raise TypeError("nested quadrature over a JacobianSeries is not supported")
+        if split:
+            s = self.s
+            c = np.asarray(s.c)  # host coefficients -> f64 literal pairs
+            return SplitFourierCarrier(
+                self.pf,
+                jnp.asarray(c.real, jnp.float64),
+                jnp.asarray(c.imag, jnp.float64),
+                s.offset, s.period, s.sndim,
+            )
         return FourierCarrier(self.pf, self.s)
 
 
@@ -325,3 +334,62 @@ class FourierCarrier:
             return self.pf(FourierValue(x, sv), p)
 
         return jax.vmap(one, in_axes=(0, 0))(pts, svals)
+
+
+class SplitFourierCarrier:
+    """Split-complex (f64-on-TPU) twin of :class:`FourierCarrier`.
+
+    Coefficients live as (re, im) f64 pairs and every contraction is
+    elementwise or a single non-batched HIGHEST-precision tensordot, so the
+    whole nested adaptive solve runs in emulated double precision on TPU
+    without ever materializing complex128 (which the x64 rewriter rejects).
+    User kernels receive ``FourierValue(x, SplitComplex(h_re, h_im))``; the
+    shipped observables (``models/observables``) handle both value types.
+
+    Enables the reference's headline IAI-at-tight-tolerance capability
+    (``src/brillouin.jl:361-377``) on TPU hardware.
+    """
+
+    def __init__(self, pf, c_re, c_im, offset, period, sndim):
+        self.pf = pf
+        self.c_re = c_re
+        self.c_im = c_im
+        self.offset = offset
+        self.period = period
+        self.sndim = sndim
+
+    def fix(self, x):
+        """Contract the last spatial dim at scalar ``x`` (elementwise, f64-safe)."""
+        from .ops.csplit_eval import phase_cs
+
+        d = self.sndim
+        n = self.c_re.shape[d - 1]
+        cos, sin = phase_cs(jnp.reshape(x, (1,)), n, self.offset[d - 1],
+                            self.period[d - 1], self.c_re.dtype)
+        shp = (1,) * (d - 1) + (n,) + (1,) * (self.c_re.ndim - d)
+        cb, sb = cos.reshape(shp), sin.reshape(shp)
+        re2 = jnp.sum(self.c_re * cb - self.c_im * sb, axis=d - 1)
+        im2 = jnp.sum(self.c_re * sb + self.c_im * cb, axis=d - 1)
+        return SplitFourierCarrier(self.pf, re2, im2, self.offset[:-1],
+                                   self.period[:-1], d - 1)
+
+    def eval_batch(self, xs, coords, p):
+        from .algorithms.nested import assemble_points
+        from .ops.csplit_eval import contract_split, phase_cs
+        from .ops.scomplex import SplitComplex
+
+        assert self.sndim == 1
+        n = self.c_re.shape[0]
+        cos, sin = phase_cs(xs, n, self.offset[0], self.period[0], self.c_re.dtype)
+        fre = self.c_re.reshape(n, -1)
+        fim = self.c_im.reshape(n, -1)
+        sre, sim = contract_split(fre, fim, cos, sin, 0)  # (K, V)
+        vshape = (xs.shape[0],) + self.c_re.shape[1:]
+        sre = sre.reshape(vshape)
+        sim = sim.reshape(vshape)
+        pts = assemble_points(xs, coords)
+
+        def one(x, a, b):
+            return self.pf(FourierValue(x, SplitComplex(a, b)), p)
+
+        return jax.vmap(one, in_axes=(0, 0, 0))(pts, sre, sim)

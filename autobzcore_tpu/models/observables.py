@@ -39,8 +39,24 @@ def greens_function_trace(hv, om, eta=None):
 
     Small bands (m <= 3) use the closed-form adjugate trace; larger Hermitian
     H goes through eigenvalues (Tr (z-H)^{-1} = sum_i 1/(z - e_i)), avoiding
-    batched LU entirely — both forms are exact and TPU-native."""
+    batched LU entirely — both forms are exact and TPU-native.
+
+    Accepts either a complex series value or a :class:`SplitComplex` one (the
+    f64-on-TPU adaptive tier, ``IAI(precision='split')``); the split branch
+    returns a SplitComplex scalar."""
+    from ..ops.scomplex import SplitComplex, sc_eye, sc_trace_inv_small
+
     m = hv.s.shape[-1]
+    if isinstance(hv.s, SplitComplex):
+        z = SplitComplex(jnp.asarray(om), jnp.broadcast_to(jnp.asarray(eta), jnp.shape(om)))
+        if m <= 3:
+            return sc_trace_inv_small(z * sc_eye(m, hv.s.re.dtype) - hv.s)
+        from ..ops.csplit_eval import eigvalsh_split
+
+        e = eigvalsh_split(hv.s.re, hv.s.im)
+        x = om - e
+        den = x * x + eta * eta
+        return SplitComplex(jnp.sum(x / den, axis=-1), jnp.sum(-eta / den, axis=-1))
     z = om + 1j * eta
     if m <= 3:
         return _trace_inv_small(z * jnp.eye(m, dtype=hv.s.dtype) - hv.s)
@@ -51,7 +67,12 @@ def greens_function_trace(hv, om, eta=None):
 def dos_trace(hv, om, eta=None):
     """Lorentzian-broadened DOS integrand: -Im Tr G / pi
     (``aps_example/aps_example.jl:30``)."""
-    return -jnp.imag(greens_function_trace(hv, om, eta=eta)) / jnp.pi
+    g = greens_function_trace(hv, om, eta=eta)
+    from ..ops.scomplex import SplitComplex
+
+    if isinstance(g, SplitComplex):
+        return -g.imag / jnp.pi
+    return -jnp.imag(g) / jnp.pi
 
 
 def spectral_function(hv, om, eta=None):

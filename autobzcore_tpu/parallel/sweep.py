@@ -79,13 +79,38 @@ def _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh):
     from ..parameters import merge_parameters
     from ..utils.tree import tree_batched_norm, tree_sub
 
+    from ..brillouin import TrivialRep, UnknownRep, symmetrize, sym_rep
+
     f, p0 = _resolve_parameters(prob.f, prob.p)
     if isinstance(alg, AutoPTR):
         bz_, dom, inner = alg.bz_to_standard(prob.dom)
-        scale = abs(float(np.linalg.det(bz_.B))) * bz_.nsyms  # trivial-rep x jacobian
+        j = abs(float(np.linalg.det(bz_.B)))
+        rep = sym_rep(f)
+
+        # in-loop symmetrization (SymmetricRule semantics): every rung's
+        # batched value maps to the full zone before the convergence test.
+        # Values are batched over the sweep axis; TrivialRep/scalars scale by
+        # nsyms, declared reps symmetrize leaf-wise (leading axes broadcast).
+        def sym(tree):
+            if bz_.is_full:
+                return tree
+            leaves = jax.tree_util.tree_leaves(tree)
+            nonscalar = any(np.ndim(leaf) > 1 for leaf in leaves)  # axis 0 = sweep
+            if isinstance(rep, UnknownRep) and nonscalar:
+                raise ValueError(
+                    "batched AutoPTR sweep over a symmetric BZ with an "
+                    "array-valued integrand whose symmetry representation is "
+                    "unknown: declare the integrand's `rep` or use the full BZ."
+                )
+            if isinstance(rep, (TrivialRep, UnknownRep)) or not nonscalar:
+                return jax.tree_util.tree_map(lambda v: bz_.nsyms * v, tree)
+            return rep.symmetrize(bz_, tree)
     else:
         dom, inner = prob.dom, alg
-        scale = 1.0
+        j = 1.0
+
+        def sym(tree):
+            return tree
     atol, rtol = effective_tolerances(abstol, reltol)
 
     if _takes_mixed_parameters(prob.f):
@@ -99,19 +124,22 @@ def _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh):
         sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
         ps = jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), sharding), ps)
 
-    prev = None
+    window = []  # last `keepmost` symmetrized iterates (shared across the batch)
     val = None
     err = None
+    keepmost = max(2, int(getattr(inner, "keepmost", 2)))
     for npt in inner.npt_ladder():
         run, _ = build_ptr_run(f, dom, npt, inner.syms)
-        val = wrap(run)(ps)
-        if prev is not None:
-            err = tree_batched_norm(tree_sub(val, prev)) * scale
-            tol = jnp.maximum(atol, rtol * tree_batched_norm(val) * scale)
+        val = sym(wrap(run)(ps))
+        if window:
+            err = tree_batched_norm(tree_sub(val, window[0])) * j
+            tol = jnp.maximum(atol, rtol * tree_batched_norm(val) * j)
             if bool(jnp.all(err <= tol)):
                 break
-        prev = val
-    us = jax.tree_util.tree_map(lambda v: scale * v, val)
+        window.append(val)
+        if len(window) >= keepmost:
+            window.pop(0)
+    us = jax.tree_util.tree_map(lambda v: j * v, val)
     errs = None if err is None else err
     return us, errs
 

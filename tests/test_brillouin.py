@@ -207,3 +207,52 @@ class TestMultiAlgorithms:
         alg = NestedQuad((QuadratureFunction(npt=64), AuxQuadGKJL()))
         sol = solve(IntegralProblem(f, dom), alg, abstol=1e-6)
         assert float(sol.u) == pytest.approx((2 * np.pi) ** 2, abs=1e-4)
+
+
+class TestAutoPTRParity:
+    """Reference AutoPTR semantics (``src/algorithms.jl:393-432``,
+    ``src/brillouin.jl:116-144,421-444``)."""
+
+    def test_npt_schedule(self):
+        from autobzcore_tpu import AutoSymPTRJL
+
+        # defaults: npt0 = clamp(round(n0/a), nmin, nmax) = 50, step exp(dn)/a = 10
+        assert AutoSymPTRJL(nmax=90).npt_ladder() == [50, 60, 70, 80, 90]
+        # a = localization ratio: halving a doubles the step and raises npt0
+        alg = AutoSymPTRJL(a=0.5, nmin=10, nmax=60)
+        assert alg.npt_ladder() == [12, 32, 52, 60]
+        # keepmost widens the error window but never changes the schedule
+        assert AutoSymPTRJL(nmax=70, keepmost=4).npt_ladder() == [50, 60, 70]
+
+    def test_autoptr_lattice_rep_ibz_matches_fbz(self):
+        """In-loop symmetrization: a declared non-trivial rep converges on the
+        symmetrized iterate, and the IBZ solve equals the FBZ solve."""
+        from autobzcore_tpu.models import tb_integer
+        from autobzcore_tpu.models.observables import transport_integrand
+
+        fi = transport_integrand(tb_integer(2), eta=0.5)
+        alg = AutoPTR(nmin=20, nmax=200)
+        si = IntegralSolver(IntegralProblem(fi, load_bz(InversionSymIBZ(), np.eye(2))), alg, abstol=1e-8)
+        sf = IntegralSolver(IntegralProblem(fi, load_bz(FBZ(), np.eye(2))), alg, abstol=1e-8)
+        ui = si.solve_p(MixedParameters(om=0.4))
+        uf = sf.solve_p(MixedParameters(om=0.4))
+        assert ui.retcode and uf.retcode
+        assert np.allclose(np.asarray(ui.u), np.asarray(uf.u), atol=1e-8)
+
+    def test_autoptr_keepmost_window(self):
+        """keepmost=k compares against the iterate k-1 rungs back (a wider,
+        more conservative Richardson window)."""
+        from autobzcore_tpu.models import tb_integer
+        from autobzcore_tpu.models.observables import dos_integrand
+
+        bz = load_bz(InversionSymIBZ(), np.eye(2))
+        fi = dos_integrand(tb_integer(2), eta=0.5)
+        prob = IntegralProblem(fi, bz)
+        s2 = IntegralSolver(prob, AutoPTR(nmin=20, nmax=200, keepmost=2),
+                            abstol=1e-6).solve_p(MixedParameters(om=0.3))
+        s3 = IntegralSolver(prob, AutoPTR(nmin=20, nmax=200, keepmost=3),
+                            abstol=1e-6).solve_p(MixedParameters(om=0.3))
+        assert s2.retcode and s3.retcode
+        # same converged value; the wider window needs at least as many evals
+        assert float(s2.u) == pytest.approx(float(s3.u), abs=1e-6)
+        assert s3.numevals >= s2.numevals

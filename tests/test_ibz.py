@@ -133,14 +133,32 @@ class TestIBZ:
         sol = solve(IntegralProblem(lambda x, p: jnp.asarray(1.0), bz), PTR(npt=24))
         assert float(sol.u) == pytest.approx(abs(np.linalg.det(bz.B)), rel=1e-8)
 
-    @pytest.mark.parametrize("name", ["cubic", "orthorhombic"])
+    @pytest.mark.parametrize("name", list(lattices_3d()))
     def test_ibz_iai_unit_measure(self, name):
         """Nested adaptive integration over the polytope wedge reproduces the
-        zone volume (reference ``test/test_ibz.jl:121-149``)."""
+        zone volume for ALL 14 Bravais types (reference ``test/test_ibz.jl:121-149``).
+
+        With exact per-level slice breakpoints (polygon-vertex x2 values at
+        the middle level), the slice area is piecewise-polynomial between
+        breakpoints, so the constant integrand must converge to abstol 1e-8
+        on the initial rule evaluation — zero adaptive refinement."""
+        from autobzcore_tpu import AuxQuadGKJL, EvalCounter
+
         A = lattices_3d()[name]
         bz = load_ibz(A, canonical_reciprocal_basis(A))
-        sol = solve(IntegralProblem(lambda x, p: jnp.asarray(1.0), bz), IAI(), abstol=1e-6)
-        assert float(sol.u) == pytest.approx(abs(np.linalg.det(bz.B)), rel=1e-4)
+        # tiny pools: convergence must come from breakpoints, not refinement
+        alg = IAI(AuxQuadGKJL(cap=64, nbisect=2), inner_cap=48)
+        sol = solve(IntegralProblem(lambda x, p: jnp.asarray(1.0), bz),
+                    EvalCounter(alg), abstol=1e-8)
+        vol = abs(np.linalg.det(bz.B))
+        assert float(sol.u) == pytest.approx(vol, rel=1e-8)
+        assert sol.retcode
+        # exact zero-refinement eval count: nseg_o outer segments x 15 GK
+        # nodes, each spawning F middle segments (F = polytope face count,
+        # the fixed breakpoint-slot count) x 15 nodes x one 15-node inner rule
+        F = bz.lims.normals.shape[0]
+        nseg_o = int(np.asarray(bz.lims.outer_segments()).shape[0]) - 1
+        assert sol.numevals == nseg_o * F * 15**3
 
     def test_load_bz_ibz_kind(self):
         A = np.eye(3)

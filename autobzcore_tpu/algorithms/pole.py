@@ -24,7 +24,34 @@ from .base import IntegralAlgorithm, effective_tolerances, segments_of
 
 
 class NewtonDeflation:
-    """Root-finding method marker for API parity with the reference."""
+    """Newton-polish detected roots of 1/f (complex finite-difference
+    derivative), dedupe, and keep only residual-verified simple poles —
+    matching the reference's default root method
+    (``IteratedIntegration.ContQuadGK.NewtonDeflation``)."""
+
+    def __init__(self, maxiter=10, tol=1e-13):
+        self.maxiter = maxiter
+        self.tol = tol
+
+    def polish(self, g, z0, scale):
+        """Newton iterations on ``g = 1/f`` from ``z0``; returns (z, g'(z))."""
+        z = complex(z0)
+        gp = None
+        for _ in range(self.maxiter):
+            h = 1e-7 * max(scale, abs(z))
+            gz = g(z)
+            gp = (g(z + h) - g(z - h)) / (2 * h)
+            if gp == 0 or not np.isfinite(gp):
+                return z, None
+            dz = gz / gp
+            z = z - dz
+            if abs(dz) < self.tol * max(scale, abs(z)):
+                break
+        # 4th-order central difference for the residue: truncation O(h^4)
+        # with h ~ eps^(1/5) balances roundoff, ~1e-12 relative accuracy
+        h = 3e-4 * max(scale, abs(z))
+        gp = (8 * (g(z + h) - g(z - h)) - (g(z + 2 * h) - g(z - 2 * h))) / (12 * h)
+        return z, gp
 
 
 def _host_f(f):
@@ -36,8 +63,12 @@ def _host_f(f):
     return call
 
 
-def _quadgk_host(f, p, segs, atol, rtol, order=7, max_segs=10**4):
-    """Heap-based adaptive GK over (possibly complex) segment endpoints."""
+def _quadgk_host(f, p, segs, atol, rtol, order=7, max_segs=10**4, max_evals=np.inf):
+    """Heap-based adaptive GK over (possibly complex) segment endpoints.
+
+    Returns (integral, error, nevals, converged); refinement stops at
+    ``max_evals`` (the ``maxiters`` budget, reference ``src/interfaces.jl:64-69``).
+    """
     xk, wk, wg = kronrod(order)
 
     def rule(a, b):
@@ -58,7 +89,8 @@ def _quadgk_host(f, p, segs, atol, rtol, order=7, max_segs=10**4):
         heapq.heappush(heap, (-E, i, segs[i], segs[i + 1], I))
     count = len(segs) - 1
     nev = count * len(xk)
-    while total_E > max(atol, rtol * abs(total_I)) and count < max_segs:
+    while (total_E > max(atol, rtol * abs(total_I)) and count < max_segs
+           and nev + 2 * len(xk) <= max_evals):
         negE, _, a, b, I = heapq.heappop(heap)
         m = (a + b) / 2
         I1, E1 = rule(a, m)
@@ -69,12 +101,18 @@ def _quadgk_host(f, p, segs, atol, rtol, order=7, max_segs=10**4):
         nev += 2 * len(xk)
         heapq.heappush(heap, (-E1, count * 2, a, m, I1))
         heapq.heappush(heap, (-E2, count * 2 + 1, m, b, I2))
-    return total_I, total_E, nev
+    converged = total_E <= max(atol, rtol * abs(total_I))
+    return total_I, total_E, nev, converged
 
 
-def _find_poles(f, p, a, b, rho, nfit=32):
-    """Roots of a Chebyshev model of 1/f inside the Bernstein ellipse of the
-    segment [a, b] (semiaxes cosh(rho), sinh(rho) on the standard segment)."""
+def _find_poles(f, p, a, b, rho, rootmeth=None, nfit=32):
+    """Simple poles of ``f`` near the segment [a, b]: roots of a Chebyshev
+    model of ``g = 1/f`` inside the Bernstein ellipse with semiaxes
+    ``cosh(rho)``/``sinh(rho)`` on the standard segment, Newton-polished on
+    the true ``g`` and deduped (reference rootmeth ``NewtonDeflation``).
+
+    Returns a list of ``(z, residue)`` with ``residue = 1/g'(z)``.
+    """
     mid = (a + b) / 2
     half = (b - a) / 2
     theta = (np.arange(nfit) + 0.5) * np.pi / nfit
@@ -95,27 +133,101 @@ def _find_poles(f, p, a, b, rho, nfit=32):
         return []
     coef = coef[: keep[-1] + 1]
     roots = np.polynomial.chebyshev.chebroots(coef)
-    dcoef = np.polynomial.chebyshev.chebder(coef)
+    rootmeth = rootmeth if rootmeth is not None else NewtonDeflation()
+    gscale = float(np.median(np.abs(gs))) or 1.0
+
+    def g(z):
+        try:
+            fx = f(z, p)
+        except ZeroDivisionError:
+            return 0.0  # exactly at a pole: g = 1/f = 0
+        if not np.isfinite(fx):
+            return 0.0
+        return 1.0 / fx if fx != 0 else np.inf
+
     out = []
     for z in np.atleast_1d(roots):
-        # Bernstein ellipse membership: z = cos(w), |Im(arccos z)| < rho
+        # coarse Bernstein pre-filter on the model root (twice the target
+        # ellipse so polishing can pull borderline roots in)
         w = np.arccos(complex(z))
-        if abs(w.imag) < rho:
-            gprime = np.polynomial.chebyshev.chebval(z, dcoef) / half
-            zmapped = mid + half * z
-            residue = 1.0 / gprime if gprime != 0 else 0.0
-            out.append((zmapped, residue))
+        if abs(w.imag) >= 2 * rho:
+            continue
+        zp, gp = rootmeth.polish(lambda zz: g(mid + half * zz), complex(z), 1.0)
+        if gp is None or gp == 0:
+            continue
+        # exact membership test on the POLISHED root
+        wp = np.arccos(complex(zp))
+        if abs(wp.imag) >= rho:
+            continue
+        # residual check: a genuine root of g, not a Chebyshev artifact
+        gz = g(mid + half * zp)
+        if not np.isfinite(gz) or abs(gz) > 1e-6 * max(gscale, abs(gp)):
+            continue
+        zmapped = mid + half * zp
+        if any(abs(zmapped - z0) < 1e-10 * max(1.0, abs(half)) for z0, _ in out):
+            continue  # deflation: drop duplicates of already-found poles
+        out.append((zmapped, half / gp))  # d/dz = (1/half) d/dstd
     return out
+
+
+def _dented_path(a, b, poles):
+    """Piecewise-linear contour from ``a`` to ``b`` (real) denting away from
+    every off-axis pole (reference behavior: dents "on either the upper/lower
+    half planes", ``src/algorithms.jl:245-250``).
+
+    With poles on both sides, the real interval splits at the poles' real
+    parts and each subinterval dents away from its nearest pole, bounded so
+    the rectangle swept between the axis and the dent never encloses a pole
+    of the opposite (dent) side.
+    """
+    off_axis = [(z, r) for z, r in poles if z.imag != 0]
+    if not off_axis:
+        return [a, b]
+    eps = 1e-12 * max(1.0, abs(b - a))
+    cuts = sorted({min(max(z.real, a + eps), b - eps) for z, _ in off_axis
+                   if a < z.real < b})
+    knots = [a] + cuts + [b]
+    path = [a]
+    for u, v in zip(knots[:-1], knots[1:]):
+        width = v - u
+        m = (u + v) / 2
+        near = min(off_axis, key=lambda zr: abs(zr[0] - m))
+        im = near[0].imag
+        side = -np.sign(im)  # dent opposite the nearest pole
+        # Poles on the DENT side near the closed window [u, v] bound the
+        # depth: the swept rectangle (and its vertical legs at u and v) must
+        # stay pole-free, and the dent only pays off while it raises the
+        # MINIMUM pole distance — h* = (min_same - |im_near|)/2 equalizes the
+        # approach to both sides; a symmetric conjugate pair gives h* <= 0,
+        # i.e. the contour stays pinned to the real axis.  The window extends
+        # by the maximum dent depth so a pole hugging a vertical leg (real
+        # parts carry float fuzz) still constrains it.
+        ext = 4 * abs(im) + 1e-9 * max(1.0, abs(b - a))
+        same = [abs(z.imag) for z, _ in off_axis
+                if np.sign(z.imag) == side and u - ext <= z.real <= v + ext]
+        gain_cap = (min(same) - abs(im)) / 2 if same else np.inf
+        h = min(4 * abs(im), width / 2, gain_cap)
+        if h > eps:
+            path += [u + 1j * side * h, v + 1j * side * h]
+        path.append(v)
+    # drop consecutive duplicates
+    out = [path[0]]
+    for z in path[1:]:
+        if abs(z - out[-1]) > eps:
+            out.append(z)
+    return out if len(out) > 1 else [a, b]
 
 
 class ContQuadGKJL(IntegralAlgorithm):
     """Contour-deformation quadrature: when poles of 1/f are detected near a
-    segment, dent the contour into the opposite half-plane."""
+    segment (Bernstein-ellipse sense), the contour dents into the opposite
+    half-plane — per pole, splitting at pole real parts when poles straddle
+    the axis (``src/algorithms.jl:243-289``)."""
 
-    def __init__(self, order=7, rho=1.0, rootmeth=NewtonDeflation()):
+    def __init__(self, order=7, rho=1.0, rootmeth=None):
         self.order = order
         self.rho = rho
-        self.rootmeth = rootmeth
+        self.rootmeth = rootmeth if rootmeth is not None else NewtonDeflation()
 
     def init_cacheval(self, f, dom, p):
         return {"f": _host_f(f)}
@@ -124,36 +236,33 @@ class ContQuadGKJL(IntegralAlgorithm):
         atol, rtol = effective_tolerances(abstol, reltol)
         fh = cacheval["f"]
         segs = np.asarray(segments_of(dom), dtype=float)
+        budget = np.inf if maxiters is None else int(maxiters)
         total = 0.0 + 0.0j
         err = 0.0
         nev = 0
+        ok = True
         for i in range(len(segs) - 1):
             a, b = segs[i], segs[i + 1]
-            poles = _find_poles(fh, p, a, b, self.rho)
-            path = [a, b]
-            if poles:
-                # deform away from the nearest pole if it is decisively one-sided
-                nearest = min(poles, key=lambda zr: abs(zr[0].imag))
-                im = nearest[0].imag
-                others = [zr for zr in poles if np.sign(zr[0].imag) != np.sign(im)]
-                if im != 0 and (not others or min(abs(zr[0].imag) for zr in others) > 3 * abs(im)):
-                    h = -np.sign(im) * min(abs(im) * 4, abs(b - a) / 2)
-                    path = [a, a + 1j * h, b + 1j * h, b]
-            I, E, n = _quadgk_host(fh, p, path, atol / max(len(segs) - 1, 1), rtol, self.order)
+            poles = _find_poles(fh, p, a, b, self.rho, self.rootmeth)
+            path = _dented_path(a, b, poles)
+            I, E, n, conv = _quadgk_host(fh, p, path, atol / max(len(segs) - 1, 1), rtol,
+                                         self.order, max_evals=budget - nev)
             total += I
             err += E
             nev += n
-        return IntegralSolution(total, err, True, nev)
+            ok = ok and conv
+        return IntegralSolution(total, err, bool(ok), nev)
 
 
 class MeroQuadGKJL(IntegralAlgorithm):
     """Pole-subtraction quadrature for meromorphic integrands: subtract the
-    detected simple poles analytically, integrate the smooth remainder."""
+    Newton-deflated simple poles analytically, integrate the smooth remainder
+    (``src/algorithms.jl:293-328``)."""
 
-    def __init__(self, order=7, rho=1.0, rootmeth=NewtonDeflation()):
+    def __init__(self, order=7, rho=1.0, rootmeth=None):
         self.order = order
         self.rho = rho
-        self.rootmeth = rootmeth
+        self.rootmeth = rootmeth if rootmeth is not None else NewtonDeflation()
 
     def init_cacheval(self, f, dom, p):
         return {"f": _host_f(f)}
@@ -162,12 +271,15 @@ class MeroQuadGKJL(IntegralAlgorithm):
         atol, rtol = effective_tolerances(abstol, reltol)
         fh = cacheval["f"]
         segs = np.asarray(segments_of(dom), dtype=float)
+        budget = np.inf if maxiters is None else int(maxiters)
         total = 0.0 + 0.0j
         err = 0.0
         nev = 0
+        ok = True
         for i in range(len(segs) - 1):
             a, b = segs[i], segs[i + 1]
-            poles = [(z, r) for z, r in _find_poles(fh, p, a, b, self.rho) if z.imag != 0]
+            poles = [(z, r) for z, r in _find_poles(fh, p, a, b, self.rho, self.rootmeth)
+                     if z.imag != 0]
 
             def smooth(x, p, _poles=poles):
                 val = fh(x, p)
@@ -175,10 +287,14 @@ class MeroQuadGKJL(IntegralAlgorithm):
                     val -= r / (x - z)
                 return val
 
-            I, E, n = _quadgk_host(smooth, p, [a, b], atol / max(len(segs) - 1, 1), rtol, self.order)
+            I, E, n, conv = _quadgk_host(smooth, p, [a, b], atol / max(len(segs) - 1, 1),
+                                         rtol, self.order, max_evals=budget - nev)
+            # analytic pole contribution; Log never crosses its cut since the
+            # path has constant Im(x - z) = -Im(z) != 0
             for z, r in poles:
                 I += r * (np.log(b - z) - np.log(a - z))
             total += I
             err += E
             nev += n
-        return IntegralSolution(total, err, True, nev)
+            ok = ok and conv
+        return IntegralSolution(total, err, bool(ok), nev)

@@ -205,3 +205,53 @@ class TestMaxiters:
         trunc = solve(prob, NestedQuad(QuadGKJL()), abstol=1e-9, maxiters=300)
         assert trunc.retcode is False
         assert trunc.numevals < full.numevals
+
+
+class TestPoleQuadratures:
+    """ContQuadGK/MeroQuadGK against straddling pole pairs
+    (reference ``src/algorithms.jl:243-328``)."""
+
+    @staticmethod
+    def _two_pole(x, p):
+        # simple poles at 0.3 + 1e-3j (upper) and -0.4 - 2e-3j (lower)
+        return 1.0 / ((x - (0.3 + 1e-3j)) * (x - (-0.4 - 2e-3j)))
+
+    @staticmethod
+    def _two_pole_exact(a, b):
+        z1, z2 = 0.3 + 1e-3j, -0.4 - 2e-3j
+        r1 = 1.0 / (z1 - z2)
+        r2 = 1.0 / (z2 - z1)
+        return r1 * (np.log(b - z1) - np.log(a - z1)) + r2 * (np.log(b - z2) - np.log(a - z2))
+
+    def test_straddling_poles_cont(self):
+        prob = IntegralProblem(self._two_pole, -1.0, 1.0)
+        exact = self._two_pole_exact(-1.0, 1.0)
+        sol = solve(prob, ContQuadGKJL(), abstol=1e-9)
+        assert np.complex128(sol.u) == pytest.approx(exact, abs=1e-8)
+        # the deformed contour must beat plain GK on evals at equal tolerance
+        plain = solve(prob, QuadGKJL(), abstol=1e-9)
+        assert sol.numevals < plain.numevals
+
+    def test_straddling_poles_mero(self):
+        prob = IntegralProblem(self._two_pole, -1.0, 1.0)
+        exact = self._two_pole_exact(-1.0, 1.0)
+        sol = solve(prob, MeroQuadGKJL(), abstol=1e-9)
+        assert np.complex128(sol.u) == pytest.approx(exact, abs=1e-8)
+        # pole subtraction leaves an entire remainder: near-minimal evals
+        assert sol.numevals < 400
+
+    def test_conjugate_pair_stays_on_axis(self):
+        """A conjugate pair pins the contour (no dent encloses a pole), so the
+        path must remain on the real axis and still converge adaptively."""
+        def f(x, p):
+            return 1.0 / (x**2 + 1e-2**2)
+
+        sol = solve(IntegralProblem(f, -1.0, 1.0), ContQuadGKJL(), abstol=1e-9)
+        exact = 2 * np.arctan(1.0 / 1e-2) / 1e-2
+        assert np.real(np.complex128(sol.u)) == pytest.approx(exact, rel=1e-9)
+
+    def test_maxiters_pole_budget(self):
+        prob = IntegralProblem(lambda x, p: 1.0 / (x**2 + 1e-4**2), -1.0, 1.0)
+        trunc = solve(prob, ContQuadGKJL(), abstol=1e-12, maxiters=200)
+        assert trunc.retcode is False
+        assert trunc.numevals <= 200

@@ -56,11 +56,19 @@ class NestedQuad(IntegralAlgorithm):
     """``NestedQuad(alg)`` or ``NestedQuad(algs_tuple)`` with one algorithm per
     dimension (index 0 = innermost), as in the reference."""
 
-    def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False):
+    def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False,
+                 host_outer=False):
         self.algs = algs
         # split=True runs FourierIntegrand carriers in split-complex f64
         # (true double-precision IAI on TPU, where c128 cannot exist)
         self.split = split
+        # host_outer=True drives the OUTERMOST adaptive level from a host-side
+        # heap: each refinement step is one bounded device call over a panel
+        # of outer nodes (inner levels stay fully on-device).  This bounds
+        # single-dispatch device time — required for tight tolerances through
+        # execution-time-limited device transports — and is the adaptive
+        # analogue of the streaming-block pattern in benchmarks/northstar.py.
+        self.host_outer = host_outer
         # inner-level adaptive pools are instantiated once per outer node of
         # every enclosing panel (vmap products), so their capacity/batch are
         # derated to bound live memory: a d-level nest has
@@ -142,11 +150,33 @@ class NestedQuad(IntegralAlgorithm):
             # matching the reference's kwarg pass-through (src/interfaces.jl:64-69)
             return solve_level(dom, make_carrier(), (), p, atol, rtol, maxiters)
 
-        return {"run": run}
+        cacheval = {"run": run}
+
+        if self.host_outer and dom.ndim > 1:
+            # one bounded device call per refinement step: inner solves for a
+            # panel of outermost coordinates (vals, evals, converged)
+            @jax.jit
+            def panel(xs, p, atol, rtol, maxiters):
+                def one(x):
+                    lims2 = dom.fix(x)
+                    car2 = make_carrier().fix(x)
+                    segs2 = lims2.outer_segments()
+                    len2 = segs2[-1] - segs2[0]
+                    inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
+                    val, _, ne, conv = solve_level(lims2, car2, (x,), p,
+                                                   inner_atol, rtol, maxiters)
+                    return val, ne, conv
+
+                return jax.vmap(one)(xs)
+
+            cacheval["panel"] = panel
+        return cacheval
 
     def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
         from .gk import _budget
 
+        if "panel" in cacheval:
+            return self._host_outer_solve(dom, p, cacheval, abstol, reltol, maxiters)
         atol, rtol = effective_tolerances(abstol, reltol)
         val, err, ne, conv = cacheval["run"](p, atol, rtol, _budget(maxiters))
         if not bool(conv) and maxiters is None:
@@ -161,6 +191,100 @@ class NestedQuad(IntegralAlgorithm):
                 stacklevel=2,
             )
         return IntegralSolution(val, err, bool(conv), int(ne))
+
+    def _host_outer_solve(self, dom, p, cacheval, abstol, reltol, maxiters):
+        """Worst-first host heap over the outermost dimension; each step is one
+        device dispatch of ``2 * 15`` outer nodes (the two children's GK
+        panels), so single-call device time stays bounded no matter how tight
+        the tolerance — the adaptive analogue of the northstar streaming-block
+        pattern, and the reference's recursion order (``src/fourier.jl:493``)
+        with the outer loop on host."""
+        import heapq
+
+        import numpy as np
+
+        from ..ops.quad_rules import kronrod
+        from ..utils.tree import host_complex_safe
+        from .gk import _budget
+
+        atol, rtol = effective_tolerances(abstol, reltol)
+        atol_f = float(atol)
+        rtol_f = float(rtol)
+        budget = _budget(maxiters)
+        panel = cacheval["panel"]
+        top_alg = self._algs_for(dom.ndim)[dom.ndim - 1]
+        order = getattr(top_alg, "order", 7)
+        norm = getattr(top_alg, "norm", tree_norm)
+        xk, wk, wg = kronrod(order)
+        segs = np.asarray(dom.outer_segments(), dtype=np.float64)
+
+        tm = jax.tree_util.tree_map
+
+        def hnorm(tree):
+            return float(norm(tm(jnp.asarray, tree)))
+
+        def rules(bounds):
+            """Evaluate the GK rule on a list of (a, b) intervals with ONE
+            device call; returns per-interval (I, E, ne, conv)."""
+            nodes = np.concatenate(
+                [(a + b) / 2 + (b - a) / 2 * xk for a, b in bounds]
+            )
+            vals, nes, convs = panel(jnp.asarray(nodes), p,
+                                     jnp.asarray(atol_f), jnp.asarray(rtol_f), budget)
+            vals = tm(np.asarray, host_complex_safe(vals))
+            nes = np.asarray(nes)
+            convs = np.asarray(convs)
+            npts = len(xk)
+            out = []
+            for i, (a, b) in enumerate(bounds):
+                half = (b - a) / 2
+                sl = slice(i * npts, (i + 1) * npts)
+
+                def red(w):
+                    return tm(lambda v: np.tensordot(w, v[sl], axes=(0, 0)) * half, vals)
+
+                Ik = red(wk)
+                Ig = red(wg)
+                E = hnorm(tm(lambda x, y: x - y, Ik, Ig))
+                out.append((Ik, E, int(nes[sl].sum()), bool(convs[sl].all())))
+            return out
+
+        heap = []
+        total = None
+        total_E = 0.0
+        nev = 0
+        inner_ok = True
+        init = rules(list(zip(segs[:-1], segs[1:])))
+        for i, ((a, b), (I, E, ne, conv)) in enumerate(zip(zip(segs[:-1], segs[1:]), init)):
+            total = I if total is None else tm(np.add, total, I)
+            total_E += E
+            nev += ne
+            inner_ok = inner_ok and conv
+            heapq.heappush(heap, (-E, i, a, b, I))
+        count = len(heap)
+        max_evals = float(budget)
+        while total_E > max(atol_f, rtol_f * hnorm(total)) and nev < max_evals and heap:
+            negE, _, a, b, I = heapq.heappop(heap)
+            m = (a + b) / 2
+            (I1, E1, n1, c1), (I2, E2, n2, c2) = rules([(a, m), (m, b)])
+            total = tm(lambda t, x, y, z: t + x + y - z, total, I1, I2, I)
+            total_E += E1 + E2 + negE
+            nev += n1 + n2
+            inner_ok = inner_ok and c1 and c2
+            count += 1
+            heapq.heappush(heap, (-E1, 2 * count, a, m, I1))
+            heapq.heappush(heap, (-E2, 2 * count + 1, m, b, I2))
+        converged = total_E <= max(atol_f, rtol_f * hnorm(total)) and inner_ok
+        if not converged and maxiters is None:
+            import warnings
+
+            warnings.warn(
+                "host-outer NestedQuad stopped short of tolerance; inspect "
+                "sol.resid or raise inner caps",
+                stacklevel=3,
+            )
+        total = tm(jnp.asarray, total)
+        return IntegralSolution(total, total_E, bool(converged), int(nev))
 
     def solve_fn(self, cacheval):
         from .gk import _budget

@@ -356,7 +356,8 @@ class IAI(AutoBZAlgorithm):
     product of per-level panel sizes; lower them for 3D on small-HBM chips).
     """
 
-    def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex"):
+    def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex",
+                 host_outer=False):
         self.algs = algs if algs is not None else AuxQuadGKJL()
         self.inner_cap = inner_cap
         self.inner_nbisect = inner_nbisect
@@ -367,10 +368,15 @@ class IAI(AutoBZAlgorithm):
         # cannot exist (kernels receive SplitComplex values; the shipped
         # observables handle both)
         self.precision = precision
+        # host_outer: outermost adaptive level runs from a host heap with one
+        # bounded device dispatch per refinement (tight tolerances through
+        # execution-time-limited transports; see NestedQuad.host_outer)
+        self.host_outer = host_outer
 
     def bz_to_standard(self, bz):
         return bz, bz.lims, NestedQuad(self.algs, self.inner_cap, self.inner_nbisect,
-                                       split=self.precision == "split")
+                                       split=self.precision == "split",
+                                       host_outer=self.host_outer)
 
 
 class PTR(AutoBZAlgorithm):

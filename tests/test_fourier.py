@@ -144,3 +144,35 @@ class TestFourierBZ:
             alg = EvalCounter(alg)
         solver = IntegralSolver(IntegralProblem(fi, bz), alg, reltol=0, abstol=1e-6)
         assert float(solver()) == pytest.approx(vol, abs=1e-5)
+
+
+def test_iai_host_outer_matches_device():
+    """host_outer=True (bounded per-dispatch device time, host heap over the
+    outermost level) reproduces the on-device nested result."""
+    from autobzcore_tpu import FBZ, IAI, IntegralProblem, IntegralSolver, load_bz
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import dos_integrand
+
+    fi = dos_integrand(tb_integer(2), eta=0.1)
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    ref = IntegralSolver(IntegralProblem(fi, bz), IAI(), abstol=1e-6).solve_p(jnp.float64(0.0))
+    for prec in ("complex", "split"):
+        sol = IntegralSolver(IntegralProblem(fi, bz), IAI(precision=prec, host_outer=True),
+                             abstol=1e-6).solve_p(jnp.float64(0.0))
+        assert sol.retcode
+        assert float(sol.u) == pytest.approx(float(ref.u), abs=1e-9)
+
+
+def test_iai_split_matches_complex():
+    """The split-complex f64 carrier is bit-compatible with the complex path
+    on CPU (scalar DOS and SplitComplex Green's-trace results)."""
+    from autobzcore_tpu import FBZ, IAI, FourierIntegrand, IntegralProblem, IntegralSolver, load_bz
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import greens_function_trace
+
+    fi = FourierIntegrand(greens_function_trace, tb_integer(2), eta=0.1)
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    uc = IntegralSolver(IntegralProblem(fi, bz), IAI(), abstol=1e-8).solve_p(jnp.float64(0.2)).u
+    us = IntegralSolver(IntegralProblem(fi, bz), IAI(precision="split"),
+                        abstol=1e-8).solve_p(jnp.float64(0.2)).u
+    assert np.complex128(us.join()) == pytest.approx(np.complex128(uc), abs=1e-12)

@@ -57,7 +57,7 @@ class NestedQuad(IntegralAlgorithm):
     dimension (index 0 = innermost), as in the reference."""
 
     def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False,
-                 host_outer=False):
+                 host_outer=False, host_nbisect=4):
         self.algs = algs
         # split=True runs FourierIntegrand carriers in split-complex f64
         # (true double-precision IAI on TPU, where c128 cannot exist)
@@ -69,6 +69,9 @@ class NestedQuad(IntegralAlgorithm):
         # execution-time-limited device transports — and is the adaptive
         # analogue of the streaming-block pattern in benchmarks/northstar.py.
         self.host_outer = host_outer
+        # worst intervals bisected per host dispatch: round trips dominate
+        # through remote transports, so several children batch into one call
+        self.host_nbisect = host_nbisect
         # inner-level adaptive pools are instantiated once per outer node of
         # every enclosing panel (vmap products), so their capacity/batch are
         # derated to bound live memory: a d-level nest has
@@ -263,17 +266,37 @@ class NestedQuad(IntegralAlgorithm):
             heapq.heappush(heap, (-E, i, a, b, I))
         count = len(heap)
         max_evals = float(budget)
+        # bisect several worst intervals per dispatch: host<->device round
+        # trips dominate through remote transports, and wider panels use the
+        # device better; growing width amortizes late-stage refinement
+        nbis = max(1, int(self.host_nbisect))
         while total_E > max(atol_f, rtol_f * hnorm(total)) and nev < max_evals and heap:
-            negE, _, a, b, I = heapq.heappop(heap)
-            m = (a + b) / 2
-            (I1, E1, n1, c1), (I2, E2, n2, c2) = rules([(a, m), (m, b)])
-            total = tm(lambda t, x, y, z: t + x + y - z, total, I1, I2, I)
-            total_E += E1 + E2 + negE
-            nev += n1 + n2
-            inner_ok = inner_ok and c1 and c2
-            count += 1
-            heapq.heappush(heap, (-E1, 2 * count, a, m, I1))
-            heapq.heappush(heap, (-E2, 2 * count + 1, m, b, I2))
+            tol_now = max(atol_f, rtol_f * hnorm(total))
+            batch = []  # (a, b, I_parent, E_parent)
+            picked_E = 0.0
+            while heap and len(batch) < nbis:
+                # stop picking once the already-picked errors could settle it
+                if batch and total_E - picked_E <= tol_now:
+                    break
+                negE, _, a, b, I = heapq.heappop(heap)
+                batch.append((a, b, I, -negE))
+                picked_E += -negE
+            bounds = []
+            for a, b, _, _ in batch:
+                m = (a + b) / 2
+                bounds += [(a, m), (m, b)]
+            res = rules(bounds)
+            for k, (a, b, I, Ep) in enumerate(batch):
+                m = (a + b) / 2
+                I1, E1, n1, c1 = res[2 * k]
+                I2, E2, n2, c2 = res[2 * k + 1]
+                total = tm(lambda t, x, y, z: t + x + y - z, total, I1, I2, I)
+                total_E += E1 + E2 - Ep
+                nev += n1 + n2
+                inner_ok = inner_ok and c1 and c2
+                count += 1
+                heapq.heappush(heap, (-E1, 2 * count, a, m, I1))
+                heapq.heappush(heap, (-E2, 2 * count + 1, m, b, I2))
         converged = total_E <= max(atol_f, rtol_f * hnorm(total)) and inner_ok
         if not converged and maxiters is None:
             import warnings

@@ -294,6 +294,12 @@ class FourierIntegrand:
         if isinstance(self.s, JacobianSeries):
             raise TypeError("nested quadrature over a JacobianSeries is not supported")
         if split:
+            if not jax.config.jax_enable_x64:
+                raise RuntimeError(
+                    "split-complex f64 carriers require jax_enable_x64=True "
+                    "(with x64 off the f64 pairs silently downcast to f32, "
+                    "defeating the double-precision tier)"
+                )
             s = self.s
             c = np.asarray(s.c)  # host coefficients -> f64 literal pairs
             return SplitFourierCarrier(

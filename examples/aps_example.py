@@ -23,6 +23,36 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
+    import jax.numpy as jnp
+
+    from autobzcore_tpu import FourierIntegrand, IntegralProblem, IntegralSolver
+    from autobzcore_tpu.brillouin import IAI
+    from autobzcore_tpu.io.wannier90 import hamiltonian_fourier_series
+    from autobzcore_tpu.utils.chebinterp import hchebinterp
+
+    if split:
+        h64 = hamiltonian_fourier_series(hr, dtype=jnp.complex128)
+        integrand = FourierIntegrand(dos_kernel, h64, eta=eta)
+        alg = IAI(precision="split", inner_cap=96, host_outer=True)
+    else:
+        # monolithic on-device nest: short per-solve device time at this
+        # tolerance, and no per-refinement transport latency
+        alg = IAI(inner_cap=128)
+    solver = IntegralSolver(IntegralProblem(integrand, bz), alg, abstol=args.abstol)
+    t0 = time.time()
+
+    def dos_pointwise(omegas):
+        return np.array([float(solver(float(om))) for om in omegas])
+
+    dos_iai = hchebinterp(dos_pointwise, 10.0, 15.0, atol=args.atol_interp)
+    ws = np.arange(10, 15 + eta / 100, eta / 100)
+    out["dos_iai"] = dos_iai(ws)
+    out["t_iai"] = time.time() - t0
+    tier = "split-f64" if split else "complex"
+    print(f"IAI interpolant ({tier}): {out['t_iai']:.2f}s", file=sys.stderr)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--hr", default="/root/reference/aps_example/svo_hr.dat")
@@ -48,7 +78,11 @@ def main(argv=None):
     from autobzcore_tpu.parameters import MixedParameters
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu:
+    # tight tolerances need the split-complex f64 IAI tier, which requires
+    # x64 tracing (real f64 is emulated on TPU; c128 never materializes);
+    # the broad-broadening default flow runs f32/c64 with x64 off
+    iai_split = on_tpu and args.with_iai and args.abstol < 1e-3
+    if on_tpu and not iai_split:
         # no native f64/c128 on TPU: run the whole flow in f32/c64
         jax.config.update("jax_enable_x64", False)
     cdtype = jnp.complex64 if on_tpu else jnp.complex128
@@ -67,6 +101,13 @@ def main(argv=None):
         return dos_trace(hv, om, eta=eta)
 
     integrand = FourierIntegrand(dos_integrand, h, eta=eta)
+    out = {}
+
+    if args.with_iai and iai_split:
+        # split-complex f64 IAI runs FIRST (needs x64 tracing); the PTR flow
+        # compiles after x64 flips off so it stays f32/c64
+        _run_iai(args, hr, bz, dos_integrand, eta, out, split=True)
+        jax.config.update("jax_enable_x64", False)
 
     # PTR path: batched omega sweeps through the shared npt^3 IBZ rule,
     # compiled once (fixed-chunk padding across hchebinterp frontiers)
@@ -83,19 +124,11 @@ def main(argv=None):
           f"{len(dos_ptr.panels)} panels, {t_ptr:.2f}s", file=sys.stderr)
 
     ws = np.arange(10, 15 + eta / 100, eta / 100)
-    out = {"omega": ws, "dos_ptr": dos_ptr(ws), "t_ptr": t_ptr}
+    out.update({"omega": ws, "dos_ptr": dos_ptr(ws), "t_ptr": t_ptr})
 
-    if args.with_iai:
-        solver = IntegralSolver(IntegralProblem(integrand, bz), IAI(), abstol=args.abstol)
-        t0 = time.time()
-
-        def dos_pointwise(omegas):
-            return np.array([float(solver(float(om))) for om in omegas])
-
-        dos_iai = hchebinterp(dos_pointwise, 10.0, 15.0, atol=args.atol_interp)
-        out["dos_iai"] = dos_iai(ws)
-        out["t_iai"] = time.time() - t0
-        print(f"IAI interpolant: {out['t_iai']:.2f}s", file=sys.stderr)
+    if args.with_iai and not iai_split:
+        _run_iai(args, hr, bz, dos_integrand, eta, out, split=False,
+                 integrand=integrand)
 
     if args.with_ltm:
         from autobzcore_tpu import DOSProblem

@@ -57,7 +57,7 @@ class NestedQuad(IntegralAlgorithm):
     dimension (index 0 = innermost), as in the reference."""
 
     def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False,
-                 host_outer=False, host_nbisect=4):
+                 host_outer=False, host_nbisect=4, checkpoint=None):
         self.algs = algs
         # split=True runs FourierIntegrand carriers in split-complex f64
         # (true double-precision IAI on TPU, where c128 cannot exist)
@@ -72,6 +72,11 @@ class NestedQuad(IntegralAlgorithm):
         # worst intervals bisected per host dispatch: round trips dominate
         # through remote transports, so several children batch into one call
         self.host_nbisect = host_nbisect
+        # checkpoint: path template for host-outer heap persistence; a killed
+        # tight-tolerance solve resumes instead of restarting (the adaptive
+        # analogue of northstar's per-rung block checkpointing).  The solve's
+        # parameters hash into the filename so distinct solves never collide.
+        self.checkpoint = checkpoint
         # inner-level adaptive pools are instantiated once per outer node of
         # every enclosing panel (vmap products), so their capacity/batch are
         # derated to bound live memory: a d-level nest has
@@ -232,8 +237,12 @@ class NestedQuad(IntegralAlgorithm):
             nodes = np.concatenate(
                 [(a + b) / 2 + (b - a) / 2 * xk for a, b in bounds]
             )
+            # inner levels run unbudgeted: maxiters bounds the OUTER heap only
+            # (a truncated inner solve would silently poison the stored panel
+            # values — and any resumed checkpoint built from them)
             vals, nes, convs = panel(jnp.asarray(nodes), p,
-                                     jnp.asarray(atol_f), jnp.asarray(rtol_f), budget)
+                                     jnp.asarray(atol_f), jnp.asarray(rtol_f),
+                                     _budget(None))
             vals = tm(np.asarray, host_complex_safe(vals))
             nes = np.asarray(nes)
             convs = np.asarray(convs)
@@ -252,25 +261,66 @@ class NestedQuad(IntegralAlgorithm):
                 out.append((Ik, E, int(nes[sl].sum()), bool(convs[sl].all())))
             return out
 
-        heap = []
-        total = None
-        total_E = 0.0
-        nev = 0
-        inner_ok = True
-        init = rules(list(zip(segs[:-1], segs[1:])))
-        for i, ((a, b), (I, E, ne, conv)) in enumerate(zip(zip(segs[:-1], segs[1:]), init)):
-            total = I if total is None else tm(np.add, total, I)
-            total_E += E
-            nev += ne
-            inner_ok = inner_ok and conv
-            heapq.heappush(heap, (-E, i, a, b, I))
-        count = len(heap)
+        ckpt_file = None
+        if self.checkpoint is not None:
+            import hashlib
+            import pickle
+
+            key = hashlib.sha1(
+                repr((np.asarray(jax.tree_util.tree_leaves(p), dtype=object).tolist()
+                      if jax.tree_util.tree_leaves(p) else (), atol_f, rtol_f,
+                      segs.tolist())).encode()
+            ).hexdigest()[:16]
+            ckpt_file = f"{self.checkpoint}.{key}.pkl"
+
+        state = None
+        if ckpt_file is not None:
+            import os
+            import pickle
+
+            if os.path.exists(ckpt_file):
+                with open(ckpt_file, "rb") as fh:
+                    state = pickle.load(fh)
+
+        if state is not None:
+            heap, total, total_E, nev, inner_ok, count = state
+        else:
+            heap = []
+            total = None
+            total_E = 0.0
+            nev = 0
+            inner_ok = True
+            init = rules(list(zip(segs[:-1], segs[1:])))
+            for i, ((a, b), (I, E, ne, conv)) in enumerate(zip(zip(segs[:-1], segs[1:]), init)):
+                total = I if total is None else tm(np.add, total, I)
+                total_E += E
+                nev += ne
+                inner_ok = inner_ok and conv
+                heapq.heappush(heap, (-E, i, a, b, I))
+            count = len(heap)
+
+        def save_ckpt():
+            if ckpt_file is None:
+                return
+            import pickle
+
+            tmp = ckpt_file + ".tmp"
+            with open(tmp, "wb") as fh:
+                pickle.dump((heap, total, total_E, nev, inner_ok, count), fh)
+            import os
+
+            os.replace(tmp, ckpt_file)
         max_evals = float(budget)
         # bisect several worst intervals per dispatch: host<->device round
         # trips dominate through remote transports, and wider panels use the
         # device better; growing width amortizes late-stage refinement
         nbis = max(1, int(self.host_nbisect))
+        iters_since_ckpt = 0
         while total_E > max(atol_f, rtol_f * hnorm(total)) and nev < max_evals and heap:
+            iters_since_ckpt += 1
+            if iters_since_ckpt >= 16:
+                save_ckpt()
+                iters_since_ckpt = 0
             tol_now = max(atol_f, rtol_f * hnorm(total))
             batch = []  # (a, b, I_parent, E_parent)
             picked_E = 0.0
@@ -298,6 +348,17 @@ class NestedQuad(IntegralAlgorithm):
                 heapq.heappush(heap, (-E1, 2 * count, a, m, I1))
                 heapq.heappush(heap, (-E2, 2 * count + 1, m, b, I2))
         converged = total_E <= max(atol_f, rtol_f * hnorm(total)) and inner_ok
+        if ckpt_file is not None:
+            if not converged and nev >= max_evals:
+                # budget truncation: keep the heap so a rerun with a larger
+                # maxiters resumes (nev is cumulative across resumes)
+                save_ckpt()
+            else:
+                import contextlib
+                import os
+
+                with contextlib.suppress(OSError):
+                    os.remove(ckpt_file)
         if not converged and maxiters is None:
             import warnings
 

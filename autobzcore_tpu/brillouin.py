@@ -357,7 +357,7 @@ class IAI(AutoBZAlgorithm):
     """
 
     def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex",
-                 host_outer=False):
+                 host_outer=False, checkpoint=None):
         self.algs = algs if algs is not None else AuxQuadGKJL()
         self.inner_cap = inner_cap
         self.inner_nbisect = inner_nbisect
@@ -372,11 +372,14 @@ class IAI(AutoBZAlgorithm):
         # bounded device dispatch per refinement (tight tolerances through
         # execution-time-limited transports; see NestedQuad.host_outer)
         self.host_outer = host_outer
+        # checkpoint: path template for host-outer heap persistence/resume
+        self.checkpoint = checkpoint
 
     def bz_to_standard(self, bz):
         return bz, bz.lims, NestedQuad(self.algs, self.inner_cap, self.inner_nbisect,
                                        split=self.precision == "split",
-                                       host_outer=self.host_outer)
+                                       host_outer=self.host_outer,
+                                       checkpoint=self.checkpoint)
 
 
 class PTR(AutoBZAlgorithm):

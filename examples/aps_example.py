@@ -35,17 +35,29 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
         h64 = hamiltonian_fourier_series(hr, dtype=jnp.complex128)
         integrand = FourierIntegrand(dos_kernel, h64, eta=eta)
         alg = IAI(precision="split", inner_cap=96, host_outer=True)
+        solver = IntegralSolver(IntegralProblem(integrand, bz), alg, abstol=args.abstol)
+        t0 = time.time()
+
+        def dos_pointwise(omegas):
+            return np.array([float(solver(float(om))) for om in omegas])
+
+        frontier_fn = dos_pointwise
     else:
-        # monolithic on-device nest: short per-solve device time at this
-        # tolerance, and no per-refinement transport latency
+        # monolithic on-device nest, one omega per dispatch.  Vmapped
+        # frontier sweeps (sweep_solve/SweepSolver over IAI) are supported
+        # and exact, but a 33-wide 3-level nest exceeds the hosted-TPU
+        # single-dispatch limit (worker crash) — sequential keeps every
+        # dispatch bounded at ~0.1 s warm.
         alg = IAI(inner_cap=128)
-    solver = IntegralSolver(IntegralProblem(integrand, bz), alg, abstol=args.abstol)
-    t0 = time.time()
+        solver = IntegralSolver(IntegralProblem(integrand, bz), alg, abstol=args.abstol)
+        t0 = time.time()
 
-    def dos_pointwise(omegas):
-        return np.array([float(solver(float(om))) for om in omegas])
+        def dos_pointwise(omegas):
+            return np.array([float(solver(float(om))) for om in omegas])
 
-    dos_iai = hchebinterp(dos_pointwise, 10.0, 15.0, atol=args.atol_interp)
+        frontier_fn = dos_pointwise
+
+    dos_iai = hchebinterp(frontier_fn, 10.0, 15.0, atol=args.atol_interp)
     ws = np.arange(10, 15 + eta / 100, eta / 100)
     out["dos_iai"] = dos_iai(ws)
     out["t_iai"] = time.time() - t0

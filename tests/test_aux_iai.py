@@ -58,3 +58,31 @@ def test_ggr_polyhedral_ibz():
     a = float(dos_solve_(dos_init(DOSProblem(h, E, bz_poly), GGR(npt=60))).u)
     b = float(dos_solve_(dos_init(DOSProblem(h, E, bz_inv), GGR(npt=60))).u)
     assert a == pytest.approx(b, rel=1e-10)
+
+
+def test_auxvalue_through_split_iai():
+    """AuxValue channels built from SplitComplex values converge through the
+    split-f64 nested solve and match the complex path."""
+    from autobzcore_tpu import SplitComplex
+
+    s = tb_integer(2)
+    eta = 0.05
+    om = 0.3
+
+    def f(v):
+        if isinstance(v.s, SplitComplex):
+            h = v.s.re[0, 0] if v.s.ndim == 2 else v.s.re
+            g = SplitComplex(om - h, jnp.broadcast_to(jnp.asarray(eta), jnp.shape(h)))
+            ginv = SplitComplex(jnp.ones_like(h), None) / g
+            return AuxValue(-ginv.imag / jnp.pi, ginv.abs2())
+        h = jnp.real(v.s[0, 0]) if v.s.ndim == 2 else jnp.real(v.s)
+        g = 1.0 / (om + 1j * eta - h)
+        return AuxValue(-jnp.imag(g) / jnp.pi, jnp.abs(g) ** 2)
+
+    bz = load_bz(FBZ(), np.eye(2))
+    fi = FourierIntegrand(f, s)
+    ref = solve(IntegralProblem(fi, bz), IAI(), abstol=1e-6)
+    sol = solve(IntegralProblem(fi, bz), IAI(precision="split"), abstol=1e-6)
+    assert sol.retcode
+    assert float(sol.u.val) == pytest.approx(float(ref.u.val), abs=1e-10)
+    assert float(sol.u.aux) == pytest.approx(float(ref.u.aux), abs=1e-8)

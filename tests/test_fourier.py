@@ -193,3 +193,30 @@ def test_iai_split_matches_complex():
     us = IntegralSolver(IntegralProblem(fi, bz), IAI(precision="split"),
                         abstol=1e-8).solve_p(jnp.float64(0.2)).u
     assert np.complex128(us.join()) == pytest.approx(np.complex128(uc), abs=1e-12)
+
+
+def test_host_outer_checkpoint_resume(tmp_path):
+    """A budget-truncated host-outer solve leaves a checkpoint; rerunning with
+    a larger budget resumes the heap (cumulative numevals) and converges to
+    the same value as a fresh solve, then removes the file."""
+    from autobzcore_tpu import FBZ, IAI, IntegralProblem, IntegralSolver, load_bz
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import dos_integrand
+
+    fi = dos_integrand(tb_integer(2), eta=0.03)
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    prob = IntegralProblem(fi, bz)
+    ck = str(tmp_path / "iai_ck")
+    alg = IAI(host_outer=True, checkpoint=ck)
+
+    trunc = IntegralSolver(prob, alg, abstol=1e-9, maxiters=3000).solve_p(jnp.float64(0.0))
+    assert trunc.retcode is False
+    assert list(tmp_path.glob("iai_ck.*.pkl")), "truncated solve must leave a checkpoint"
+
+    resumed = IntegralSolver(prob, alg, abstol=1e-9).solve_p(jnp.float64(0.0))
+    assert resumed.retcode
+    assert not list(tmp_path.glob("iai_ck.*.pkl")), "converged solve must clean up"
+    assert resumed.numevals > trunc.numevals  # cumulative across the resume
+
+    fresh = IntegralSolver(prob, IAI(host_outer=True), abstol=1e-9).solve_p(jnp.float64(0.0))
+    assert float(resumed.u) == pytest.approx(float(fresh.u), abs=1e-11)

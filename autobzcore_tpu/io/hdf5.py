@@ -71,42 +71,69 @@ def _param_record(h5, ps):
         g["args"] = np.asarray(ps)
 
 
-def batchsolve_h5(filename_or_h5, solver: IntegralSolver, ps, verbose=True):
+def batchsolve_h5(filename_or_h5, solver: IntegralSolver, ps, verbose=True,
+                  resume=False):
     """Threaded-sweep-with-persistence equivalent: solve ``solver`` at each
     parameter, writing each result incrementally with flush.
 
+    With ``resume=True`` an existing file is reopened and parameters whose
+    results were already written (``retcode >= 0``) are skipped — a crashed
+    sweep continues from the first missing entry (auto-resume, beyond the
+    reference's flush-only persistence, ``ext/HDF5Ext.jl:133-149``).
+
     Returns the array of integral values.
     """
+    import os
+
     h5py = _h5py()
     own = isinstance(filename_or_h5, str)
-    h5 = h5py.File(filename_or_h5, "w") if own else filename_or_h5
+    resuming = resume and own and os.path.exists(filename_or_h5)
+    h5 = h5py.File(filename_or_h5, "a" if resuming else "w") if own else filename_or_h5
     try:
         ps = list(ps)
         n = len(ps)
-        sol0 = solver.solve_p(ps[0])
-        u0 = sol0.u
-        aux = isinstance(u0, AuxValue)
-
-        def make_dset(name, proto):
-            arr = np.asarray(proto)
-            return h5.create_dataset(name, shape=(n,) + arr.shape, dtype=arr.dtype)
-
-        if aux:
-            gI = h5.create_group("I")
-            dval = make_dset("I/val", u0.val)
-            daux = make_dset("I/aux", u0.aux)
+        if resuming and "retcode" in h5:
+            if h5["retcode"].shape[0] != n:
+                raise ValueError(
+                    f"resume: file has {h5['retcode'].shape[0]} parameters, sweep has {n}"
+                )
+            aux = "I" in h5 and isinstance(h5["I"], h5py.Group)
+            if aux:
+                dval, daux = h5["I/val"], h5["I/aux"]
+            else:
+                dI = h5["I"]
+            dE, dt, drc, dnev = h5["E"], h5["t"], h5["retcode"], h5["numevals"]
+            sol0 = None
         else:
-            dI = make_dset("I", u0)
-        dE = h5.create_dataset("E", shape=(n,), dtype=np.float64)
-        dt = h5.create_dataset("t", shape=(n,), dtype=np.float64)
-        drc = h5.create_dataset("retcode", shape=(n,), dtype=np.int8)
-        dnev = h5.create_dataset("numevals", shape=(n,), dtype=np.int64)
-        _param_record(h5, ps)
+            sol0 = solver.solve_p(ps[0])
+            u0 = sol0.u
+            aux = isinstance(u0, AuxValue)
 
+            def make_dset(name, proto):
+                arr = np.asarray(proto)
+                return h5.create_dataset(name, shape=(n,) + arr.shape, dtype=arr.dtype)
+
+            if aux:
+                h5.create_group("I")
+                dval = make_dset("I/val", u0.val)
+                daux = make_dset("I/aux", u0.aux)
+            else:
+                dI = make_dset("I", u0)
+            dE = h5.create_dataset("E", shape=(n,), dtype=np.float64)
+            dt = h5.create_dataset("t", shape=(n,), dtype=np.float64)
+            drc = h5.create_dataset("retcode", shape=(n,), dtype=np.int8)
+            drc[...] = -1  # -1 == not yet computed (resume sentinel)
+            dnev = h5.create_dataset("numevals", shape=(n,), dtype=np.int64)
+            _param_record(h5, ps)
+
+        done = np.asarray(drc[...]) >= 0
         out = []
         for i, p in enumerate(ps):
+            if done[i]:
+                out.append(AuxValue(dval[i], daux[i]) if aux else dI[i])
+                continue
             t0 = time.time()
-            sol = sol0 if i == 0 else solver.solve_p(p)
+            sol = sol0 if (i == 0 and sol0 is not None) else solver.solve_p(p)
             wall = time.time() - t0
             if aux:
                 dval[i] = np.asarray(sol.u.val)
@@ -115,8 +142,8 @@ def batchsolve_h5(filename_or_h5, solver: IntegralSolver, ps, verbose=True):
                 dI[i] = np.asarray(sol.u)
             dE[i] = float(np.real(np.complex128(0 if sol.resid is None else np.asarray(sol.resid).sum())))
             dt[i] = wall
-            drc[i] = 1 if sol.retcode else 0
             dnev[i] = sol.numevals
+            drc[i] = 1 if sol.retcode else 0  # written LAST: marks the row done
             h5.flush()  # crash loses at most the in-flight parameter
             out.append(sol.u)
         return out

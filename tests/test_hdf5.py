@@ -65,3 +65,40 @@ def test_dict_roundtrip(tmp_path):
     back = read_h5_to_dict(fn)
     assert np.allclose(back["a"], d["a"])
     assert np.allclose(back["grp"]["b"], np.eye(3))
+
+
+def test_batchsolve_h5_resume(tmp_path):
+    """A partially-written sweep file resumes: completed rows are skipped
+    (their values read back), missing rows are computed and marked done."""
+    import h5py
+    import jax.numpy as jnp
+
+    from autobzcore_tpu import IntegralProblem, IntegralSolver, QuadGKJL
+    from autobzcore_tpu.io.hdf5 import batchsolve_h5
+
+    f = str(tmp_path / "sweep.h5")
+    solver = IntegralSolver(
+        IntegralProblem(lambda x, p: p * jnp.sin(x), 0.0, 1.0), QuadGKJL(), abstol=1e-10
+    )
+    ps = [1.0, 2.0, 3.0, 4.0]
+    us = batchsolve_h5(f, solver, ps)
+
+    # simulate a crash after two parameters: wipe rows 2..3
+    with h5py.File(f, "a") as h5:
+        h5["retcode"][2:] = -1
+        h5["I"][2:] = 0.0
+
+    calls = []
+    orig = solver.solve_p
+
+    def counting(p):
+        calls.append(p)
+        return orig(p)
+
+    solver.solve_p = counting
+    us2 = batchsolve_h5(f, solver, ps, resume=True)
+    assert len(calls) == 2, "only the wiped rows recompute"
+    assert np.allclose([float(np.real(np.complex128(u))) for u in us2],
+                       [float(np.real(np.complex128(u))) for u in us])
+    with h5py.File(f, "r") as h5:
+        assert np.all(h5["retcode"][...] == 1)

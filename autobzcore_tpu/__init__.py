@@ -68,7 +68,7 @@ from .dos.ggr import GGR
 from .ops.quad_rules import gausslegendre, trapz
 from .ops.scomplex import SplitComplex
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "AbsoluteEstimate", "AbstractSymRep", "AutoPTR", "AutoPTR_IAI",

@@ -41,13 +41,23 @@ def contract_split(vre, vim, cos, sin, axis):
     Karatsuba form: 3 real tensordots instead of 4 —
     ``re = cc - ss``, ``im = (c+s)(re+im) - cc - ss`` — measured 16% faster
     end-to-end on the f64 grid path (TPU v5e, npt=100^3 SrVO3) at
-    machine-noise difference (1e-13 abs) from the 4-matmul form."""
+    machine-noise difference (1e-13 abs) from the 4-matmul form.
+
+    On TPU the tensordots route through the Ozaki bf16-slice scheme
+    (``ops/ozaki.py``): XLA's emulated-f64 dot-general runs off the MXU at
+    ~6 GFLOP/s, while the slice products ride the systolic array."""
     import jax
 
-    prec = jax.lax.Precision.HIGHEST  # TPU default matmul precision is bf16
-    rr = jnp.tensordot(cos, vre, axes=([1], [axis]), precision=prec)
-    ii = jnp.tensordot(sin, vim, axes=([1], [axis]), precision=prec)
-    m3 = jnp.tensordot(cos + sin, vre + vim, axes=([1], [axis]), precision=prec)
+    from autobzcore_tpu.ops.ozaki import ozaki_tensordot, use_ozaki
+
+    if use_ozaki():
+        td = lambda c, v: ozaki_tensordot(c, v, axis)  # noqa: E731
+    else:
+        prec = jax.lax.Precision.HIGHEST  # TPU default matmul precision is bf16
+        td = lambda c, v: jnp.tensordot(c, v, axes=([1], [axis]), precision=prec)  # noqa: E731
+    rr = td(cos, vre)
+    ii = td(sin, vim)
+    m3 = td(cos + sin, vre + vim)
     return rr - ii, m3 - rr - ii
 
 

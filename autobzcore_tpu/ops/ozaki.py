@@ -73,27 +73,23 @@ def _slices(x, nslice):
     return out
 
 
-def ozaki_matmul(A, B, ndiag=_DEFAULT_DIAGS):
-    """``A (K, n) @ B (n, M)`` in f64 via bf16 slice products on the MXU.
-
-    ``n`` must be <= 255 so f32 slice-product accumulation stays exact.
-    ``ndiag`` = number of shift diagonals kept (p + q < ndiag); 5 keeps
-    ~48 bits below the per-row/column max, 7 keeps ~64.
-    """
-    n = A.shape[1]
-    if n > 255:
-        # chunk the contraction to preserve exact f32 accumulation
-        mid = (n // 2 + 127) & ~127 or 128
-        return ozaki_matmul(A[:, :mid], B[:mid], ndiag) + ozaki_matmul(
-            A[:, mid:], B[mid:], ndiag
-        )
-    A = jnp.asarray(A, jnp.float64)
+def ozaki_prepare_rhs(B, ndiag=_DEFAULT_DIAGS):
+    """Pre-slice the right operand: returns ``(b_slices, sB)`` reusable
+    across many :func:`ozaki_matmul_prepared` calls (e.g. a fixed Fourier
+    intermediate contracted against many phase slabs)."""
     B = jnp.asarray(B, jnp.float64)
-    sA = _pow2_scale(A, 1)  # (K, 1)
     sB = _pow2_scale(B, 0)  # (1, M)
+    return tuple(_slices(B / sB, ndiag)), sB
+
+
+def ozaki_matmul_prepared(A, b_sl, sB, n):
+    """``A (K, n) @ B`` where ``B`` was prepared by :func:`ozaki_prepare_rhs`
+    (``n`` = contraction length, needed for the f32-accumulation guard)."""
+    ndiag = len(b_sl)
+    A = jnp.asarray(A, jnp.float64)
+    sA = _pow2_scale(A, 1)  # (K, 1)
     a_sl = _slices(A / sA, ndiag)
-    b_sl = _slices(B / sB, ndiag)
-    out = jnp.zeros((A.shape[0], B.shape[1]), jnp.float64)
+    out = jnp.zeros((A.shape[0], b_sl[0].shape[1]), jnp.float64)
     for d in range(ndiag - 1, -1, -1):
         # all pairs p + q == d share the scale 256^-(d+2); their f32 products
         # are exact integers, and the per-diagonal f32 sum of <= ndiag of them
@@ -115,6 +111,25 @@ def ozaki_matmul(A, B, ndiag=_DEFAULT_DIAGS):
             diag = prod if diag is None else diag + prod
         out = out + diag.astype(jnp.float64) * (_RADIX ** -(d + 2))
     return out * sA * sB
+
+
+def ozaki_matmul(A, B, ndiag=_DEFAULT_DIAGS):
+    """``A (K, n) @ B (n, M)`` in f64 via bf16 slice products on the MXU.
+
+    ``n`` must be <= 255 so f32 slice-product accumulation stays exact.
+    ``ndiag`` = number of slices per operand and shift diagonals kept
+    (p + q < ndiag); 5 keeps ~48 bits below the per-row/column max, 6
+    (default) ~3e-15, 7 reaches f64 roundoff.
+    """
+    n = A.shape[1]
+    if n > 255:
+        # chunk the contraction to preserve exact f32 accumulation
+        mid = (n // 2 + 127) & ~127 or 128
+        return ozaki_matmul(A[:, :mid], B[:mid], ndiag) + ozaki_matmul(
+            A[:, mid:], B[mid:], ndiag
+        )
+    b_sl, sB = ozaki_prepare_rhs(B, ndiag)
+    return ozaki_matmul_prepared(A, b_sl, sB, n)
 
 
 def ozaki_tensordot(C, V, axis, ndiag=_DEFAULT_DIAGS):

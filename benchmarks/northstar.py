@@ -84,6 +84,11 @@ def main(argv=None):
     ap.add_argument("--ladder", default="140,200,280,400,560")
     ap.add_argument("--save", default=None, help="save each rung's DOS curve to this .npz")
     ap.add_argument("--prev", default=None, help=".npz with a prior rung's curve (key D, npt) to diff against")
+    ap.add_argument("--engine", choices=("fullgrid", "reduced"), default="fullgrid",
+                    help="fullgrid: slab-streamed full npt^3 grid on the MXU "
+                    "(Ozaki slice matmuls, no host symmetry enumeration); "
+                    "reduced: symptr representatives through the scattered-"
+                    "point block kernel (round-1 engine)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -98,15 +103,20 @@ def main(argv=None):
     detB = abs(float(np.linalg.det(bz.B)))  # aps convention: integral over the BZ
     omegas = np.linspace(10.0, 15.0, args.nomega)
 
-    block_fn = make_block_fn(h, omegas, args.eta)
-
-    # compile once on a dummy block
     t0 = time.perf_counter()
-    block_fn(jnp.zeros((BLOCK, 3), jnp.float64), jnp.zeros((BLOCK,), jnp.float64)
-             ).block_until_ready()
-    t_compile = time.perf_counter() - t0
-    print(f"block kernel compile: {t_compile:.1f}s (one-time, cached across rungs)",
-          file=sys.stderr)
+    if args.engine == "fullgrid":
+        from autobzcore_tpu.ops.grid_sweep import FullGridSpectralSweep
+
+        sweep = FullGridSpectralSweep(h, omegas, args.eta)
+        t_compile = 0.0  # compiles fold into each rung's first dispatch
+    else:
+        block_fn = make_block_fn(h, omegas, args.eta)
+        # compile once on a dummy block
+        block_fn(jnp.zeros((BLOCK, 3), jnp.float64), jnp.zeros((BLOCK,), jnp.float64)
+                 ).block_until_ready()
+        t_compile = time.perf_counter() - t0
+        print(f"block kernel compile: {t_compile:.1f}s (one-time, cached across rungs)",
+              file=sys.stderr)
 
     prev = None
     if args.prev:
@@ -115,6 +125,23 @@ def main(argv=None):
     err = float("inf")
     D = None
     for npt in [int(x) for x in args.ladder.split(",")]:
+        if args.engine == "fullgrid":
+            t_host = 0.0
+            t0 = time.perf_counter()
+            acc = sweep.rung(npt)
+            D = acc * detB / npt**3
+            t_dev = time.perf_counter() - t0
+            total_t += t_dev
+            if prev is not None:
+                err = float(np.max(np.abs(D - prev)))
+            print(f"npt={npt}: full grid ({npt ** 3:.3g} pts) device={t_dev:.2f}s "
+                  f"max|dD|={err:.2e}", file=sys.stderr)
+            prev = D
+            if args.save:
+                np.savez(args.save, D=D, npt=npt, omegas=omegas)
+            if err <= args.tol:
+                break
+            continue
         t0 = time.perf_counter()
         reps, weights = symptr_rule(npt, 3, bz.syms)  # host, native C++ kernel
         t_host = time.perf_counter() - t0

@@ -11,6 +11,26 @@ import contextlib
 import time
 
 
+def enable_compile_cache(cache_dir=None, min_compile_secs=10.0):
+    """Persist XLA executables across processes.  On hosted TPUs a cold AOT
+    compile of a new kernel shape costs minutes through the tunnel; with the
+    cache, re-running a sweep/benchmark skips straight to compute.  Safe to
+    call more than once; returns the cache directory (or None if the JAX
+    version lacks the knobs)."""
+    import os
+
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "autobzcore_tpu_xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", float(min_compile_secs))
+    except Exception:
+        return None
+    return cache_dir
+
+
 @contextlib.contextmanager
 def trace(logdir="/tmp/autobz_trace"):
     """Capture a jax.profiler trace of the enclosed block (view with

@@ -91,7 +91,14 @@ def main(argv=None):
                     "point block kernel (round-1 engine)")
     args = ap.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
+
+    # persist compiled executables across runs — the remote AOT compile of a
+    # new rung shape costs minutes through the hosted-TPU tunnel
+    from autobzcore_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
     from autobzcore_tpu import CubicSymIBZ, load_bz
     from autobzcore_tpu.io.wannier90 import hamiltonian_fourier_series, read_w90_hrdat
@@ -128,7 +135,12 @@ def main(argv=None):
         if args.engine == "fullgrid":
             t_host = 0.0
             t0 = time.perf_counter()
-            acc = sweep.rung(npt)
+
+            def prog(done, total, _t0=t0, _npt=npt):
+                print(f"    npt={_npt}: slabs {done}/{total} at "
+                      f"{time.perf_counter() - _t0:.1f}s", file=sys.stderr)
+
+            acc = sweep.rung(npt, progress=prog)
             D = acc * detB / npt**3
             t_dev = time.perf_counter() - t0
             total_t += t_dev

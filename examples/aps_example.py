@@ -82,6 +82,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from autobzcore_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # cold AOT compiles cost minutes via the TPU tunnel
+
     from autobzcore_tpu import CubicSymIBZ, FourierIntegrand, IntegralProblem, IntegralSolver, load_bz
     from autobzcore_tpu.brillouin import IAI, PTR
     from autobzcore_tpu.io.wannier90 import hamiltonian_fourier_series, read_w90_hrdat

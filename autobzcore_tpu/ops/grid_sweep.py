@@ -12,16 +12,26 @@ npt=1600) entirely.  Orbit sums make the full-grid sum exactly equal to the
 symmetrized reduced sum (reference AutoPTR semantics,
 ``/root/reference/src/brillouin.jl:421-444``).
 
-Pipeline per slab of ``S`` outer-dimension grid rows:
-1. phase rows (S, n1) hit a pre-sliced Fourier intermediate (n1, 6*npt^2)
-   — Karatsuba x Ozaki: 3 slice-matmul groups for the 6 independent
-   Hermitian entries (re for all 6, im for the 3 off-diagonals);
-2. entry-major rows feed the struct-of-arrays Cardano
-   (``ops/eigh3.eigvalsh3_rows``; the AoS layout measured 4x slower);
-3. an omega-batched Lorentzian reduction accumulates the (W,) DOS partial
-   in f64, two-float (hi, lo) subtraction preserving the o - e cancellation.
+Streaming structure (v2): persistent state is O(npt), not O(npt^2) — the
+first engine pre-contracted the inner TWO dimensions into npt^2-sized
+pre-sliced operands and OOMed 16 GB HBM at npt=1600.  Here only dimension 3
+is pre-contracted (``I3``: (n1, n2*6*npt) — megabytes); each slab then runs
+two Ozaki matmul stages on-device:
 
-Used by ``benchmarks/northstar.py --fullgrid`` (SrVO3 1000-omega ladder).
+  stage A: slab phases (S, n1)   x I3             -> J  (n2, 6, S*npt)
+  stage B: phase table (npt, n2) x J (per slab)   -> H  (npt, 6, S*npt)
+
+stage B's left operand is fixed per rung, so its slices are prepared once;
+its right operand is per-slab and tiny.  Both stages use Karatsuba complex
+multiplication (3 real products) over the 6 independent Hermitian entries,
+stage B skipping the imaginary parts of the 3 diagonals.  Entry-major rows
+then feed the struct-of-arrays Cardano (``ops/eigh3.eigvalsh3_rows``; the
+AoS layout measured 4x slower) and an omega-batched two-float Lorentzian
+reduction (hi parts of ``omega - e`` cancel exactly by Sterbenz; lo parts
+carry the f64 residue).
+
+Used by ``benchmarks/northstar.py --engine fullgrid`` (SrVO3 1000-omega
+ladder).
 """
 from __future__ import annotations
 
@@ -32,9 +42,14 @@ import jax.numpy as jnp
 
 from autobzcore_tpu.ops.csplit_eval import contract_split
 from autobzcore_tpu.ops.eigh3 import eigvalsh3_rows
-from autobzcore_tpu.ops.ozaki import ozaki_matmul_prepared, ozaki_prepare_rhs
+from autobzcore_tpu.ops.ozaki import (
+    ozaki_matmul_prepared,
+    ozaki_matmul_sliced,
+    ozaki_prepare_lhs,
+    ozaki_prepare_rhs,
+)
 
-# Hermitian entry order: diagonals then upper off-diagonals
+# Hermitian entry order: diagonals first, then the upper off-diagonals
 _ENTRIES = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
 
 
@@ -54,15 +69,15 @@ class FullGridSpectralSweep:
     series : FourierSeries with 3D spatial grid and 3x3 Hermitian values.
     omegas : (W,) frequency grid.
     eta : Lorentzian broadening.
-    slab : grid rows of the outer dimension per MXU step.
+    slab : grid rows of the outer dimension per streamed step.
     slabs_per_dispatch : fori_loop steps per device dispatch (bounds
         single-dispatch wall time on hosted TPU workers).
-    omega_batch : omegas per Lorentzian pass (bounds the (B, S*npt^2)
-        broadcast intermediate).
+    omega_batch : omegas per Lorentzian pass (bounds the broadcast
+        intermediate together with the ~1.6M-point chunking).
     """
 
-    def __init__(self, series, omegas, eta, ndiag=6, slab=16,
-                 slabs_per_dispatch=16, omega_batch=100):
+    def __init__(self, series, omegas, eta, ndiag=6, slab=8,
+                 slabs_per_dispatch=32, omega_batch=100):
         c = np.asarray(series.c)
         if c.ndim != 5 or c.shape[-2:] != (3, 3):
             raise ValueError("FullGridSpectralSweep requires a 3D series of 3x3 matrices")
@@ -87,28 +102,26 @@ class FullGridSpectralSweep:
     # -- per-rung preparation ------------------------------------------------
 
     def _prepare(self, npt):
-        """Contract the inner two dimensions on device and pre-slice the
-        (n1, {6,3} * npt^2) intermediates for the slab matmuls."""
+        """Pre-contract dimension 3 and pre-slice the per-rung operands:
+        I3 components (n1, n2*6*npt) for stage A, and the stage-B phase-table
+        slice concatenations.  Everything here is O(npt) memory."""
         c3, s3 = _phase_table(npt, self.n3, self.offset[2])
         c2, s2 = _phase_table(npt, self.n2, self.offset[1])
 
         @jax.jit
         def prep(cre, cim, c3, s3, c2, s2):
-            # (n1, n2, n3, 6) -> contract n3 -> (npt, n1, n2, 6)
+            # (n1, n2, n3, 6) -> contract n3 -> (npt3, n1, n2, 6)
             vre, vim = contract_split(cre, cim, c3, s3, 2)
-            # contract n2 (axis 2) -> (npt2, npt3, n1, 6)
-            vre, vim = contract_split(vre, vim, c2, s2, 2)
-            # -> (n1, 6, npt2, npt3) entry-major, grid minor
-            vre = jnp.transpose(vre, (2, 3, 0, 1))
-            vim = jnp.transpose(vim, (2, 3, 0, 1))
-            n1 = vre.shape[0]
-            bre = vre.reshape(n1, -1)
-            bim = vim.reshape(n1, -1)
-            bsum = (vre[:, 3:] + vim[:, 3:]).reshape(n1, -1)
+            # -> (n1, n2, 6, npt3) -> (n1, n2*6*npt3)
+            vre = jnp.transpose(vre, (1, 2, 3, 0)).reshape(self.n1, -1)
+            vim = jnp.transpose(vim, (1, 2, 3, 0)).reshape(self.n1, -1)
             out = ()
-            for b in (bre, bim, bsum):
-                sl, sc = ozaki_prepare_rhs(b, self.ndiag)
-                out += tuple(sl) + (sc,)
+            for b in (vre, vim, vre + vim):
+                out += ozaki_prepare_rhs(b, self.ndiag)
+            # stage-B left operands are fixed per rung: slice once
+            for a in (c2, s2, c2 + s2):
+                a_cats, sA = ozaki_prepare_lhs(a, self.ndiag)
+                out += a_cats + (sA,)
             return out
 
         return prep(self.c6_re, self.c6_im, jnp.asarray(c3), jnp.asarray(s3),
@@ -118,56 +131,101 @@ class FullGridSpectralSweep:
 
     def _make_run(self, npt):
         S = self.slab
-        n1 = self.n1
-        M = npt * npt
+        n1, n2 = self.n1, self.n2
         W = self.omegas.size
         OB = self.omega_batch
         eta32 = jnp.float32(self.eta)
-        nb = self.ndiag
+        nd = self.ndiag
+        M2 = 6 * S * npt  # stage-B row width (entry-major, (6, S, npt3))
+        # Lorentzian point chunking: ~1.6M points per pass, chunk along npt2
+        rows = max(1, int(1.6e6 // (S * npt)))
+        while npt % rows:
+            rows -= 1
+        nch = npt // rows
+        CH = rows * S * npt
+
+        def unpack(prepared):
+            i = 0
+            rhs = []
+            for _ in range(3):  # I3 re / im / sum
+                rhs.append((prepared[i], prepared[i + 1]))
+                i += 2
+            lhs = []
+            for _ in range(3):  # cos2 / sin2 / cos2+sin2 slice cats
+                lhs.append((prepared[i:i + nd], prepared[i + nd]))
+                i += nd + 1
+            return rhs, lhs
 
         @jax.jit
         def run(i0, nsl, cosP, sinP, rowmask, omhi, omlo, *prepared):
-            bre_sl, sre = prepared[:nb], prepared[nb]
-            bim_sl, sim = prepared[nb + 1:2 * nb + 1], prepared[2 * nb + 1]
-            bsm_sl, ssm = prepared[2 * nb + 2:3 * nb + 2], prepared[3 * nb + 2]
+            (i3re, i3im, i3sm), (a2c, a2s, a2cs) = unpack(prepared)
 
             def body(i, acc):
                 cs = jax.lax.dynamic_slice(cosP, (i * S, 0), (S, n1))
                 sn = jax.lax.dynamic_slice(sinP, (i * S, 0), (S, n1))
                 w = jax.lax.dynamic_slice(rowmask, (i * S,), (S,))
-                # Karatsuba x Ozaki: re = cc - ss, im = (c+s)(re+im) - cc - ss
-                R1 = ozaki_matmul_prepared(cs, bre_sl, sre, n1).reshape(S, 6, M)
-                R2 = ozaki_matmul_prepared(sn, bim_sl, sim, n1).reshape(S, 6, M)
-                R3 = ozaki_matmul_prepared(cs + sn, bsm_sl, ssm, n1).reshape(S, 3, M)
-                re6 = R1 - R2
-                im3 = R3 - R1[:, 3:] - R2[:, 3:]
+                # ---- stage A: contract n1 (Karatsuba x Ozaki) ----
+                JA = ozaki_matmul_prepared(cs, *i3re, n1)  # (S, n2*6*npt3)
+                JB = ozaki_matmul_prepared(sn, *i3im, n1)
+                JC = ozaki_matmul_prepared(cs + sn, *i3sm, n1)
+                jre = JA - JB
+                jim = JC - JA - JB
+                # -> (n2, 6*S*npt3) with column layout (6, S, npt3)
+                def tob(x):
+                    return jnp.transpose(
+                        x.reshape(S, n2, 6, npt), (1, 2, 0, 3)
+                    ).reshape(n2, M2)
+
+                jre = tob(jre)
+                jim = tob(jim)
+                bre, sre = ozaki_prepare_rhs(jre, nd)
+                bim, sim = ozaki_prepare_rhs(jim, nd)
+                # off-diagonal tail only: diagonals of Hermitian H are real
+                bsm, ssm = ozaki_prepare_rhs((jre + jim)[:, M2 // 2:], nd)
+                # ---- stage B: contract n2 ----
+                R1 = ozaki_matmul_sliced(a2c[0], a2c[1], bre, sre, n2)  # (npt2, M2)
+                R2 = ozaki_matmul_sliced(a2s[0], a2s[1], bim, sim, n2)
+                R3 = ozaki_matmul_sliced(a2cs[0], a2cs[1], bsm, ssm, n2)
+                re6 = (R1 - R2).reshape(npt, 6, S * npt)
+                im3 = (R3 - R1[:, M2 // 2:] - R2[:, M2 // 2:]).reshape(npt, 3, S * npt)
                 lo, mid, hi = eigvalsh3_rows(
                     re6[:, 0], re6[:, 1], re6[:, 2],
                     re6[:, 3], im3[:, 0],
                     re6[:, 4], im3[:, 1],
                     re6[:, 5], im3[:, 2],
                 )
-                # two-float omega - e: hi parts cancel exactly (Sterbenz),
-                # lo parts carry the f64 residue — preserves the o - e
-                # cancellation without re-reading f64 rows per omega
-                w32 = w.astype(jnp.float32)[:, None]
+                # ---- Lorentzian reduction, chunked along npt2 ----
+                wcol = jnp.repeat(w.astype(jnp.float32), npt)  # (S*npt3,)
+                wch = jnp.broadcast_to(wcol[None], (rows, S * npt)).reshape(1, CH)
 
-                def band(e):
+                def echunks(e):
                     ehi = e.astype(jnp.float32)
                     elo = (e - ehi).astype(jnp.float32)
+                    return ehi.reshape(nch, CH), elo.reshape(nch, CH)
 
+                l1, l2 = echunks(lo)
+                m1, m2 = echunks(mid)
+                h1, h2 = echunks(hi)
+
+                def chunk(carry, xs):
                     def one(ob):
                         oh, ol = ob  # (OB,)
-                        t = (oh[:, None, None] - ehi[None]) + (ol[:, None, None] - elo[None])
-                        lor = eta32 / (t * t + eta32 * eta32)
-                        return jnp.sum(lor * w32[None], axis=(1, 2))
+                        tot = jnp.zeros((OB,), jnp.float32)
+                        for ehi, elo in ((xs[0], xs[1]), (xs[2], xs[3]), (xs[4], xs[5])):
+                            t = (oh[:, None] - ehi[None]) + (ol[:, None] - elo[None])
+                            tot = tot + jnp.sum(
+                                (eta32 / (t * t + eta32 * eta32)) * wch, axis=1
+                            )
+                        return tot
 
-                    return jax.lax.map(
+                    d = jax.lax.map(
                         one, (omhi.reshape(-1, OB), omlo.reshape(-1, OB))
                     ).reshape(W)
+                    return carry + d.astype(jnp.float64), None
 
-                d = band(lo) + band(mid) + band(hi)
-                return acc + d.astype(jnp.float64)
+                init = jnp.zeros((W,), jnp.float64) + cs[0, 0] * 0.0
+                d, _ = jax.lax.scan(chunk, init, (l1, l2, m1, m2, h1, h2))
+                return acc + d
 
             # init derives from cosP so that under shard_map the carry is
             # device-varying like the body output (plain zeros are unvarying
@@ -180,14 +238,10 @@ class FullGridSpectralSweep:
 
     # -- public API ----------------------------------------------------------
 
-    def rung(self, npt, progress=None):
-        """DOS partial sums over the full npt^3 grid: returns the (W,) array
-        ``sum_k sum_b eta/((omega - e_b(k))^2 + eta^2) / pi`` (caller applies
-        the det(B)/npt^3 measure)."""
+    def _tables(self, npt, row_multiple):
         S = self.slab
-        prepared = self._prepare(npt)
         c1, s1 = _phase_table(npt, self.n1, self.offset[0])
-        nrows = -(-npt // S) * S
+        nrows = -(-npt // row_multiple) * row_multiple
         cosP = np.zeros((nrows, self.n1))
         sinP = np.zeros((nrows, self.n1))
         cosP[:npt], sinP[:npt] = c1, s1
@@ -195,18 +249,16 @@ class FullGridSpectralSweep:
         rowmask[:npt] = 1.0
         omhi = self.omegas.astype(np.float32)
         omlo = (self.omegas - omhi).astype(np.float32)
+        return (jnp.asarray(cosP), jnp.asarray(sinP), jnp.asarray(rowmask),
+                jnp.asarray(omhi), jnp.asarray(omlo), nrows // S)
 
-        if npt not in self._run_cache:
-            self._run_cache[npt] = self._make_run(npt)
-        run = self._run_cache[npt]
-
-        cosP = jnp.asarray(cosP)
-        sinP = jnp.asarray(sinP)
-        rowmask = jnp.asarray(rowmask)
-        omhi = jnp.asarray(omhi)
-        omlo = jnp.asarray(omlo)
-
-        nslab = nrows // S
+    def rung(self, npt, progress=None):
+        """DOS partial sums over the full npt^3 grid: returns the (W,) array
+        ``sum_k sum_b eta/((omega - e_b(k))^2 + eta^2) / pi`` (caller applies
+        the det(B)/npt^3 measure)."""
+        prepared = self._prepare(npt)
+        cosP, sinP, rowmask, omhi, omlo, nslab = self._tables(npt, self.slab)
+        run = self._run_cache.setdefault(npt, self._make_run(npt))
         acc = np.zeros(self.omegas.size)
         for i0 in range(0, nslab, self.spd):
             nsl = min(self.spd, nslab - i0)
@@ -217,29 +269,20 @@ class FullGridSpectralSweep:
 
     def rung_sharded(self, npt, mesh, axis="k"):
         """Pod-parallel rung: outer-dimension grid rows shard over ``mesh``'s
-        ``axis`` (the Fourier intermediate replicates — it is O(n1 * npt^2),
-        small next to the streamed slabs), per-device slab loops run
-        independently, and one ``psum`` over ICI combines the (W,) DOS
-        partials.  Exactly the full-grid analogue of the reference's
-        ``BatchIntegrand`` distribution hook (``/root/reference/src/batch.jl:5-7``)."""
+        ``axis`` (the pre-sliced per-rung operands are O(npt) and replicate),
+        per-device slab loops run independently, and one ``psum`` over ICI
+        combines the (W,) DOS partials.  The full-grid analogue of the
+        reference's ``BatchIntegrand`` distribution hook
+        (``/root/reference/src/batch.jl:5-7``)."""
         from jax.sharding import PartitionSpec as P
         from jax.experimental.shard_map import shard_map
 
         S = self.slab
         ndev = mesh.shape[axis]
         prepared = self._prepare(npt)
-        c1, s1 = _phase_table(npt, self.n1, self.offset[0])
-        nrows = -(-npt // (S * ndev)) * S * ndev
-        cosP = np.zeros((nrows, self.n1))
-        sinP = np.zeros((nrows, self.n1))
-        cosP[:npt], sinP[:npt] = c1, s1
-        rowmask = np.zeros(nrows)
-        rowmask[:npt] = 1.0
-        omhi = self.omegas.astype(np.float32)
-        omlo = (self.omegas - omhi).astype(np.float32)
-
+        cosP, sinP, rowmask, omhi, omlo, nslab = self._tables(npt, S * ndev)
         run = self._run_cache.setdefault(npt, self._make_run(npt))
-        nsl_local = nrows // ndev // S
+        nsl_local = nslab // ndev
 
         @jax.jit
         def sharded(cosP, sinP, rowmask, omhi, omlo, *prepared):
@@ -251,7 +294,5 @@ class FullGridSpectralSweep:
             return shard_map(local, mesh=mesh, in_specs=tuple(spec),
                              out_specs=P())(cosP, sinP, rowmask, omhi, omlo, *prepared)
 
-        acc = np.asarray(sharded(jnp.asarray(cosP), jnp.asarray(sinP),
-                                 jnp.asarray(rowmask), jnp.asarray(omhi),
-                                 jnp.asarray(omlo), *prepared))
+        acc = np.asarray(sharded(cosP, sinP, rowmask, omhi, omlo, *prepared))
         return acc / np.pi

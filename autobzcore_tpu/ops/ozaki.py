@@ -12,23 +12,30 @@ FP64 GEMM" kernels use):
 2. peel the scaled mantissas into ``t = 8``-bit integer slices, each exactly
    representable in bfloat16 (integers up to 256);
 3. multiply slice pairs on the MXU with f32 accumulation — products are
-   integers < 2^16 and sums over n <= 255 terms stay below 2^24, so every
-   slice-pair product is EXACT;
-4. recombine the slice-pair products in f64, grouped by total shift
-   ``p + q`` (one power-of-256 scale per diagonal), and restore the
-   row/column scales.
+   integers < 2^16, so sums stay exact while the contraction depth is below
+   2^8 terms;
+4. recombine in f64 by total shift ``p + q`` (one power-of-256 per diagonal)
+   and restore the row/column scales.
 
-With ``ndiag`` slices per operand and diagonals ``p + q < ndiag``, the
-dominant error is the operand-mantissa truncation ``~0.5 * 256^-ndiag``
-relative to the row/column max: ndiag=5 -> ~7e-13, ndiag=6 (default, 21
-slice-pair matmuls) -> ~3e-15, ndiag=7 -> f64 roundoff (validated against
-host f64 in tests/test_ozaki.py).
+**Diagonal concatenation**: all pairs with ``p + q = d`` are fused into ONE
+dot — ``[a_d | a_{d-1} | ... | a_0] @ [b_0; b_1; ...; b_d]`` — which cuts
+the f32 partial-product output traffic from ``ndiag (ndiag+1)/2`` buffers to
+``ndiag`` and deepens the MXU contraction.  Storing B's slices stacked as a
+``(ndiag * n, M)`` array makes every diagonal's right operand a zero-copy
+row-prefix view; only the tiny A slices are concatenated per diagonal.
+In-dot f32 accumulation stays exact while ``n * ndiag * 2^16 < 2^24``
+(n <= 42 at ndiag=6); larger contractions fall back to per-pair products
+with f64 accumulation.
 
-Used by ``ops/csplit_eval.py`` for the split-complex Fourier contraction
-(north-star f64 ladder, split-IAI point batches).  Reference has no
-analogue — its f64 is Julia-native (`/root/reference/src/fourier.jl`
-evaluates series in hardware f64); this is the TPU-native route to the same
-precision tier.
+With ``ndiag`` slices per operand the dominant error is the operand-mantissa
+truncation ``~0.5 * 256^-ndiag`` relative to the row/column max: ndiag=5 ->
+~7e-13, ndiag=6 (default) -> ~3e-15, ndiag=7 -> f64 roundoff (validated
+against host f64 in tests/test_ozaki.py).
+
+Used by ``ops/csplit_eval.py`` (split-complex Fourier contraction) and
+``ops/grid_sweep.py`` (north-star f64 ladder).  Reference has no analogue —
+its f64 is Julia-native (`/root/reference/src/fourier.jl` evaluates series
+in hardware f64); this is the TPU-native route to the same precision tier.
 """
 from __future__ import annotations
 
@@ -40,7 +47,7 @@ import numpy as np
 
 _T = 8  # bits per slice
 _RADIX = float(1 << _T)  # 256.0
-_DEFAULT_DIAGS = 6  # diagonals 0..5 -> 21 matmuls, ~1e-14 below row/col max
+_DEFAULT_DIAGS = 6  # ~1e-14 below row/col max
 
 
 def _pow2_scale(x, axis):
@@ -74,62 +81,89 @@ def _slices(x, nslice):
 
 
 def ozaki_prepare_rhs(B, ndiag=_DEFAULT_DIAGS):
-    """Pre-slice the right operand: returns ``(b_slices, sB)`` reusable
-    across many :func:`ozaki_matmul_prepared` calls (e.g. a fixed Fourier
-    intermediate contracted against many phase slabs)."""
+    """Pre-slice the right operand: returns ``(b_stacked, sB)`` with the
+    slices stacked along the contraction axis — ``b_stacked[(q*n):(q+1)*n]``
+    is slice ``q`` — so each diagonal's operand is a zero-copy row prefix.
+    Reusable across many :func:`ozaki_matmul_prepared` calls (e.g. a fixed
+    Fourier intermediate contracted against many phase slabs)."""
     B = jnp.asarray(B, jnp.float64)
     sB = _pow2_scale(B, 0)  # (1, M)
-    return tuple(_slices(B / sB, ndiag)), sB
+    return jnp.concatenate(_slices(B / sB, ndiag), axis=0), sB
 
 
-def ozaki_matmul_prepared(A, b_sl, sB, n):
-    """``A (K, n) @ B`` where ``B`` was prepared by :func:`ozaki_prepare_rhs`
-    (``n`` = contraction length, needed for the f32-accumulation guard)."""
-    ndiag = len(b_sl)
+def ozaki_prepare_lhs(A, ndiag=_DEFAULT_DIAGS):
+    """Pre-slice the left operand: returns ``(a_cats, sA)`` where
+    ``a_cats[d] = [a_d | a_{d-1} | ... | a_0]`` pairs against the stacked
+    right prefix ``b[:(d+1) * n]``."""
     A = jnp.asarray(A, jnp.float64)
     sA = _pow2_scale(A, 1)  # (K, 1)
     a_sl = _slices(A / sA, ndiag)
-    out = jnp.zeros((A.shape[0], b_sl[0].shape[1]), jnp.float64)
-    for d in range(ndiag - 1, -1, -1):
-        # all pairs p + q == d share the scale 256^-(d+2); their f32 products
-        # are exact integers, and the per-diagonal f32 sum of <= ndiag of them
-        # stays below 2^24 for n <= 255/ndiag -- accumulate in f64 to be safe
-        # for every n
-        # cross-pair f32 accumulation is exact only while n*(d+1)*2^16 < 2^24
-        f32_safe = n * (d + 1) < 256
-        diag = None
-        for p in range(d + 1):
-            q = d - p
-            prod = jax.lax.dot_general(
-                a_sl[p],
-                b_sl[q],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if not f32_safe:
-                prod = prod.astype(jnp.float64)
-            diag = prod if diag is None else diag + prod
-        out = out + diag.astype(jnp.float64) * (_RADIX ** -(d + 2))
+    a_cats = tuple(
+        jnp.concatenate([a_sl[d - q] for q in range(d + 1)], axis=1)
+        for d in range(ndiag)
+    )
+    return a_cats, sA
+
+
+def _recombine(diags, sA, sB):
+    out = None
+    for d, prod in enumerate(diags):
+        term = prod.astype(jnp.float64) * (_RADIX ** -(d + 2))
+        out = term if out is None else out + term
     return out * sA * sB
 
 
-def ozaki_matmul(A, B, ndiag=_DEFAULT_DIAGS):
-    """``A (K, n) @ B (n, M)`` in f64 via bf16 slice products on the MXU.
+def ozaki_matmul_sliced(a_cats, sA, b_stacked, sB, n):
+    """Matmul from pre-sliced operands (see the prepare functions)."""
+    ndiag = len(a_cats)
+    diags = []
+    for d in range(ndiag):
+        prod = jax.lax.dot_general(
+            a_cats[d],
+            b_stacked[: (d + 1) * n],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        diags.append(prod)
+    return _recombine(diags, sA, sB)
 
-    ``n`` must be <= 255 so f32 slice-product accumulation stays exact.
-    ``ndiag`` = number of slices per operand and shift diagonals kept
-    (p + q < ndiag); 5 keeps ~48 bits below the per-row/column max, 6
-    (default) ~3e-15, 7 reaches f64 roundoff.
-    """
+
+def ozaki_matmul_prepared(A, b_stacked, sB, n):
+    """``A (K, n) @ B`` where ``B`` was prepared by :func:`ozaki_prepare_rhs`."""
+    ndiag = b_stacked.shape[0] // n
+    if n * ndiag * (1 << (2 * _T)) < (1 << 24):
+        a_cats, sA = ozaki_prepare_lhs(A, ndiag)
+        return ozaki_matmul_sliced(a_cats, sA, b_stacked, sB, n)
+    # deep contraction: per-pair products, f64 accumulation (exact regardless)
+    A = jnp.asarray(A, jnp.float64)
+    sA = _pow2_scale(A, 1)
+    a_sl = _slices(A / sA, ndiag)
+    diags = []
+    for d in range(ndiag):
+        diag = None
+        for p in range(d + 1):
+            prod = jax.lax.dot_general(
+                a_sl[p],
+                b_stacked[(d - p) * n:(d - p + 1) * n],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float64)
+            diag = prod if diag is None else diag + prod
+        diags.append(diag)
+    return _recombine(diags, sA, sB)
+
+
+def ozaki_matmul(A, B, ndiag=_DEFAULT_DIAGS):
+    """``A (K, n) @ B (n, M)`` in f64 via bf16 slice products on the MXU."""
     n = A.shape[1]
     if n > 255:
-        # chunk the contraction to preserve exact f32 accumulation
+        # chunk the contraction so each piece's slice products stay exact
         mid = (n // 2 + 127) & ~127 or 128
         return ozaki_matmul(A[:, :mid], B[:mid], ndiag) + ozaki_matmul(
             A[:, mid:], B[mid:], ndiag
         )
-    b_sl, sB = ozaki_prepare_rhs(B, ndiag)
-    return ozaki_matmul_prepared(A, b_sl, sB, n)
+    b_stacked, sB = ozaki_prepare_rhs(B, ndiag)
+    return ozaki_matmul_prepared(A, b_stacked, sB, n)
 
 
 def ozaki_tensordot(C, V, axis, ndiag=_DEFAULT_DIAGS):

@@ -84,6 +84,11 @@ def main(argv=None):
     ap.add_argument("--ladder", default="140,200,280,400,560")
     ap.add_argument("--save", default=None, help="save each rung's DOS curve to this .npz")
     ap.add_argument("--prev", default=None, help=".npz with a prior rung's curve (key D, npt) to diff against")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard fullgrid slabs over this many devices "
+                    "(psum combine; 0 = single device). Validate without a "
+                    "pod via JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_"
+                    "platform_device_count=8")
     ap.add_argument("--engine", choices=("fullgrid", "reduced"), default="fullgrid",
                     help="fullgrid: slab-streamed full npt^3 grid on the MXU "
                     "(Ozaki slice matmuls, no host symmetry enumeration); "
@@ -93,6 +98,12 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    # the hosted-TPU tunnel ignores JAX_PLATFORMS — honor an explicit CPU
+    # request (mesh validation without a pod) BEFORE any eager op dispatches
+    # to the remote device
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     # persist compiled executables across runs — the remote AOT compile of a
     # new rung shape costs minutes through the hosted-TPU tunnel
@@ -111,10 +122,24 @@ def main(argv=None):
     omegas = np.linspace(10.0, 15.0, args.nomega)
 
     t0 = time.perf_counter()
+    mesh = None
     if args.engine == "fullgrid":
         from autobzcore_tpu.ops.grid_sweep import FullGridSpectralSweep
 
         sweep = FullGridSpectralSweep(h, omegas, args.eta)
+        if args.mesh:
+            from jax.sharding import Mesh
+
+            if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+                devs = jax.devices("cpu")
+            else:
+                devs = jax.devices()
+            if len(devs) < args.mesh:
+                raise SystemExit(f"--mesh {args.mesh} but only {len(devs)} "
+                                 f"{devs[0].platform} devices are visible")
+            mesh = Mesh(np.array(devs[:args.mesh]), ("k",))
+            print(f"sharding slabs over {args.mesh} {devs[0].platform} "
+                  "devices (psum combine)", file=sys.stderr)
         t_compile = 0.0  # compiles fold into each rung's first dispatch
     else:
         block_fn = make_block_fn(h, omegas, args.eta)
@@ -140,7 +165,10 @@ def main(argv=None):
                 print(f"    npt={_npt}: slabs {done}/{total} at "
                       f"{time.perf_counter() - _t0:.1f}s", file=sys.stderr)
 
-            acc = sweep.rung(npt, progress=prog)
+            if mesh is not None:
+                acc = sweep.rung_sharded(npt, mesh)
+            else:
+                acc = sweep.rung(npt, progress=prog)
             D = acc * detB / npt**3
             t_dev = time.perf_counter() - t0
             total_t += t_dev

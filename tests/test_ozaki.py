@@ -46,6 +46,15 @@ def test_more_diagonals_tightens():
     assert _err(A, B, ndiag=7) < 1e-15
 
 
+def test_deep_contraction_fallback():
+    """43 <= n <= 255: in-dot diagonal fusion would overflow exact f32
+    accumulation, so the per-pair f64-accumulation branch must engage."""
+    rng = np.random.default_rng(6)
+    A = rng.normal(size=(24, 100))
+    B = rng.normal(size=(100, 48))
+    assert _err(A, B) < 1e-13
+
+
 def test_chunked_large_n():
     """n > 255 splits the contraction to keep f32 accumulation exact."""
     rng = np.random.default_rng(3)

@@ -43,14 +43,19 @@ def contract_split(vre, vim, cos, sin, axis):
     end-to-end on the f64 grid path (TPU v5e, npt=100^3 SrVO3) at
     machine-noise difference (1e-13 abs) from the 4-matmul form.
 
-    On TPU the tensordots route through the Ozaki bf16-slice scheme
+    On TPU, LARGE tensordots route through the Ozaki bf16-slice scheme
     (``ops/ozaki.py``): XLA's emulated-f64 dot-general runs off the MXU at
-    ~6 GFLOP/s, while the slice products ride the systolic array."""
+    ~6 GFLOP/s, while the slice products ride the systolic array.  Small
+    contractions (adaptive-pool leaf evaluations: K ~ 1e3 nodes x few values)
+    stay on the emulated dot — slicing overhead dominates there (measured:
+    the SrVO3 host-outer IAI solve regressed 180 -> 235 s with Ozaki forced,
+    while the npt=100^3 grid contraction gains 7.4x)."""
     import jax
 
     from autobzcore_tpu.ops.ozaki import ozaki_tensordot, use_ozaki
 
-    if use_ozaki():
+    out_elems = cos.shape[0] * (vre.size // max(vre.shape[axis], 1))
+    if use_ozaki() and out_elems >= (1 << 17):
         td = lambda c, v: ozaki_tensordot(c, v, axis)  # noqa: E731
     else:
         prec = jax.lax.Precision.HIGHEST  # TPU default matmul precision is bf16

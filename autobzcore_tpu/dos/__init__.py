@@ -1,6 +1,7 @@
 from .interfaces import DOSProblem, DOSSolution, DOSCache, DOSAlgorithm, init, solve, solve_
 from .ggr import GGR
 from .tetrahedron import LTM, AdaptiveGaussianBroadening
+from .fullgrid import LorentzianFullGrid
 
 __all__ = ["DOSProblem", "DOSSolution", "DOSCache", "DOSAlgorithm", "GGR", "LTM",
-           "AdaptiveGaussianBroadening", "init", "solve", "solve_"]
+           "AdaptiveGaussianBroadening", "LorentzianFullGrid", "init", "solve", "solve_"]

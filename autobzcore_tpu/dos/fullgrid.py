@@ -1,0 +1,131 @@
+"""Lorentzian-broadened DOS through the streaming full-grid engine.
+
+``LorentzianFullGrid(eta)`` exposes the north-star ladder
+(``ops/grid_sweep.FullGridSpectralSweep`` — Ozaki bf16-slice MXU matmuls,
+struct-of-arrays Cardano, omega-batched Lorentzian reduction) as a
+first-class :class:`~autobzcore_tpu.dos.interfaces.DOSAlgorithm`: the
+Richardson ladder of full npt^3 PTR grids refines until the sup-norm change
+of the whole DOS curve falls under ``abstol``.  On one TPU v5e chip the
+SrVO3 1000-omega curve converges to abstol=1e-5 in ~4 minutes warm
+(BASELINE.md).  Contrast with :class:`~.ggr.GGR`/:class:`~.tetrahedron.LTM`
+(sharp, delta-function DOS from one fixed grid) — this algorithm computes
+the eta-broadened spectral density with a CONVERGENCE GUARANTEE in the grid,
+the quantity the reference's aps_example sweeps
+(``aps_example/aps_example.jl:30``).
+
+Normalization matches GGR/LTM: DOS per unit fractional zone volume (each
+band integrates to 1 over energy).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..brillouin import SymmetricBZ
+from ..fourier import FourierSeries, JacobianSeries
+from ..ops.grid_sweep import FullGridSpectralSweep
+from .interfaces import DOSAlgorithm, DOSSolution
+
+
+class LorentzianFullGrid(DOSAlgorithm):
+    """``LorentzianFullGrid(eta, nmin=50, nmax=2000, factor=sqrt(2))``.
+
+    ``eta``: Lorentzian broadening.  The npt ladder grows geometrically from
+    ``nmin`` by ``factor`` (capped at ``nmax``) until ``max|D_k - D_{k-1}|
+    <= max(abstol, reltol * max|D_k|)``; ``maxiters`` bounds the TOTAL grid
+    points evaluated (budget exhaustion -> ``retcode=False``).  ``mesh``
+    shards slab rows over a device-mesh axis (``rung_sharded``).
+
+    Requires a 3D, 3x3 Hermitian ``FourierSeries`` (the engine's Cardano/
+    Hermitian-entry specialization); use :class:`GGR`/:class:`LTM` for other
+    band counts.
+
+    Precision floor: eigenvalues carry full (split-)f64, but the Lorentzian
+    evaluation runs in two-float f32 — rung-to-rung agreement bottoms out
+    around ``1e-6 * max(D)``, so ``abstol`` below ~1e-6 cannot certify.
+    """
+
+    def __init__(self, eta, nmin=50, nmax=2000, factor=np.sqrt(2.0), mesh=None,
+                 **engine_kwargs):
+        self.eta = float(eta)
+        self.nmin = int(nmin)
+        self.nmax = int(nmax)
+        self.factor = float(factor)
+        self.mesh = mesh
+        self.engine_kwargs = engine_kwargs
+
+    def npt_ladder(self):
+        npt = self.nmin
+        while True:
+            yield npt
+            if npt >= self.nmax:
+                return
+            npt = min(self.nmax, max(npt + 1, int(round(npt * self.factor))))
+
+    def init_cacheval(self, h, domain, p):
+        if isinstance(h, JacobianSeries):
+            h = h.s
+        if not isinstance(h, FourierSeries):
+            raise TypeError("LorentzianFullGrid requires a FourierSeries Hamiltonian")
+        if not isinstance(p, SymmetricBZ):
+            raise TypeError("LorentzianFullGrid takes the BZ as the problem parameter")
+        c = np.asarray(h.c)
+        if p.ndim != 3 or c.ndim != 5 or c.shape[-2:] != (3, 3):
+            raise ValueError(
+                "LorentzianFullGrid supports 3D, 3x3 Hermitian series "
+                "(the full-grid engine's specialization); use GGR/LTM otherwise"
+            )
+        # engines are built per energy grid at solve time; cache them so
+        # repeated sweeps over the same grid reuse compiled rung kernels
+        return {"h": h, "engines": {}}
+
+    def _engine(self, cacheval, Es):
+        key = (len(Es), float(Es[0]), float(Es[-1]), self.eta)
+        eng = cacheval["engines"].get(key)
+        if eng is None:
+            eng = FullGridSpectralSweep(cacheval["h"], Es, self.eta,
+                                        **self.engine_kwargs)
+            cacheval["engines"][key] = eng
+        return eng
+
+    def _ladder(self, cacheval, Es, abstol, reltol, maxiters):
+        eng = self._engine(cacheval, Es)
+        atol = 0.0 if abstol is None else float(abstol)
+        rtol = 0.0 if reltol is None else float(reltol)
+        if abstol is None and reltol is None:
+            atol = 1e-8
+        budget = np.inf if maxiters is None else float(maxiters)
+        prev = None
+        D = None
+        err = np.inf
+        nev = 0
+        for npt in self.npt_ladder():
+            if nev + npt**3 > budget and prev is not None:
+                return D, err, False, nev
+            if self.mesh is not None:
+                acc = eng.rung_sharded(npt, self.mesh)
+            else:
+                acc = eng.rung(npt)
+            nev += npt**3
+            D = acc / npt**3
+            if prev is not None:
+                err = float(np.max(np.abs(D - prev)))
+                if err <= max(atol, rtol * float(np.max(np.abs(D)))):
+                    return D, err, True, nev
+            prev = D
+        return D, err, err <= max(atol, rtol * float(np.max(np.abs(D)))), nev
+
+    def dos_solve(self, h, domain, p, cacheval, abstol=None, reltol=None, maxiters=None):
+        Es = np.atleast_1d(np.asarray(domain, np.float64))
+        D, err, ok, nev = self._ladder(cacheval, Es, abstol, reltol, maxiters)
+        val = jnp.asarray(D[0] if np.ndim(domain) == 0 else D)
+        return DOSSolution(val, err, bool(ok), int(nev))
+
+    def dos_sweep(self, cacheval, Es, abstol=None, reltol=None, maxiters=None):
+        """Converged broadened DOS over a whole energy grid (the ladder's
+        convergence test runs on the sup-norm of the full curve)."""
+        D, err, ok, nev = self._ladder(
+            cacheval, np.asarray(Es, np.float64), abstol, reltol, maxiters
+        )
+        return jnp.asarray(D)

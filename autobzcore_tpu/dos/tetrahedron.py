@@ -45,15 +45,15 @@ def _safe(x):
 
 
 def _dos_segment(E, ec, tol):
-    """d=1: corners (..., 2) sorted ascending; DOS of a linear band."""
-    e1, e2 = ec[..., 0], ec[..., 1]
+    """d=1: corners (2, ...) sorted ascending; DOS of a linear band."""
+    e1, e2 = ec[0], ec[1]
     inside = (E >= e1) & (E < e2) & (e2 - e1 > tol)
     return jnp.where(inside, 1.0 / _safe(e2 - e1), 0.0)
 
 
 def _dos_triangle(E, ec, tol):
-    """d=2 (Lehmann–Taut): corners (..., 3) sorted ascending."""
-    e1, e2, e3 = ec[..., 0], ec[..., 1], ec[..., 2]
+    """d=2 (Lehmann–Taut): corners (3, ...) sorted ascending."""
+    e1, e2, e3 = ec[0], ec[1], ec[2]
     d31 = _safe(e3 - e1)
     # flat (symmetry-degenerate) simplices are delta-spikes of measure zero:
     # drop them, as GGR drops v ~ 0 critical boxes
@@ -66,8 +66,8 @@ def _dos_triangle(E, ec, tol):
 
 
 def _dos_tetrahedron(E, ec, tol):
-    """d=3 (Bloechl Eq. A2-A4): corners (..., 4) sorted ascending."""
-    e1, e2, e3, e4 = ec[..., 0], ec[..., 1], ec[..., 2], ec[..., 3]
+    """d=3 (Bloechl Eq. A2-A4): corners (4, ...) sorted ascending."""
+    e1, e2, e3, e4 = ec[0], ec[1], ec[2], ec[3]
     d21, d31, d41 = _safe(e2 - e1), _safe(e3 - e1), _safe(e4 - e1)
     d32, d42, d43 = _safe(e3 - e2), _safe(e4 - e2), _safe(e4 - e3)
     ok = e4 - e1 > tol  # drop flat (delta-spike) tetrahedra
@@ -87,14 +87,14 @@ _DOS_FORMULAS = {1: _dos_segment, 2: _dos_triangle, 3: _dos_tetrahedron}
 
 def _nos_segment(E, ec, tol):
     """Fraction of a linear 1D segment below E (integrated DOS)."""
-    e1, e2 = ec[..., 0], ec[..., 1]
+    e1, e2 = ec[0], ec[1]
     flat = e2 - e1 <= tol
     frac = jnp.clip((E - e1) / _safe(e2 - e1), 0.0, 1.0)
     return jnp.where(flat, jnp.where(E >= e1, 1.0, 0.0), frac)
 
 
 def _nos_triangle(E, ec, tol):
-    e1, e2, e3 = ec[..., 0], ec[..., 1], ec[..., 2]
+    e1, e2, e3 = ec[0], ec[1], ec[2]
     e21, e31, e32 = _safe(e2 - e1), _safe(e3 - e1), _safe(e3 - e2)
     flat = e3 - e1 <= tol
     lo = (E >= e1) & (E < e2)
@@ -107,7 +107,7 @@ def _nos_triangle(E, ec, tol):
 
 def _nos_tetrahedron(E, ec, tol):
     """Bloechl Eq. A1-A5: occupied fraction of a linear tetrahedron."""
-    e1, e2, e3, e4 = ec[..., 0], ec[..., 1], ec[..., 2], ec[..., 3]
+    e1, e2, e3, e4 = ec[0], ec[1], ec[2], ec[3]
     e21, e31, e41 = _safe(e2 - e1), _safe(e3 - e1), _safe(e4 - e1)
     e32, e42, e43 = _safe(e3 - e2), _safe(e4 - e2), _safe(e4 - e3)
     flat = e4 - e1 <= tol
@@ -190,18 +190,28 @@ class LTM(DOSAlgorithm):
             if full2rep is not None:
                 e = e[jnp.asarray(full2rep)]  # scatter back to the full grid
             m = e.shape[-1]
-            eg = e.reshape((npt,) * d + (m,))
+            # band-major, grid-minor layout: TPU tiling pads the trailing two
+            # dims onto (8, 128) lanes, so tiny (m, nvert) minor axes blow a
+            # 550M corner tensor up to 22.9G (measured OOM) — keep N minor
+            eg = e.T.reshape((m,) + (npt,) * d)
             # the 2^d cell-corner values via periodic rolls
             corners = []
             for v in range(2**d):
                 shift = tuple(-((v >> j) & 1) for j in range(d))
-                corners.append(jnp.roll(eg, shift, axis=tuple(range(d))))
-            cs = jnp.stack(corners)  # (2^d, npt.., m)
-            cs = cs.reshape(2**d, npt**d, m)
-            # per simplex: gather its corners and sort along the corner axis
-            ec = jnp.stack([cs[np.array(sx)] for sx in simplices])  # (S, nvert, N, m)
-            ec = jnp.sort(jnp.moveaxis(ec, 1, -1), axis=-1)  # (S, N, m, nvert)
-            return ec
+                corners.append(jnp.roll(eg, shift, axis=tuple(range(1, d + 1))))
+            cs = jnp.stack(corners)  # (2^d, m, npt..)
+            cs = cs.reshape(2**d, m, npt**d)
+            # per corner: stack across simplices, then an explicit min/max
+            # exchange network sorts the nvert separate arrays elementwise —
+            # XLA's sort op forces the sorted dim minor, re-creating the
+            # tiny-minor-dim tiling blowup the layout above avoids
+            cs = cs.reshape(2**d, m * npt**d)
+            vs = [jnp.stack([cs[sx[v]] for sx in simplices]) for v in range(nvert)]
+            nets = {2: [(0, 1)], 3: [(0, 1), (1, 2), (0, 1)],
+                    4: [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)]}
+            for i, j in nets[nvert]:
+                vs[i], vs[j] = jnp.minimum(vs[i], vs[j]), jnp.maximum(vs[i], vs[j])
+            return jnp.stack(vs)  # (nvert, S, m*N)
 
         ec = sorted_corners()
         nsimp = len(simplices)
@@ -213,19 +223,25 @@ class LTM(DOSAlgorithm):
 
         nos_formula = _NOS_FORMULAS[d]
 
+        # the corner tensor enters as a jit ARGUMENT, not a closure constant:
+        # baked-in literals ship with every remote compile request (HTTP 413
+        # through the hosted-TPU tunnel at npt=100)
         @jax.jit
-        def dos_at(E):
+        def dos_at_(E, ec):
             return vol * jnp.sum(formula(E, ec, tol))
 
         @jax.jit
-        def nos_at(E):
+        def nos_at_(E, ec):
             return vol * jnp.sum(nos_formula(E, ec, tol))
 
+        dos_sweep_ = jax.jit(jax.vmap(dos_at_, in_axes=(0, None)))
+        nos_sweep_ = jax.jit(jax.vmap(nos_at_, in_axes=(0, None)))
+
         return {
-            "dos_at": dos_at,
-            "dos_sweep": jax.jit(jax.vmap(dos_at)),
-            "nos_at": nos_at,
-            "nos_sweep": jax.jit(jax.vmap(nos_at)),
+            "dos_at": lambda E: dos_at_(E, ec),
+            "dos_sweep": lambda Es: dos_sweep_(Es, ec),
+            "nos_at": lambda E: nos_at_(E, ec),
+            "nos_sweep": lambda Es: nos_sweep_(Es, ec),
             "corners": ec,
             "numevals": int(npt**d if lin is None else len(lin)),
             "nvert": nvert,

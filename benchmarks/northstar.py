@@ -109,7 +109,7 @@ def main(argv=None):
     # new rung shape costs minutes through the hosted-TPU tunnel
     from autobzcore_tpu.utils.profiling import enable_compile_cache
 
-    enable_compile_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    enable_compile_cache()  # shared with aps_example and library users
 
     from autobzcore_tpu import CubicSymIBZ, load_bz
     from autobzcore_tpu.io.wannier90 import hamiltonian_fourier_series, read_w90_hrdat

@@ -76,6 +76,10 @@ def main(argv=None):
     p.add_argument("--with-iai", action="store_true", help="also run the IAI solver")
     p.add_argument("--with-ltm", action="store_true",
                    help="also compute the sharp (eta->0) DOS by the linear tetrahedron method")
+    p.add_argument("--with-fullgrid", action="store_true",
+                   help="also compute the whole omega curve CONVERGED in the "
+                   "k-grid via the streaming full-grid f64 ladder "
+                   "(dos.LorentzianFullGrid; abstol from --abstol)")
     p.add_argument("--out", default="svo_dos.npz")
     args = p.parse_args(argv)
 
@@ -145,6 +149,35 @@ def main(argv=None):
     if args.with_iai and not iai_split:
         _run_iai(args, hr, bz, dos_integrand, eta, out, split=False,
                  integrand=integrand)
+
+    if args.with_fullgrid:
+        from autobzcore_tpu import DOSProblem
+        from autobzcore_tpu.dos import LorentzianFullGrid
+        from autobzcore_tpu.dos import init as dos_init
+
+        # the engine runs split-f64 (x64 tracing required; c128 never
+        # materializes on TPU) — flip x64 on for this leg only
+        x64_was = bool(jax.config.jax_enable_x64)
+        jax.config.update("jax_enable_x64", True)
+        h64 = hamiltonian_fourier_series(hr, dtype=np.complex128)
+        t0 = time.time()
+        # the eta=1e-2 curve needs npt >~ 500 for 1e-3 (BASELINE ladder);
+        # start at 400 so the geometric ladder certifies in ~3 rungs
+        wfg = np.linspace(10.0, 15.0, 1000)
+        fg = LorentzianFullGrid(eta, nmin=400, nmax=2000)
+        cache = dos_init(DOSProblem(h64, wfg, bz), fg, abstol=args.abstol)
+        detB = abs(float(np.linalg.det(bz.B)))
+        out["omega_fullgrid"] = wfg
+        out["dos_fullgrid"] = np.asarray(
+            fg.dos_sweep(cache.cacheval, wfg, abstol=args.abstol)
+        ) * detB
+        out["t_fullgrid"] = time.time() - t0
+        i125 = int(np.argmin(np.abs(wfg - 12.5)))
+        print(f"fullgrid ladder ({len(wfg)} omegas, abstol={args.abstol:g}): "
+              f"{out['t_fullgrid']:.2f}s; DOS({wfg[i125]:.4f}) = "
+              f"{out['dos_fullgrid'][i125]:.5f}",
+              file=sys.stderr)
+        jax.config.update("jax_enable_x64", x64_was)
 
     if args.with_ltm:
         from autobzcore_tpu import DOSProblem

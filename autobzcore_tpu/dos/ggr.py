@@ -79,20 +79,28 @@ class GGR(DOSAlgorithm):
     """``GGR(npt=50)`` (reference ``src/dos_algorithms.jl:23``).
 
     ``precision='auto'`` picks the complex path on CPU and the split-complex
-    f64 path (real-pair contraction + real-embedding eigh) on TPU, where
-    complex128 is unavailable; force with ``'complex'``/``'split'``.
+    f64 tier on TPU (complex128 is unavailable there).  Split tiers:
+    ``'rayleigh'`` (TPU default) gets f64 eigenvalues from a native c64 eigh
+    + split-f64 Rayleigh quotients, with f32-grade band velocities (~1e-6
+    relative DOS, plenty for every >=1e-5 tolerance target, and ~100x
+    cheaper than the embedding eigh at 30 bands); ``'split'`` computes
+    velocities in full f64 through the real-embedding eigh.  Force any of
+    ``'complex'``/``'rayleigh'``/``'split'``.
     """
 
     def __init__(self, npt=50, precision="auto"):
         self.npt = npt
         self.precision = precision
 
-    def _use_split(self):
+    def _split_tier(self):
+        """None (complex path) | 'rayleigh' | 'embedding'."""
         if self.precision == "split":
-            return True
+            return "embedding"
+        if self.precision == "rayleigh":
+            return "rayleigh"
         if self.precision == "complex":
-            return False
-        return jax.devices()[0].platform == "tpu"
+            return None
+        return "rayleigh" if jax.devices()[0].platform == "tpu" else None
 
     def init_cacheval(self, h, domain, p):
         if isinstance(h, JacobianSeries):
@@ -123,33 +131,90 @@ class GGR(DOSAlgorithm):
         else:
             lin = None
 
-        use_split = self._use_split()
+        split_tier = self._split_tier()
+        use_split = split_tier is not None
 
-        @jax.jit
-        def spectral():
-            if use_split:
-                from ..ops.csplit_eval import eigh_split, evaluate_grid_split
+        def spectral_split():
+            from ..ops.csplit_eval import eigh_split, evaluate_grid_split
+            from ..ops.rayleigh import eigvalsh_rayleigh
 
-                c_np = np.asarray(h.c)
-                cre, cim = c_np.real, c_np.imag
+            c_np = np.asarray(h.c)
+            cre, cim = c_np.real, c_np.imag
+            V = int(np.prod(c_np.shape[d:], dtype=np.int64)) or 1
 
-                def ev(derivs):
-                    return evaluate_grid_split(cre, cim, d, u, h.offset, h.period, derivs=derivs)
+            # Memory plan: the x64 rewriter materializes an 8x-stacked f32
+            # image of each f64 grid tensor, so a 30-band npt=60 grid costs
+            # ~6G per tensor and the all-at-once build OOMs (measured 33-43G
+            # vs 15.75G HBM).  Evaluate in slabs over the first grid
+            # dimension, one dispatch per (slab, tensor), gathering each
+            # slab's reduced representatives immediately.  Ragged per-slab
+            # counts pad to the max; pad lanes carry weight 0 downstream.
+            S = max(1, min(npt, int(1.5e9 // (8 * npt ** (d - 1) * V * 4))))
+            nslab = -(-npt // S)
+            lin_full = lin if lin is not None else np.arange(npt**d)
+            rows = lin_full // npt ** (d - 1)
+            slab_of = rows // S
+            counts = np.bincount(slab_of, minlength=nslab)
+            maxc = int(counts.max())
+            idx = np.zeros((nslab, maxc), np.int64)
+            msk = np.zeros((nslab, maxc), bool)
+            for sl in range(nslab):
+                members = np.nonzero(slab_of == sl)[0]
+                local = lin_full[members] - sl * S * npt ** (d - 1)
+                idx[sl, :len(members)] = local
+                msk[sl, :len(members)] = True
 
-                hr, hi = ev(None)
-                gr = [ev(tuple(1 if i == j else 0 for i in range(d))) for j in range(d)]
-                vr = jnp.stack([g[0] for g in gr], axis=d)
-                vi = jnp.stack([g[1] for g in gr], axis=d)
-                hr = hr.reshape((npt**d,) + hr.shape[d:])
-                hi = hi.reshape((npt**d,) + hi.shape[d:])
-                vr = vr.reshape((npt**d, d) + vr.shape[d + 1:])
-                vi = vi.reshape((npt**d, d) + vi.shape[d + 1:])
-                if lin is not None:
-                    hr, hi, vr, vi = hr[lin], hi[lin], vr[lin], vi[lin]
-                if hr.ndim == 1:  # scalar-valued series
-                    hr, hi = hr[:, None, None], hi[:, None, None]
-                    vr, vi = vr[:, :, None, None], vi[:, :, None, None]
-                e, ur, ui = eigh_split(hr, hi)
+            def make_ev(derivs):
+                @jax.jit
+                def one(u1, sidx):
+                    nodes = [u1] + [u[j] for j in range(1, d)]
+                    hr, hi = evaluate_grid_split(cre, cim, d, nodes, h.offset,
+                                                 h.period, derivs=derivs,
+                                                 method="emul")
+                    # FLAT (K, V) layout: (..., m, m)-minor arrays pad onto
+                    # (8, 128) tiles (4.3x at 30 bands) — keep the value axis
+                    # one big minor dim in storage
+                    hr = hr.reshape(-1, max(V, 1))[sidx] if V > 1 else hr.reshape(-1, 1)[sidx]
+                    hi = hi.reshape(-1, max(V, 1))[sidx] if V > 1 else hi.reshape(-1, 1)[sidx]
+                    return hr, hi
+
+                return one
+
+            evs = [make_ev(None)] + [
+                make_ev(tuple(1 if i == j else 0 for i in range(d))) for j in range(d)
+            ]
+            u1_pad = np.zeros(nslab * S)
+            u1_pad[:npt] = u[0]
+            parts = [[] for _ in range(d + 1)]
+            for sl in range(nslab):
+                u1 = jnp.asarray(u1_pad[sl * S:(sl + 1) * S])
+                sidx = jnp.asarray(idx[sl])
+                for t, ev in enumerate(evs):
+                    parts[t].append(ev(u1, sidx))
+            cat = lambda t: (jnp.concatenate([a for a, _ in parts[t]]),
+                             jnp.concatenate([b for _, b in parts[t]]))
+            hr, hi = cat(0)
+            grads = []
+            for t in range(1, d + 1):
+                grads += list(cat(t))
+
+            m = int(np.sqrt(V)) if V > 1 else 1
+
+            @jax.jit
+            def combine(hr, hi, *grads):
+                C = hr.shape[0]
+                hr2 = hr.reshape(C, m, m)
+                hi2 = hi.reshape(C, m, m)
+                vr = jnp.stack([g.reshape(C, m, m) for g in grads[0::2]], axis=1)
+                vi = jnp.stack([g.reshape(C, m, m) for g in grads[1::2]], axis=1)
+                if split_tier == "rayleigh":
+                    # f64 eigenvalues via c64 eigh + split-f64 Rayleigh
+                    # quotients (the embedding QR below measured ~3 ms per
+                    # 30-band k-point in emulated f64); the f32-grade
+                    # vectors feed the first-order velocity diagonals
+                    e, ur, ui = eigvalsh_rayleigh(hr2, hi2, return_vectors=True)
+                else:
+                    e, ur, ui = eigh_split(hr2, hi2)
                 # real part of diag(U^H V U) with split arithmetic
                 v = (
                     jnp.einsum("kim,kdij,kjm->kdm", ur, vr, ur)
@@ -158,6 +223,31 @@ class GGR(DOSAlgorithm):
                     + jnp.einsum("kim,kdij,kjm->kdm", ui, vr, ui)
                 )
                 return e, v
+
+            # chunk the eigensolve + velocity contraction over k: the
+            # (C, d, m, m)-shaped broadcast temps pad 4.3x at 30 bands, so a
+            # whole-grid combine re-OOMs; pad K to a chunk multiple (pad
+            # lanes carry zero weight downstream)
+            Kp = hr.shape[0]
+            CH = max(1, min(Kp, int(4e8 // (8 * max(d, 1) * V * 4)) or 1))
+            nch = -(-Kp // CH)
+            pad = nch * CH - Kp
+            if pad:
+                z = lambda a: jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                hr, hi = z(hr), z(hi)
+                grads = [z(g) for g in grads]
+            es, vs = [], []
+            for i in range(nch):
+                sl_ = slice(i * CH, (i + 1) * CH)
+                e_c, v_c = combine(hr[sl_], hi[sl_], *[g[sl_] for g in grads])
+                es.append(e_c)
+                vs.append(v_c)
+            e = jnp.concatenate(es)
+            v = jnp.concatenate(vs)
+            return e, v, (slab_of, msk, pad)
+
+        @jax.jit
+        def spectral():
             hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
             grads = []
             for j in range(d):
@@ -177,8 +267,17 @@ class GGR(DOSAlgorithm):
             v = jnp.einsum("kmi,kdij,kjm->kdm", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
             return e, jnp.real(v)
 
-        energies, velocities = spectral()
-        w = jnp.asarray(weights)
+        if use_split:
+            energies, velocities, (slab_of, msk, kpad) = spectral_split()
+            nslab, maxc = msk.shape
+            wpad = np.zeros((nslab, maxc))
+            for sl in range(nslab):
+                members = np.nonzero(slab_of == sl)[0]
+                wpad[sl, :len(members)] = np.asarray(weights)[members]
+            w = jnp.asarray(np.concatenate([wpad.reshape(-1), np.zeros(kpad)]))
+        else:
+            energies, velocities = spectral()
+            w = jnp.asarray(weights)
         formula = _GGR_FORMULAS[d]
         b = 1.0 / (2 * npt)
         # velocities at band critical points are numerical noise, not exact

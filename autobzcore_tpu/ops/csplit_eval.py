@@ -34,7 +34,7 @@ def phase_cs(x, n, offset, period, dtype=jnp.float64, deriv=0):
     return c, s
 
 
-def contract_split(vre, vim, cos, sin, axis):
+def contract_split(vre, vim, cos, sin, axis, method=None):
     """Contract split-complex ``v`` with phase ``e^{i ang}`` along ``axis``:
     (re + i im)(cos + i sin) summed over the axis, new axis prepends.
 
@@ -54,8 +54,11 @@ def contract_split(vre, vim, cos, sin, axis):
 
     from autobzcore_tpu.ops.ozaki import ozaki_tensordot, use_ozaki
 
+    # method='emul' pins the emulated dot even for large outputs: Ozaki's
+    # slice/product temporaries add several GB on memory-bound one-shot
+    # evaluations (e.g. the 30-band GGR spectral grid, which OOMed with them)
     out_elems = cos.shape[0] * (vre.size // max(vre.shape[axis], 1))
-    if use_ozaki() and out_elems >= (1 << 17):
+    if method != "emul" and use_ozaki() and out_elems >= (1 << 17):
         td = lambda c, v: ozaki_tensordot(c, v, axis)  # noqa: E731
     else:
         prec = jax.lax.Precision.HIGHEST  # TPU default matmul precision is bf16
@@ -67,7 +70,7 @@ def contract_split(vre, vim, cos, sin, axis):
 
 
 def evaluate_grid_split(c_re, c_im, spatial_ndim, nodes, offsets, periods,
-                        dtype=jnp.float64, derivs=None):
+                        dtype=jnp.float64, derivs=None, method=None):
     """Split-complex tensor-grid evaluation; returns (re, im) arrays of shape
     ``(g_1, ..., g_d, *valshape)``.  Mirrors ``fourier_eval.evaluate_grid``."""
     d = spatial_ndim
@@ -80,7 +83,7 @@ def evaluate_grid_split(c_re, c_im, spatial_ndim, nodes, offsets, periods,
     vim = vim.reshape(vim.shape[:d] + (-1,))
     for j in range(d - 1, -1, -1):
         cos, sin = phase_cs(nodes[j], vre.shape[d - 1], offsets[j], periods[j], dtype, derivs[j])
-        vre, vim = contract_split(vre, vim, cos, sin, d - 1)
+        vre, vim = contract_split(vre, vim, cos, sin, d - 1, method=method)
     return (vre.reshape(vre.shape[:d] + vshape), vim.reshape(vim.shape[:d] + vshape))
 
 

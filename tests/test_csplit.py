@@ -71,6 +71,23 @@ def test_ggr_split_matches_complex():
     assert float(a) == pytest.approx(float(b), rel=1e-10)
 
 
+def test_ggr_rayleigh_tier_matches_complex():
+    """The fast split tier (c64 eigh + Rayleigh-refined f64 eigenvalues,
+    f32-grade velocities) agrees with the complex path to its documented
+    ~1e-6 relative DOS contract."""
+    import numpy as np
+
+    from autobzcore_tpu import FBZ, DOSProblem, GGR, load_bz
+    from autobzcore_tpu.dos import init as dos_init, solve_ as dos_solve_
+    from autobzcore_tpu.models import tb_graphene
+
+    bz = load_bz(FBZ(), np.eye(2))
+    prob = DOSProblem(tb_graphene(), 0.7, bz)
+    a = dos_solve_(dos_init(prob, GGR(npt=60, precision="complex"))).u
+    b = dos_solve_(dos_init(prob, GGR(npt=60, precision="rayleigh"))).u
+    assert float(a) == pytest.approx(float(b), rel=1e-5)
+
+
 def test_eigh_split_degenerate_cluster():
     """Inside a degenerate eigenspace the real embedding's eigenvector columns
     can project to complex-parallel vectors; eigh_split must still return a

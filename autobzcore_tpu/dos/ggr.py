@@ -80,12 +80,15 @@ class GGR(DOSAlgorithm):
 
     ``precision='auto'`` picks the complex path on CPU and the split-complex
     f64 tier on TPU (complex128 is unavailable there).  Split tiers:
-    ``'rayleigh'`` (TPU default) gets f64 eigenvalues from a native c64 eigh
-    + split-f64 Rayleigh quotients, with f32-grade band velocities (~1e-6
-    relative DOS, plenty for every >=1e-5 tolerance target, and ~100x
-    cheaper than the embedding eigh at 30 bands); ``'split'`` computes
-    velocities in full f64 through the real-embedding eigh.  Force any of
-    ``'complex'``/``'rayleigh'``/``'split'``.
+    ``'split'`` (TPU default) computes eigenvalues AND velocities in full
+    f64 through the real-embedding eigh (70.9 s warm init for the 30-band
+    npt=60 grid after the slab/chunk restructure); ``'rayleigh'`` gets f64
+    eigenvalues from a native c64 eigh + split-f64 Rayleigh quotients with
+    f32-grade vectors: ~1e-6 relative DOS for isolated bands, but at band
+    crossings the arbitrary cluster basis changes how GGR splits box
+    contributions (measured 0.2% on a crossing-dense 30-band model; within
+    GGR's own crossing error, yet the embedding tier is no slower warm,
+    hence the default).  Force ``'complex'``/``'rayleigh'``/``'split'``.
     """
 
     def __init__(self, npt=50, precision="auto"):
@@ -100,7 +103,7 @@ class GGR(DOSAlgorithm):
             return "rayleigh"
         if self.precision == "complex":
             return None
-        return "rayleigh" if jax.devices()[0].platform == "tpu" else None
+        return "embedding" if jax.devices()[0].platform == "tpu" else None
 
     def init_cacheval(self, h, domain, p):
         if isinstance(h, JacobianSeries):

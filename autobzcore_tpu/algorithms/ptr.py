@@ -66,35 +66,42 @@ def build_ptr_run(f, dom: Basis, npt: int, syms):
         # specialized rule: evaluate the Fourier series at all rule points once
         # (device, dim-by-dim contraction) and reuse across re-solves — the
         # reference's FourierPTR/FourierMonkhorstPack stored-series design
-        # (src/fourier.jl:127-130,210-214).
+        # (src/fourier.jl:127-130,210-214).  Rule data (points, weights,
+        # stored values) flows as jit ARGUMENTS: as closed-over constants the
+        # MB-scale arrays bloat the HLO shipped to remote compile helpers
+        # (measured 365-520 s per compile at npt=100, scaling with rule size).
         svals = f.series_values_on_grid(npt, frac if syms is not None else None)
         user = f.user_batch_fn()
-        xs = jnp.asarray(frac) @ B.T  # user sees basis coordinates
-        w = jnp.asarray(weights)
+        consts = (jnp.asarray(frac) @ B.T, jnp.asarray(weights), svals)
 
         @jax.jit
-        def run(p):
-            fx = user(xs, svals, p)
-            return tree_weighted_sum(w, fx, axis=0)
+        def run_c(consts, p):
+            xs, w, sv = consts
+            fx = user(xs, sv, p)
+            return jax.tree_util.tree_map(
+                lambda v: scale * v, tree_weighted_sum(w, fx, axis=0)
+            )
 
         def runner(p):
-            return jax.tree_util.tree_map(lambda v: scale * v, run(p))
+            return run_c(consts, p)
 
-        return runner, numevals
+        return runner, numevals, run_c, consts
 
     batch_f = batch_eval_fn(f, in_ndim=1)
-    nodes = jnp.asarray(frac) @ B.T  # Cartesian nodes
-    w = jnp.asarray(weights)
+    consts = (jnp.asarray(frac) @ B.T, jnp.asarray(weights))  # Cartesian nodes
 
     @jax.jit
-    def run(p):
+    def run_c(consts, p):
+        nodes, w = consts
         fx = batch_f(nodes, p)
-        return tree_weighted_sum(w, fx, axis=0)
+        return jax.tree_util.tree_map(
+            lambda v: scale * v, tree_weighted_sum(w, fx, axis=0)
+        )
 
     def runner(p):
-        return jax.tree_util.tree_map(lambda v: scale * v, run(p))
+        return run_c(consts, p)
 
-    return runner, numevals
+    return runner, numevals, run_c, consts
 
 
 class MonkhorstPack(IntegralAlgorithm):
@@ -107,8 +114,8 @@ class MonkhorstPack(IntegralAlgorithm):
         self.syms = syms
 
     def init_cacheval(self, f, dom, p):
-        run, numevals = build_ptr_run(f, dom, self.npt, self.syms)
-        return {"run": run, "numevals": numevals}
+        run, numevals, run_c, consts = build_ptr_run(f, dom, self.npt, self.syms)
+        return {"run": run, "numevals": numevals, "run_c": run_c, "consts": consts}
 
     def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
         val = cacheval["run"](p)
@@ -121,6 +128,17 @@ class MonkhorstPack(IntegralAlgorithm):
             return run(p), jnp.zeros(())
 
         return fn
+
+    def solve_fn_consts(self, cacheval):
+        """(fn(consts, p, atol, rtol) -> (u, resid), consts): rule data as
+        runtime arguments so enclosing jits (sweep batches) don't capture
+        MB-scale constants — see build_ptr_run."""
+        run_c = cacheval["run_c"]
+
+        def fn(consts, p, atol, rtol):
+            return run_c(consts, p), jnp.zeros(())
+
+        return fn, cacheval["consts"]
 
 
 class AutoSymPTRJL(IntegralAlgorithm):
@@ -196,7 +214,7 @@ class AutoSymPTRJL(IntegralAlgorithm):
         err = None
         for npt in self.npt_ladder():
             if npt not in rules:
-                rules[npt] = build_ptr_run(f, dom, npt, self.syms)
+                rules[npt] = build_ptr_run(f, dom, npt, self.syms)[:2]
             run, ne = rules[npt]
             val = sym(run(p))
             total_evals += ne

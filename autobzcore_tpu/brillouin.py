@@ -265,8 +265,25 @@ class AutoBZAlgorithm(IntegralAlgorithm):
         result scalar; a sweep over an UnknownRep array-valued integrand
         should declare its rep first.
         """
+        return self._wrap_inner(cacheval, cacheval["alg"].solve_fn(cacheval["inner"]))
+
+    def solve_fn_consts(self, cacheval):
+        """Consts-threaded variant (see MonkhorstPack.solve_fn_consts): rule
+        data flows through enclosing jits as arguments, not captured
+        constants.  Returns None if the inner algorithm has no consts form."""
+        sub = getattr(cacheval["alg"], "solve_fn_consts", None)
+        if sub is None:
+            return None
+        fn2, consts = sub(cacheval["inner"])
+
+        def fn(consts, p, atol, rtol):
+            inner = lambda q, a, r: fn2(consts, q, a, r)  # noqa: E731
+            return self._wrap_inner(cacheval, inner)(p, atol, rtol)
+
+        return fn, consts
+
+    def _wrap_inner(self, cacheval, inner):
         bz_ = cacheval["bz_"]
-        inner = cacheval["alg"].solve_fn(cacheval["inner"])
         f = cacheval["f"]
         j = abs(np.linalg.det(bz_.B))
         ns = bz_.nsyms

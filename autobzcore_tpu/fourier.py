@@ -188,6 +188,17 @@ class StoredSeriesValues:
         return re + 1j * im
 
 
+# pytree: stored rule data crosses jit boundaries as runtime ARGUMENTS —
+# closed-over MB-scale constants bloat the HLO shipped to the remote compile
+# helper (the SrVO3 npt=100 stored-series sweep kernel measured 365-520 s to
+# compile as literals)
+jax.tree_util.register_pytree_node(
+    StoredSeriesValues,
+    lambda s: ((s.parts,), s.jacobian),
+    lambda jac, parts: StoredSeriesValues(parts[0], jac),
+)
+
+
 class FourierIntegrand:
     """``FourierIntegrand(f, s, *args, **kwargs)``: integrand evaluating
     ``f(FourierValue(x, s(x)), *args, **kwargs)`` with the series evaluated

@@ -36,28 +36,48 @@ def sweep_solve(prob: IntegralProblem, alg, ps, abstol=None, reltol=None, mesh=N
     if isinstance(alg, (AutoPTR, AutoSymPTRJL)):
         return _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh)
     cache = init(prob, alg)
-    fn = alg.solve_fn(cache.cacheval)
+    fn2, consts = _solve_fn_with_consts(prob, alg, cache)
     atol, rtol = effective_tolerances(abstol, reltol)
 
-    from ..interfaces import _takes_mixed_parameters
-    from ..parameters import merge_parameters
+    def one(consts, p):
+        return fn2(consts, p, atol, rtol)
 
-    if _takes_mixed_parameters(prob.f):
-        preset = cache.p  # integrand-preset parameters resolved at init
-
-        def one(p):
-            return fn(merge_parameters(preset, p), atol, rtol)
-    else:
-        def one(p):
-            return fn(p, atol, rtol)
-
-    batched = jax.jit(jax.vmap(one))
+    batched = jax.jit(jax.vmap(one, in_axes=(None, 0)))
     if mesh is not None:
         sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
         ps = jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), sharding), ps
         )
-    return batched(ps)
+    return batched(consts, ps)
+
+
+def _solve_fn_with_consts(prob, alg, cache):
+    """(fn(consts, p, atol, rtol), consts): rule data threads through the
+    batched jit as ARGUMENTS when the algorithm supports it — captured
+    constants ship with the HLO to remote compile helpers (a stored-series
+    npt=100 sweep kernel measured 365-520 s per compile as literals, and the
+    executable never hits the persistent cache)."""
+    from ..interfaces import _takes_mixed_parameters
+    from ..parameters import merge_parameters
+
+    got = None
+    sfc = getattr(alg, "solve_fn_consts", None)
+    if sfc is not None:
+        got = sfc(cache.cacheval)
+    if got is not None:
+        fnc, consts = got
+    else:
+        fn = alg.solve_fn(cache.cacheval)
+        fnc = lambda consts, p, atol, rtol: fn(p, atol, rtol)  # noqa: E731
+        consts = ()
+    if _takes_mixed_parameters(prob.f):
+        preset = cache.p  # integrand-preset parameters resolved at init
+
+        def fn2(consts, p, atol, rtol):
+            return fnc(consts, merge_parameters(preset, p), atol, rtol)
+
+        return fn2, consts
+    return fnc, consts
 
 
 def make_mesh(n_devices=None, axis_names=("p",), devices=None):
@@ -129,7 +149,7 @@ def _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh):
     err = None
     keepmost = max(2, int(getattr(inner, "keepmost", 2)))
     for npt in inner.npt_ladder():
-        run, _ = build_ptr_run(f, dom, npt, inner.syms)
+        run, _, _, _ = build_ptr_run(f, dom, npt, inner.syms)
         val = sym(wrap(run)(ps))
         if window:
             err = tree_batched_norm(tree_sub(val, window[0])) * j
@@ -157,23 +177,20 @@ class SweepSolver:
     def __init__(self, prob, alg, abstol=None, reltol=None, chunk=256, mesh=None):
         from ..algorithms.base import effective_tolerances
         from ..interfaces import _takes_mixed_parameters, init
-        from ..parameters import MixedParameters, merge_parameters
+        from ..parameters import MixedParameters
 
         cache = init(prob, alg)
-        fn = alg.solve_fn(cache.cacheval)
+        fn2, consts = _solve_fn_with_consts(prob, alg, cache)
         atol, rtol = effective_tolerances(abstol, reltol)
-        if _takes_mixed_parameters(prob.f):
-            preset = cache.p
+        wrap = MixedParameters if _takes_mixed_parameters(prob.f) else (lambda x: x)
 
-            def one(x):
-                return fn(merge_parameters(preset, MixedParameters(x)), atol, rtol)[0]
-        else:
-            def one(x):
-                return fn(x, atol, rtol)[0]
+        def one(consts, x):
+            return fn2(consts, wrap(x), atol, rtol)[0]
 
         self.chunk = chunk
         self.mesh = mesh
-        self._batched = jax.jit(jax.vmap(one))
+        self._consts = consts
+        self._batched = jax.jit(jax.vmap(one, in_axes=(None, 0)))
         self.numevals = 0
 
     def __call__(self, xs):
@@ -185,6 +202,6 @@ class SweepSolver:
         if self.mesh is not None:
             sharding = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
             xp = jax.device_put(xp, sharding)
-        outs = [self._batched(xp[i: i + c]) for i in range(0, npad, c)]
+        outs = [self._batched(self._consts, xp[i: i + c]) for i in range(0, npad, c)]
         self.numevals += npad
         return np.concatenate([np.asarray(o) for o in outs])[:n]

@@ -374,7 +374,7 @@ class IAI(AutoBZAlgorithm):
     """
 
     def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex",
-                 host_outer=False, checkpoint=None):
+                 host_outer=False, host_nbisect=4, checkpoint=None):
         self.algs = algs if algs is not None else AuxQuadGKJL()
         self.inner_cap = inner_cap
         self.inner_nbisect = inner_nbisect
@@ -389,6 +389,9 @@ class IAI(AutoBZAlgorithm):
         # bounded device dispatch per refinement (tight tolerances through
         # execution-time-limited transports; see NestedQuad.host_outer)
         self.host_outer = host_outer
+        # worst outer intervals bisected per host-outer dispatch: wider
+        # batches amortize the host<->device round trip on remote transports
+        self.host_nbisect = host_nbisect
         # checkpoint: path template for host-outer heap persistence/resume
         self.checkpoint = checkpoint
 
@@ -396,6 +399,7 @@ class IAI(AutoBZAlgorithm):
         return bz, bz.lims, NestedQuad(self.algs, self.inner_cap, self.inner_nbisect,
                                        split=self.precision == "split",
                                        host_outer=self.host_outer,
+                                       host_nbisect=self.host_nbisect,
                                        checkpoint=self.checkpoint)
 
 

@@ -37,9 +37,11 @@ class LorentzianFullGrid(DOSAlgorithm):
     points evaluated (budget exhaustion -> ``retcode=False``).  ``mesh``
     shards slab rows over a device-mesh axis (``rung_sharded``).
 
-    Requires a 3D, 3x3 Hermitian ``FourierSeries`` (the engine's Cardano/
-    Hermitian-entry specialization); use :class:`GGR`/:class:`LTM` for other
-    band counts.
+    Requires a 3D ``FourierSeries`` of square Hermitian matrices.  m=3 runs
+    the struct-of-arrays Cardano fast path; other band counts use the
+    gather-assembled split matrices + Rayleigh-quotient f64 eigenvalues
+    (``ops/rayleigh.py``), matching the reference's band-count-generic GGR
+    (``/root/reference/src/dos_ggr.jl:14-44``).
 
     Precision floor: eigenvalues carry full (split-)f64, but the Lorentzian
     evaluation runs in two-float f32 — rung-to-rung agreement bottoms out
@@ -71,17 +73,19 @@ class LorentzianFullGrid(DOSAlgorithm):
         if not isinstance(p, SymmetricBZ):
             raise TypeError("LorentzianFullGrid takes the BZ as the problem parameter")
         c = np.asarray(h.c)
-        if p.ndim != 3 or c.ndim != 5 or c.shape[-2:] != (3, 3):
+        if p.ndim != 3 or c.ndim != 5 or c.shape[-2] != c.shape[-1]:
             raise ValueError(
-                "LorentzianFullGrid supports 3D, 3x3 Hermitian series "
-                "(the full-grid engine's specialization); use GGR/LTM otherwise"
+                "LorentzianFullGrid supports 3D series of square Hermitian "
+                "matrices (any band count; m=3 takes the Cardano fast path)"
             )
         # engines are built per energy grid at solve time; cache them so
         # repeated sweeps over the same grid reuse compiled rung kernels
         return {"h": h, "engines": {}}
 
     def _engine(self, cacheval, Es):
-        key = (len(Es), float(Es[0]), float(Es[-1]), self.eta)
+        # key on the full grid contents: same length/endpoints with different
+        # interior spacing (log vs linear) must not collide
+        key = (np.asarray(Es, np.float64).tobytes(), self.eta)
         eng = cacheval["engines"].get(key)
         if eng is None:
             eng = FullGridSpectralSweep(cacheval["h"], Es, self.eta,
@@ -101,7 +105,12 @@ class LorentzianFullGrid(DOSAlgorithm):
         err = np.inf
         nev = 0
         for npt in self.npt_ladder():
-            if nev + npt**3 > budget and prev is not None:
+            if nev + npt**3 > budget:
+                # budget honored even before the first rung: a too-small
+                # maxiters yields a NaN curve with retcode=False rather than
+                # silently overspending by nmin^3
+                if prev is None:
+                    D = np.full(np.atleast_1d(Es).shape, np.nan)
                 return D, err, False, nev
             if self.mesh is not None:
                 acc = eng.rung_sharded(npt, self.mesh)

@@ -43,14 +43,21 @@ import jax.numpy as jnp
 from autobzcore_tpu.ops.csplit_eval import contract_split
 from autobzcore_tpu.ops.eigh3 import eigvalsh3_rows
 from autobzcore_tpu.ops.ozaki import (
+    ozaki_matmul_pairs,
     ozaki_matmul_prepared,
     ozaki_matmul_sliced,
     ozaki_prepare_lhs,
+    ozaki_prepare_lhs_pairs,
     ozaki_prepare_rhs,
+    ozaki_sliced_safe_n,
 )
 
-# Hermitian entry order: diagonals first, then the upper off-diagonals
-_ENTRIES = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
+def _entries(m):
+    """Hermitian entry order: the ``m`` real diagonals first, then the
+    ``m (m-1) / 2`` complex upper off-diagonals (row-major)."""
+    return tuple((i, i) for i in range(m)) + tuple(
+        (i, j) for i in range(m) for j in range(i + 1, m)
+    )
 
 
 def _phase_table(npt, nfreq, offset):
@@ -62,11 +69,13 @@ def _phase_table(npt, nfreq, offset):
 
 
 class FullGridSpectralSweep:
-    """Broadened-DOS sweep engine for 3-band Hermitian Fourier series.
+    """Broadened-DOS sweep engine for m-band Hermitian Fourier series
+    (m=3 takes the SoA Cardano fast path; general m gathers split matrices
+    and uses Rayleigh-quotient f64 eigenvalues).
 
     Parameters
     ----------
-    series : FourierSeries with 3D spatial grid and 3x3 Hermitian values.
+    series : FourierSeries with 3D spatial grid and square Hermitian values.
     omegas : (W,) frequency grid.
     eta : Lorentzian broadening.
     slab : grid rows of the outer dimension per streamed step.
@@ -79,21 +88,57 @@ class FullGridSpectralSweep:
     def __init__(self, series, omegas, eta, ndiag=6, slab=8,
                  slabs_per_dispatch=32, omega_batch=100):
         c = np.asarray(series.c)
-        if c.ndim != 5 or c.shape[-2:] != (3, 3):
-            raise ValueError("FullGridSpectralSweep requires a 3D series of 3x3 matrices")
+        if c.ndim != 5 or c.shape[-2] != c.shape[-1]:
+            raise ValueError(
+                "FullGridSpectralSweep requires a 3D series of square matrices"
+            )
+        m = int(c.shape[-1])
+        self.m = m
         self.n1, self.n2, self.n3 = c.shape[:3]
         self.offset = tuple(int(o) for o in series.offset)
-        # 6 independent Hermitian entries, split re/im (host)
-        c6 = np.stack([c[..., i, j] for (i, j) in _ENTRIES], axis=-1)
+        # the engine keeps only the 6 independent Hermitian entries (real
+        # diagonals in stage B), so a non-Hermitian series would silently be
+        # "hermitianized" — verify H(k) = H(k)^H densely at a few k-points
+        rng = np.random.default_rng(7)
+        for k in rng.uniform(size=(2, 3)):
+            ph = [np.exp(2j * np.pi * k[d] * (self.offset[d] + np.arange(c.shape[d])))
+                  for d in range(3)]
+            hk = np.einsum("a,b,c,abcij->ij", ph[0], ph[1], ph[2], c)
+            if not np.allclose(hk, hk.conj().T, rtol=1e-10,
+                               atol=1e-10 * max(1.0, np.abs(hk).max())):
+                raise ValueError(
+                    "FullGridSpectralSweep requires a Hermitian series "
+                    "(c(-R) = c(R)^H); H(k) at a test point is not Hermitian"
+                )
+        # m(m+1)/2 independent Hermitian entries, split re/im (host)
+        self.entries = _entries(m)
+        self.ne = len(self.entries)
+        c6 = np.stack([c[..., i, j] for (i, j) in self.entries], axis=-1)
         self.c6_re = jnp.asarray(c6.real, jnp.float64)
         self.c6_im = jnp.asarray(c6.imag, jnp.float64)
+        # gather map for the general-m matrix assembly: entry index of
+        # (min(i,j), max(i,j)) and the conjugation sign of the imag part
+        idx = np.zeros((m, m), np.int32)
+        sgn = np.zeros((m, m))
+        for e, (i, j) in enumerate(self.entries):
+            idx[i, j] = e
+            idx[j, i] = e
+            sgn[i, j] = 1.0 if i != j else 0.0
+            sgn[j, i] = -1.0 if i != j else 0.0
+        self._idx_mat = jnp.asarray(idx)
+        self._sgn_mat = jnp.asarray(sgn)
         self.omegas = np.asarray(omegas, np.float64)
         self.eta = float(eta)
         self.ndiag = ndiag
         self.slab = slab
         self.spd = slabs_per_dispatch
+        # stage B contracts n2 terms per diagonal-concat dot: beyond the
+        # exact-f32-accumulation window it must take the per-pair chunked
+        # path (ozaki_matmul_pairs) or the claimed f64 accuracy silently
+        # degrades toward f32
+        self._stageb_pairs = self.n2 > ozaki_sliced_safe_n(ndiag)
         W = self.omegas.size
-        ob = min(omega_batch, W)
+        ob = max(1, min(int(omega_batch), W))
         while W % ob:
             ob -= 1
         self.omega_batch = ob
@@ -118,10 +163,13 @@ class FullGridSpectralSweep:
             out = ()
             for b in (vre, vim, vre + vim):
                 out += ozaki_prepare_rhs(b, self.ndiag)
-            # stage-B left operands are fixed per rung: slice once
+            # stage-B left operands are fixed per rung: slice once (per-pair
+            # raw slices when n2 exceeds the exact diag-concat window)
+            prep_lhs = (ozaki_prepare_lhs_pairs if self._stageb_pairs
+                        else ozaki_prepare_lhs)
             for a in (c2, s2, c2 + s2):
-                a_cats, sA = ozaki_prepare_lhs(a, self.ndiag)
-                out += a_cats + (sA,)
+                a_sl, sA = prep_lhs(a, self.ndiag)
+                out += tuple(a_sl) + (sA,)
             return out
 
         return prep(self.c6_re, self.c6_im, jnp.asarray(c3), jnp.asarray(s3),
@@ -132,12 +180,15 @@ class FullGridSpectralSweep:
     def _make_run(self, npt):
         S = self.slab
         n1, n2 = self.n1, self.n2
+        m, ne = self.m, self.ne
         W = self.omegas.size
         OB = self.omega_batch
         eta32 = jnp.float32(self.eta)
         nd = self.ndiag
-        M2 = 6 * S * npt  # stage-B row width (entry-major, (6, S, npt3))
-        # Lorentzian point chunking: ~1.6M points per pass, chunk along npt2
+        M2 = ne * S * npt  # stage-B row width (entry-major, (ne, S, npt3))
+        OFF = m * S * npt  # start of the off-diagonal block (diagonals first)
+        # Lorentzian point chunking: ~1.6M point-band pairs per pass per band
+        # loop, chunk along npt2
         rows = max(1, int(1.6e6 // (S * npt)))
         while npt % rows:
             rows -= 1
@@ -170,30 +221,58 @@ class FullGridSpectralSweep:
                 JC = ozaki_matmul_prepared(cs + sn, *i3sm, n1)
                 jre = JA - JB
                 jim = JC - JA - JB
-                # -> (n2, 6*S*npt3) with column layout (6, S, npt3)
+                # -> (n2, ne*S*npt3) with column layout (ne, S, npt3)
                 def tob(x):
                     return jnp.transpose(
-                        x.reshape(S, n2, 6, npt), (1, 2, 0, 3)
+                        x.reshape(S, n2, ne, npt), (1, 2, 0, 3)
                     ).reshape(n2, M2)
 
                 jre = tob(jre)
                 jim = tob(jim)
                 bre, sre = ozaki_prepare_rhs(jre, nd)
                 bim, sim = ozaki_prepare_rhs(jim, nd)
-                # off-diagonal tail only: diagonals of Hermitian H are real
-                bsm, ssm = ozaki_prepare_rhs((jre + jim)[:, M2 // 2:], nd)
                 # ---- stage B: contract n2 ----
-                R1 = ozaki_matmul_sliced(a2c[0], a2c[1], bre, sre, n2)  # (npt2, M2)
-                R2 = ozaki_matmul_sliced(a2s[0], a2s[1], bim, sim, n2)
-                R3 = ozaki_matmul_sliced(a2cs[0], a2cs[1], bsm, ssm, n2)
-                re6 = (R1 - R2).reshape(npt, 6, S * npt)
-                im3 = (R3 - R1[:, M2 // 2:] - R2[:, M2 // 2:]).reshape(npt, 3, S * npt)
-                lo, mid, hi = eigvalsh3_rows(
-                    re6[:, 0], re6[:, 1], re6[:, 2],
-                    re6[:, 3], im3[:, 0],
-                    re6[:, 4], im3[:, 1],
-                    re6[:, 5], im3[:, 2],
-                )
+                stageb = ozaki_matmul_pairs if self._stageb_pairs else ozaki_matmul_sliced
+                R1 = stageb(a2c[0], a2c[1], bre, sre, n2)  # (npt2, M2)
+                R2 = stageb(a2s[0], a2s[1], bim, sim, n2)
+                re6 = (R1 - R2).reshape(npt, ne, S * npt)
+                if ne > m:
+                    # off-diagonal tail only: diagonals of Hermitian H are real
+                    bsm, ssm = ozaki_prepare_rhs((jre + jim)[:, OFF:], nd)
+                    R3 = stageb(a2cs[0], a2cs[1], bsm, ssm, n2)
+                    im3 = (R3 - R1[:, OFF:] - R2[:, OFF:]).reshape(
+                        npt, ne - m, S * npt
+                    )
+                if m == 3:
+                    lo, mid, hi = eigvalsh3_rows(
+                        re6[:, 0], re6[:, 1], re6[:, 2],
+                        re6[:, 3], im3[:, 0],
+                        re6[:, 4], im3[:, 1],
+                        re6[:, 5], im3[:, 2],
+                    )
+                    bands = (lo, mid, hi)  # each (npt2, S*npt3)
+                elif m == 1:
+                    bands = (re6[:, 0],)
+                else:
+                    # general m: gather entry rows into (N, m, m) split
+                    # matrices and take MXU-friendly f64 eigenvalues (native
+                    # c64 eigh + split-f64 Rayleigh quotients; within the
+                    # engine's two-float-f32 Lorentzian floor)
+                    from autobzcore_tpu.ops.rayleigh import eigvalsh_rayleigh
+
+                    rfull = jnp.moveaxis(re6[:, self._idx_mat], 3, 1)
+                    imz = jnp.concatenate(
+                        [jnp.zeros((npt, m, S * npt), im3.dtype), im3], axis=1
+                    )
+                    ifull = jnp.moveaxis(
+                        imz[:, self._idx_mat] * self._sgn_mat[None, :, :, None],
+                        3, 1,
+                    )
+                    N = npt * S * npt
+                    e = eigvalsh_rayleigh(
+                        rfull.reshape(N, m, m), ifull.reshape(N, m, m)
+                    )  # (N, m)
+                    bands = tuple(e[:, b].reshape(npt, S * npt) for b in range(m))
                 # ---- Lorentzian reduction, chunked along npt2 ----
                 wcol = jnp.repeat(w.astype(jnp.float32), npt)  # (S*npt3,)
                 wch = jnp.broadcast_to(wcol[None], (rows, S * npt)).reshape(1, CH)
@@ -203,15 +282,16 @@ class FullGridSpectralSweep:
                     elo = (e - ehi).astype(jnp.float32)
                     return ehi.reshape(nch, CH), elo.reshape(nch, CH)
 
-                l1, l2 = echunks(lo)
-                m1, m2 = echunks(mid)
-                h1, h2 = echunks(hi)
+                echs = ()
+                for band in bands:
+                    echs += echunks(band)
 
                 def chunk(carry, xs):
                     def one(ob):
                         oh, ol = ob  # (OB,)
                         tot = jnp.zeros((OB,), jnp.float32)
-                        for ehi, elo in ((xs[0], xs[1]), (xs[2], xs[3]), (xs[4], xs[5])):
+                        for b in range(len(bands)):
+                            ehi, elo = xs[2 * b], xs[2 * b + 1]
                             t = (oh[:, None] - ehi[None]) + (ol[:, None] - elo[None])
                             tot = tot + jnp.sum(
                                 (eta32 / (t * t + eta32 * eta32)) * wch, axis=1
@@ -224,7 +304,7 @@ class FullGridSpectralSweep:
                     return carry + d.astype(jnp.float64), None
 
                 init = jnp.zeros((W,), jnp.float64) + cs[0, 0] * 0.0
-                d, _ = jax.lax.scan(chunk, init, (l1, l2, m1, m2, h1, h2))
+                d, _ = jax.lax.scan(chunk, init, echs)
                 return acc + d
 
             # init derives from cosP so that under shard_map the carry is

@@ -55,15 +55,31 @@ def _pow2_scale(x, axis):
     slice is all-zero.  Powers of two make the descale exact.
 
     The exponent is extracted in f32 (TPU's x64 rewriter cannot bitcast f64
-    to s64, so f64 ``frexp`` fails to compile); the (1 + 1e-6) pad keeps the
-    scale >= amax across the f64->f32 rounding.  Magnitudes below the f32
-    subnormal floor (~1e-38) collapse to zero — negligible against any
-    representable partner factor and far outside the BZ workloads' range."""
+    to s64, so f64 ``frexp`` fails to compile).  The full f64 range —
+    including magnitudes above f32 max (~3.4e38) and below the f32 subnormal
+    floor (~1e-38), where a single f32 round-trip silently returns inf/0 —
+    is handled by first walking ``amax`` into [2^-100, 2^100] with exact
+    power-of-two multiplies (5 static steps cover 2^-1074..2^1024) and
+    folding the walked factor back into the scale."""
     amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
-    am32 = (amax * (1.0 + 1e-6)).astype(jnp.float32)
-    # frexp: am32 = m * 2^e with m in [0.5, 1) -> 2^e >= am32 >= amax
+    a = amax
+    fold = jnp.ones_like(amax)
+    big_step, small_step = 2.0 ** -200, 2.0 ** 200
+    for _ in range(5):
+        big = a > 2.0 ** 100
+        a = jnp.where(big, a * big_step, a)
+        fold = jnp.where(big, fold * small_step, fold)
+        small = (a > 0) & (a < 2.0 ** -100)
+        a = jnp.where(small, a * small_step, a)
+        fold = jnp.where(small, fold * big_step, fold)
+    am32 = (a * (1.0 + 1e-6)).astype(jnp.float32)
+    # frexp: am32 = m * 2^e with m in [0.5, 1) -> 2^e >= am32 >= a
     _, e = jnp.frexp(am32)
-    scale = jnp.ldexp(jnp.ones_like(am32), e).astype(x.dtype)
+    scale = jnp.ldexp(jnp.ones_like(am32), e).astype(x.dtype) * fold
+    # amax > 2^1023 would need scale = 2^1024 = inf; cap at 2^1023 (entries
+    # then reach (-2, 2] and the first slice loses its last bit — graceful,
+    # and such operands overflow any f64 product anyway)
+    scale = jnp.minimum(scale, 2.0 ** 1023)
     return jnp.where(am32 > 0, scale, jnp.ones_like(scale))
 
 
@@ -105,6 +121,47 @@ def ozaki_prepare_lhs(A, ndiag=_DEFAULT_DIAGS):
     return a_cats, sA
 
 
+def ozaki_sliced_safe_n(ndiag=_DEFAULT_DIAGS):
+    """Largest contraction depth ``n`` for which the diagonal-concatenated
+    f32 dots of :func:`ozaki_matmul_sliced` accumulate exactly
+    (``n * ndiag * 2^16 < 2^24``): 42 at the default ndiag=6."""
+    return ((1 << 24) - 1) // (ndiag << (2 * _T))
+
+
+def ozaki_prepare_lhs_pairs(A, ndiag=_DEFAULT_DIAGS):
+    """Pre-slice the left operand for the per-pair deep-contraction path
+    (:func:`ozaki_matmul_pairs`): returns ``(a_slices, sA)`` with the raw
+    (unconcatenated) slices.  Use when ``n > ozaki_sliced_safe_n(ndiag)``."""
+    A = jnp.asarray(A, jnp.float64)
+    sA = _pow2_scale(A, 1)
+    return tuple(_slices(A / sA, ndiag)), sA
+
+
+def ozaki_matmul_pairs(a_slices, sA, b_stacked, sB, n):
+    """Matmul from per-pair slices: each f32 dot covers one (p, q) slice pair
+    over a contraction chunk of <= 255 terms (products are integers < 2^16,
+    so 255-deep f32 sums stay exact); chunks and pairs accumulate in f64.
+    Exact for ANY contraction depth, at ``ndiag (ndiag+1)/2`` times the
+    output traffic of the diagonal-concatenated fast path."""
+    ndiag = len(a_slices)
+    chunks = [(i, min(i + 255, n)) for i in range(0, n, 255)]
+    diags = []
+    for d in range(ndiag):
+        diag = None
+        for p in range(d + 1):
+            off = (d - p) * n
+            for (i, j) in chunks:
+                prod = jax.lax.dot_general(
+                    a_slices[p][:, i:j],
+                    b_stacked[off + i:off + j],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.float64)
+                diag = prod if diag is None else diag + prod
+        diags.append(diag)
+    return _recombine(diags, sA, sB)
+
+
 def _recombine(diags, sA, sB):
     out = None
     for d, prod in enumerate(diags):
@@ -131,37 +188,20 @@ def ozaki_matmul_sliced(a_cats, sA, b_stacked, sB, n):
 def ozaki_matmul_prepared(A, b_stacked, sB, n):
     """``A (K, n) @ B`` where ``B`` was prepared by :func:`ozaki_prepare_rhs`."""
     ndiag = b_stacked.shape[0] // n
-    if n * ndiag * (1 << (2 * _T)) < (1 << 24):
+    if n <= ozaki_sliced_safe_n(ndiag):
         a_cats, sA = ozaki_prepare_lhs(A, ndiag)
         return ozaki_matmul_sliced(a_cats, sA, b_stacked, sB, n)
-    # deep contraction: per-pair products, f64 accumulation (exact regardless)
-    A = jnp.asarray(A, jnp.float64)
-    sA = _pow2_scale(A, 1)
-    a_sl = _slices(A / sA, ndiag)
-    diags = []
-    for d in range(ndiag):
-        diag = None
-        for p in range(d + 1):
-            prod = jax.lax.dot_general(
-                a_sl[p],
-                b_stacked[(d - p) * n:(d - p + 1) * n],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.float64)
-            diag = prod if diag is None else diag + prod
-        diags.append(diag)
-    return _recombine(diags, sA, sB)
+    # deep contraction: per-pair chunked products, f64 accumulation (exact
+    # for any n)
+    a_sl, sA = ozaki_prepare_lhs_pairs(A, ndiag)
+    return ozaki_matmul_pairs(a_sl, sA, b_stacked, sB, n)
 
 
 def ozaki_matmul(A, B, ndiag=_DEFAULT_DIAGS):
-    """``A (K, n) @ B (n, M)`` in f64 via bf16 slice products on the MXU."""
+    """``A (K, n) @ B (n, M)`` in f64 via bf16 slice products on the MXU.
+    Any contraction depth: deep contractions route through the per-pair
+    chunked path (:func:`ozaki_matmul_pairs`), which stays exact."""
     n = A.shape[1]
-    if n > 255:
-        # chunk the contraction so each piece's slice products stay exact
-        mid = (n // 2 + 127) & ~127 or 128
-        return ozaki_matmul(A[:, :mid], B[:mid], ndiag) + ozaki_matmul(
-            A[:, mid:], B[mid:], ndiag
-        )
     b_stacked, sB = ozaki_prepare_rhs(B, ndiag)
     return ozaki_matmul_prepared(A, b_stacked, sB, n)
 

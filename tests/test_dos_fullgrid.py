@@ -54,7 +54,49 @@ def test_rejects_wrong_shape(setup):
     _, bz = setup
     from autobzcore_tpu.fourier import FourierSeries
 
-    C = np.zeros((3, 3, 3, 2, 2), complex)
+    # non-square values (band counts other than 3 are now supported)
+    C = np.zeros((3, 3, 3, 2, 3), complex)
     s2 = FourierSeries(C, period=1.0, offset=(-1, -1, -1), ndim=3)
     with pytest.raises(ValueError):
         LorentzianFullGrid(0.1).init_cacheval(s2, 0.0, bz)
+
+
+def test_general_m_through_dos_algorithm(setup):
+    """A 2-band series runs end-to-end through LorentzianFullGrid
+    (VERDICT r2 next #2: dos/fullgrid no longer raises for m != 3)."""
+    _, bz = setup
+    s2 = _random_hermitian_series(seed=21, n=3, m=2)
+    alg = LorentzianFullGrid(0.3, nmin=8, nmax=64, slab=4, omega_batch=1)
+    cache = init(DOSProblem(s2, 0.5, bz), alg, abstol=1e-4)
+    sol = solve_(cache)
+    assert sol.retcode
+    ref = _dense_dos(s2, 64, np.array([0.5]), 0.3)[0] / 64**3
+    assert float(sol.u) == pytest.approx(ref, abs=1e-4)
+
+
+def test_budget_honored_before_first_rung(setup):
+    """maxiters smaller than the first rung: no silent nmin^3 overspend —
+    NaN curve, retcode False, zero evals (ADVICE r2)."""
+    s, bz = setup
+    alg = LorentzianFullGrid(0.05, nmin=8, nmax=512, slab=4, omega_batch=1)
+    cache = init(DOSProblem(s, 0.0, bz), alg, abstol=1e-3, maxiters=100)
+    sol = solve_(cache)
+    assert sol.retcode is False
+    assert sol.numevals == 0
+    assert np.isnan(float(sol.u))
+
+
+def test_engine_cache_keys_on_grid_contents(setup):
+    """Two grids with identical length/endpoints but different interior
+    spacing must not share an engine (ADVICE r2)."""
+    s, bz = setup
+    alg = LorentzianFullGrid(0.25, nmin=8, nmax=8, slab=4, omega_batch=1)
+    cache = init(DOSProblem(s, 0.0, bz), alg, abstol=1e-3)
+    lin = np.linspace(1.0, 4.0, 5)
+    geo = np.geomspace(1.0, 4.0, 5)
+    D_lin = np.asarray(alg.dos_sweep(cache.cacheval, lin, abstol=1.0))
+    D_geo = np.asarray(alg.dos_sweep(cache.cacheval, geo, abstol=1.0))
+    assert len(cache.cacheval["engines"]) == 2
+    ref_geo = _dense_dos(s, 8, geo, 0.25) / 8**3
+    assert np.max(np.abs(D_geo - ref_geo)) < 1e-4
+    assert not np.allclose(D_lin, D_geo)

@@ -63,6 +63,40 @@ def test_chunked_large_n():
     assert _err(A, B) < 1e-13
 
 
+def test_extreme_magnitudes_full_f64_range():
+    """Row/col maxima beyond the f32 range (overflow ~3.4e38 and the
+    subnormal floor ~1e-38) must still produce exact power-of-two scales
+    (ADVICE r2: the f32-frexp exponent extraction silently returned
+    inf/garbage above f32 max)."""
+    rng = np.random.default_rng(8)
+    for mag in (1e60, 1e300, 1e-60, 1e-300):
+        A = rng.normal(size=(8, 11)) * mag
+        B = rng.normal(size=(11, 16))
+        assert _err(A, B) < 1e-13, mag
+
+
+def test_pairs_path_matches_sliced():
+    """The per-pair deep-contraction path agrees with the diag-concat fast
+    path where both are exact (n <= 42)."""
+    from autobzcore_tpu.ops.ozaki import (
+        ozaki_matmul_pairs,
+        ozaki_matmul_sliced,
+        ozaki_prepare_lhs,
+        ozaki_prepare_lhs_pairs,
+        ozaki_prepare_rhs,
+    )
+
+    rng = np.random.default_rng(9)
+    A = rng.normal(size=(12, 30))
+    B = rng.normal(size=(30, 20))
+    b, sB = ozaki_prepare_rhs(jnp.asarray(B))
+    cats, sA1 = ozaki_prepare_lhs(jnp.asarray(A))
+    sl, sA2 = ozaki_prepare_lhs_pairs(jnp.asarray(A))
+    fast = np.asarray(ozaki_matmul_sliced(cats, sA1, b, sB, 30))
+    pairs = np.asarray(ozaki_matmul_pairs(sl, sA2, b, sB, 30))
+    assert np.max(np.abs(fast - pairs)) < 1e-13 * np.abs(fast).max()
+
+
 def test_zero_rows_cols():
     A = np.zeros((4, 5))
     A[0] = 1.0

@@ -96,6 +96,22 @@ class NestedQuad(IntegralAlgorithm):
             raise TypeError("NestedQuad requires an IteratedLimits domain")
         algs = self._algs_for(dom.ndim)
 
+        from .pole import ContQuadGKJL, MeroQuadGKJL
+
+        if any(isinstance(a, (ContQuadGKJL, MeroQuadGKJL)) for a in algs):
+            # pole-aware levels are host algorithms (data-dependent Newton
+            # deflation): the whole nest runs on the host — the reference's
+            # any-algorithm-per-dimension contract
+            # (``src/algorithms.jl:450-612``) for its irregular corner
+            if dom.ndim > 1 and any(
+                isinstance(a, (ContQuadGKJL, MeroQuadGKJL)) for a in algs[1:]
+            ):
+                raise ValueError(
+                    "ContQuadGKJL/MeroQuadGKJL are supported as the INNERMOST "
+                    "NestedQuad level (poles along the innermost variable)"
+                )
+            return {"pole_nest": algs}
+
         from ..fourier import FourierIntegrand
 
         if isinstance(f, FourierIntegrand):
@@ -183,6 +199,9 @@ class NestedQuad(IntegralAlgorithm):
     def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
         from .gk import _budget
 
+        if "pole_nest" in cacheval:
+            return self._pole_nest_solve(f, dom, p, cacheval["pole_nest"],
+                                         abstol, reltol, maxiters)
         if "panel" in cacheval:
             return self._host_outer_solve(dom, p, cacheval, abstol, reltol, maxiters)
         atol, rtol = effective_tolerances(abstol, reltol)
@@ -369,6 +388,65 @@ class NestedQuad(IntegralAlgorithm):
             )
         total = tm(jnp.asarray, total)
         return IntegralSolution(total, total_E, bool(converged), int(nev))
+
+    def _pole_nest_solve(self, f, dom, p, algs, abstol, reltol, maxiters):
+        """Host-recursive nest with a pole-aware (ContQuadGK/MeroQuadGK)
+        innermost level — the reference's any-algorithm-per-dimension
+        ``NestedQuad`` contract (``src/algorithms.jl:450-612``) for the case
+        a k-nest wraps a pole-hunting frequency integral.  Pole detection is
+        data-dependent host work, so the whole nest runs on the host; the
+        per-level tolerance division matches the device nest
+        (``atol / inner span``, ``src/algorithms.jl:545,557,567``).
+
+        The innermost integrand is evaluated at COMPLEX innermost coordinates
+        (dented contours / Newton polish), so the user integrand must accept
+        a complex first component — same analyticity requirement as the
+        reference's pole algorithms (``src/algorithms.jl:262-264``)."""
+        import numpy as np
+
+        from ..wrappers import unwrap_integrand
+
+        atol, rtol = effective_tolerances(abstol, reltol)
+        g = unwrap_integrand(f)
+        budget = np.inf if maxiters is None else int(maxiters)
+        stats = {"nev": 0, "ok": True}
+
+        from .pole import _quadgk_host
+
+        def level(lims, coords, atol_l):
+            d_rem = lims.ndim
+            alg = algs[d_rem - 1]
+            segs = np.asarray(lims.outer_segments())
+            if d_rem == 1:
+                fixed = [complex(c) for c in reversed(coords)]
+
+                def sub_f(x, pp):
+                    return g(jnp.asarray(np.array([x] + fixed)), pp)
+
+                cv = alg.init_cacheval(sub_f, segs, p)
+                rem = None if budget == np.inf else max(1, int(budget - stats["nev"]))
+                sol = alg.do_solve(sub_f, segs.real.astype(float), p, cv,
+                                   abstol=atol_l, reltol=rtol, maxiters=rem)
+                stats["nev"] += sol.numevals
+                stats["ok"] = stats["ok"] and bool(sol.retcode)
+                return complex(np.complex128(sol.u)), float(sol.resid)
+
+            def f_outer(x, pp):
+                lims2 = lims.fix(float(np.real(x)))
+                segs2 = np.asarray(lims2.outer_segments(), dtype=float)
+                len2 = max(float(segs2[-1] - segs2[0]), 1e-300)
+                val, _ = level(lims2, coords + (float(np.real(x)),), atol_l / len2)
+                return val
+
+            I, E, _, conv = _quadgk_host(
+                f_outer, p, segs.astype(float), atol_l, rtol,
+                order=getattr(alg, "order", 7),
+            )
+            stats["ok"] = stats["ok"] and conv
+            return I, E
+
+        val, err = level(dom, (), atol)
+        return IntegralSolution(jnp.asarray(val), err, bool(stats["ok"]), stats["nev"])
 
     def solve_fn(self, cacheval):
         from .gk import _budget

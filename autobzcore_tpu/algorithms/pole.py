@@ -63,6 +63,23 @@ def _host_f(f):
     return call
 
 
+class _CountedF:
+    """Counts EVERY integrand evaluation — Chebyshev pole-fit nodes, Newton
+    polish/residue stencils, residual checks, and GK panels — so
+    ``sol.numevals`` reports the exact total cost (the reference's
+    cost-observability contract, ``src/algorithms.jl:662-691``)."""
+
+    __slots__ = ("f", "n")
+
+    def __init__(self, f):
+        self.f = f
+        self.n = 0
+
+    def __call__(self, x, p):
+        self.n += 1
+        return self.f(x, p)
+
+
 def _quadgk_host(f, p, segs, atol, rtol, order=7, max_segs=10**4, max_evals=np.inf):
     """Heap-based adaptive GK over (possibly complex) segment endpoints.
 
@@ -234,24 +251,22 @@ class ContQuadGKJL(IntegralAlgorithm):
 
     def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
         atol, rtol = effective_tolerances(abstol, reltol)
-        fh = cacheval["f"]
+        fh = _CountedF(cacheval["f"])
         segs = np.asarray(segments_of(dom), dtype=float)
         budget = np.inf if maxiters is None else int(maxiters)
         total = 0.0 + 0.0j
         err = 0.0
-        nev = 0
         ok = True
         for i in range(len(segs) - 1):
             a, b = segs[i], segs[i + 1]
             poles = _find_poles(fh, p, a, b, self.rho, self.rootmeth)
             path = _dented_path(a, b, poles)
-            I, E, n, conv = _quadgk_host(fh, p, path, atol / max(len(segs) - 1, 1), rtol,
-                                         self.order, max_evals=budget - nev)
+            I, E, _, conv = _quadgk_host(fh, p, path, atol / max(len(segs) - 1, 1), rtol,
+                                         self.order, max_evals=budget - fh.n)
             total += I
             err += E
-            nev += n
             ok = ok and conv
-        return IntegralSolution(total, err, bool(ok), nev)
+        return IntegralSolution(total, err, bool(ok), fh.n)
 
 
 class MeroQuadGKJL(IntegralAlgorithm):
@@ -269,12 +284,11 @@ class MeroQuadGKJL(IntegralAlgorithm):
 
     def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None, maxiters=None):
         atol, rtol = effective_tolerances(abstol, reltol)
-        fh = cacheval["f"]
+        fh = _CountedF(cacheval["f"])
         segs = np.asarray(segments_of(dom), dtype=float)
         budget = np.inf if maxiters is None else int(maxiters)
         total = 0.0 + 0.0j
         err = 0.0
-        nev = 0
         ok = True
         for i in range(len(segs) - 1):
             a, b = segs[i], segs[i + 1]
@@ -287,14 +301,13 @@ class MeroQuadGKJL(IntegralAlgorithm):
                     val -= r / (x - z)
                 return val
 
-            I, E, n, conv = _quadgk_host(smooth, p, [a, b], atol / max(len(segs) - 1, 1),
-                                         rtol, self.order, max_evals=budget - nev)
+            I, E, _, conv = _quadgk_host(smooth, p, [a, b], atol / max(len(segs) - 1, 1),
+                                         rtol, self.order, max_evals=budget - fh.n)
             # analytic pole contribution; Log never crosses its cut since the
             # path has constant Im(x - z) = -Im(z) != 0
             for z, r in poles:
                 I += r * (np.log(b - z) - np.log(a - z))
             total += I
             err += E
-            nev += n
             ok = ok and conv
-        return IntegralSolution(total, err, bool(ok), nev)
+        return IntegralSolution(total, err, bool(ok), fh.n)

@@ -61,7 +61,6 @@ def spectral_sum_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int,
     if W % nw_dev:
         raise ValueError(f"omega count {W} must divide over {nw_dev} devices")
 
-    nsyms = 1 if bz.syms is None else len(bz.syms)
     vol = abs(np.linalg.det(bz.B))
     scale = vol / (npt**d)  # full-zone normalization: sum w = npt^d
 

@@ -149,3 +149,42 @@ def test_sweep_unknown_rep_scalar_ok():
     us, _ = sweep_solve(IntegralProblem(lambda x, p: p, bz), PTR(npt=10),
                         MixedParameters(jnp.asarray([1.0, 2.0])))
     assert np.allclose(np.asarray(us), [(2 * np.pi) ** 2, 2 * (2 * np.pi) ** 2])
+
+
+def test_sweep_ptr_iai_two_phase():
+    """PTR_IAI (AbsoluteEstimate) under sweep_solve: the estimate phase runs
+    inside the batched program and feeds the IAI tolerance per parameter
+    (VERDICT r2 weak #5)."""
+    from autobzcore_tpu import IAI, PTR_IAI, solve
+    from autobzcore_tpu.models.observables import dos_integrand
+    from autobzcore_tpu.parameters import MixedParameters
+
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    fi = dos_integrand(tb_integer(2), eta=0.5)
+    alg = PTR_IAI(PTR(npt=20), IAI(inner_cap=64, inner_nbisect=2), reltol=1e-3)
+    omegas = jnp.asarray([-1.0, 0.0, 1.5])
+    us, _ = sweep_solve(IntegralProblem(fi, bz), alg, MixedParameters(omegas))
+    assert us.shape == (3,)
+    for i, om in enumerate(np.asarray(omegas)):
+        ref = solve(IntegralProblem(fi, bz, om), alg)
+        assert float(us[i]) == pytest.approx(float(ref.u), rel=1e-4)
+
+
+def test_sweep_solver_scan_mode_matches_vmap():
+    """scan=True (lax.map-sequenced chunk, per-parameter early exit) returns
+    the same values as the vmapped SweepSolver and per-omega solve."""
+    from autobzcore_tpu import IAI, solve
+    from autobzcore_tpu.models.observables import dos_integrand
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    fi = dos_integrand(tb_integer(2), eta=0.5)
+    prob = IntegralProblem(fi, bz)
+    alg = IAI(inner_cap=64, inner_nbisect=2)
+    omegas = np.array([-1.0, 0.0, 0.7, 1.5, 2.0])
+    scan = SweepSolver(prob, alg, abstol=1e-6, chunk=4, scan=True)
+    got = scan(omegas)
+    assert got.shape == (5,)
+    for om, g in zip(omegas, got):
+        ref = solve(IntegralProblem(fi, bz, om), alg, abstol=1e-6)
+        assert g == pytest.approx(float(ref.u), abs=1e-6)

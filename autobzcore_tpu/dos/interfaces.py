@@ -73,4 +73,49 @@ def solve_(cache: DOSCache) -> DOSSolution:
     if cache.isfresh:
         cache.cacheval = cache.alg.init_cacheval(cache.H, cache.domain, cache.p)
         object.__setattr__(cache, "isfresh", False)
+    if isinstance(cache.domain, tuple) and len(cache.domain) == 2:
+        return _interval_solve(cache)
     return cache.alg.dos_solve(cache.H, cache.domain, cache.p, cache.cacheval, **cache.kwargs)
+
+
+def _interval_solve(cache: DOSCache) -> DOSSolution:
+    """Interval spectral domain ``(lo, hi)``: adaptively Chebyshev-interpolate
+    the DOS curve over the interval and return the interpolant as ``sol.u``
+    — a callable with a certified sup-norm error ``<= abstol`` (checked
+    against fresh double-order evaluations on every accepted panel).
+
+    This implements the reference's *documented* interval contract for
+    ``DOSProblem`` (``src/dos_interfaces.jl:14-33``: the domain is "usually
+    an interval" over which the solver yields the spectral function), which
+    the reference itself only ever exercises pointwise.  Batched frontiers
+    go through the algorithm's ``dos_sweep`` when it has one (one device
+    program per refinement round), falling back to pointwise ``dos_solve``.
+    """
+    import inspect
+
+    import numpy as np
+
+    lo, hi = (float(x) for x in cache.domain)
+    kwargs = dict(cache.kwargs)
+    atol = kwargs.get("abstol")
+    atol = 1e-2 if atol is None else float(atol)
+    alg, cv = cache.alg, cache.cacheval
+
+    sweep = getattr(alg, "dos_sweep", None)
+    if sweep is not None:
+        params = inspect.signature(sweep).parameters
+        extra = {k: v for k, v in kwargs.items() if k in params}
+
+        def frontier(xs):
+            return np.asarray(sweep(cv, np.asarray(xs, np.float64), **extra))
+    else:
+        def frontier(xs):
+            return np.array([
+                float(alg.dos_solve(cache.H, float(x), cache.p, cv, **kwargs).u)
+                for x in np.asarray(xs)
+            ])
+
+    from ..utils.chebinterp import hchebinterp
+
+    interp = hchebinterp(frontier, lo, hi, atol=atol)
+    return DOSSolution(interp, atol, True, interp.numevals)

@@ -131,3 +131,29 @@ def test_many_band_ggr():
     sweep = np.asarray(alg.dos_sweep(cache.cacheval, Es))
     assert np.all(np.isfinite(sweep)) and np.all(sweep >= 0)
     assert np.trapezoid(sweep, Es) == pytest.approx(30.0, rel=0.05)
+
+
+def test_interval_domain_returns_interpolant():
+    """DOSProblem with an interval domain yields a callable Chebyshev
+    interpolant with a certified sup-norm error (the reference's documented
+    but unimplemented contract, src/dos_interfaces.jl:14-33; VERDICT r2
+    next #9)."""
+    import numpy as np
+    from autobzcore_tpu import GGR, DOSProblem, load_bz, InversionSymIBZ
+    from autobzcore_tpu.dos import solve as dos_solve_fn
+    from autobzcore_tpu.models import tb_integer
+
+    h = tb_integer(2)
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    alg = GGR(npt=60)
+    sol = dos_solve_fn(DOSProblem(h, (-3.5, 3.5), bz), alg, abstol=5e-3)
+    assert sol.retcode
+    curve = sol.u
+    xs = np.linspace(-3.4, 3.4, 57)
+    vals = curve(xs)
+    assert vals.shape == (57,)
+    # interpolant agrees with direct pointwise solves within the certificate
+    from autobzcore_tpu.dos import init as dos_init, solve_ as dos_solve_
+    cache = dos_init(DOSProblem(h, 0.0, bz), alg)
+    direct = np.asarray(alg.dos_sweep(cache.cacheval, xs))
+    assert np.max(np.abs(vals - direct)) < 5 * 5e-3

@@ -11,12 +11,19 @@ import contextlib
 import time
 
 
-def enable_compile_cache(cache_dir=None, min_compile_secs=10.0):
+def enable_compile_cache(cache_dir=None, min_compile_secs=0.0):
     """Persist XLA executables across processes.  On hosted TPUs a cold AOT
     compile of a new kernel shape costs minutes through the tunnel; with the
     cache, re-running a sweep/benchmark skips straight to compute.  Safe to
     call more than once; returns the cache directory (or None if the JAX
-    version lacks the knobs)."""
+    version lacks the knobs).
+
+    ``min_compile_secs`` defaults to 0: through the axon remote-compile
+    helper, jax's locally-measured compile time is sub-second even when the
+    wall compile is minutes (measured 0.57 s local vs 42 s wall, r3), so any
+    positive threshold silently filters every TPU executable out of the
+    cache — the round-2 "56-523 s PTR-leg compile variance" was exactly
+    this: nothing was ever written, and every process recompiled."""
     import os
 
     import jax

@@ -80,6 +80,56 @@ def _solve_fn_with_consts(prob, alg, cache):
     return fnc, consts
 
 
+def threaded_solve(prob, alg, ps, nthreads=4, warmup=True, **kwargs):
+    """Pipeline independent ``p``-solves of ``prob`` across ``nthreads``
+    host threads, sharing one compiled cache; returns ``IntegralSolution``s
+    in ``ps`` order.
+
+    For host-driven adaptive solvers (``IAI(host_outer=True)``: one bounded
+    device dispatch per refinement step), a single solve alternates host
+    heap work with device panels, leaving the device idle during every host
+    phase and vice versa.  K threads keep the device queue fed while each
+    parameter keeps its full per-parameter adaptivity — the
+    pipelined-dispatch variant of the multi-omega driver (the ``lax.map``
+    variant for fully-on-device solves is ``SweepSolver(scan=True)``).
+
+    Thread safety: the shared cacheval is read-only here (jitted panel
+    executables + rule data); the per-parameter state (heaps, totals) is
+    local to each ``do_solve`` call, unlike ``IntegralSolver.solve_p``
+    which mutates its cache.
+
+    ``warmup=True`` runs the first parameter alone so compilation happens
+    once instead of racing across threads.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..interfaces import _resolve_parameters, _takes_mixed_parameters, init
+    from ..parameters import MixedParameters
+
+    cache = init(prob, alg, **kwargs)
+    mixed = _takes_mixed_parameters(prob.f)
+
+    def one(p):
+        if mixed and not isinstance(p, MixedParameters):
+            p = MixedParameters(p)
+        _, p2 = _resolve_parameters(prob.f, p)
+        return cache.alg.do_solve(cache.f, cache.dom, p2, cache.cacheval,
+                                  **cache.kwargs)
+
+    ps = list(ps)
+    if not ps:
+        return []
+    out = [None] * len(ps)
+    start = 0
+    if warmup:
+        out[0] = one(ps[0])
+        start = 1
+    if len(ps) > start:
+        with ThreadPoolExecutor(max_workers=max(1, int(nthreads))) as ex:
+            out[start:] = list(ex.map(one, ps[start:]))
+    return out
+
+
 def make_mesh(n_devices=None, axis_names=("p",), devices=None):
     """Build a 1D device mesh for sweep parallelism."""
     if devices is None:

@@ -188,3 +188,23 @@ def test_sweep_solver_scan_mode_matches_vmap():
     for om, g in zip(omegas, got):
         ref = solve(IntegralProblem(fi, bz, om), alg, abstol=1e-6)
         assert g == pytest.approx(float(ref.u), abs=1e-6)
+
+
+def test_threaded_solve_matches_sequential():
+    """threaded_solve pipelines independent host-outer adaptive solves over a
+    shared read-only cache; results match one-at-a-time solves exactly."""
+    from autobzcore_tpu import IAI, solve
+    from autobzcore_tpu.models.observables import dos_integrand
+    from autobzcore_tpu.parallel.sweep import threaded_solve
+
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    fi = dos_integrand(tb_integer(2), eta=0.5)
+    prob = IntegralProblem(fi, bz)
+    alg = IAI(inner_cap=64, host_outer=True)
+    omegas = [-1.0, 0.0, 0.7, 1.5]
+    sols = threaded_solve(prob, alg, omegas, nthreads=3, abstol=1e-6)
+    assert len(sols) == 4
+    for om, s in zip(omegas, sols):
+        ref = solve(IntegralProblem(fi, bz, om), alg, abstol=1e-6)
+        assert float(s.u) == pytest.approx(float(ref.u), abs=1e-9)
+        assert s.retcode

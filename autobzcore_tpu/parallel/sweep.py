@@ -83,7 +83,8 @@ def _solve_fn_with_consts(prob, alg, cache):
 def threaded_solve(prob, alg, ps, nthreads=4, warmup=True, **kwargs):
     """Pipeline independent ``p``-solves of ``prob`` across ``nthreads``
     host threads, sharing one compiled cache; returns ``IntegralSolution``s
-    in ``ps`` order.
+    in ``ps`` order.  Pass ``cache=`` (from :func:`~autobzcore_tpu.init`)
+    to reuse a prebuilt cache across calls (e.g. interpolation frontiers).
 
     For host-driven adaptive solvers (``IAI(host_outer=True)``: one bounded
     device dispatch per refinement step), a single solve alternates host
@@ -106,7 +107,9 @@ def threaded_solve(prob, alg, ps, nthreads=4, warmup=True, **kwargs):
     from ..interfaces import _resolve_parameters, _takes_mixed_parameters, init
     from ..parameters import MixedParameters
 
-    cache = init(prob, alg, **kwargs)
+    cache = kwargs.pop("cache", None)
+    if cache is None:
+        cache = init(prob, alg, **kwargs)
     mixed = _takes_mixed_parameters(prob.f)
 
     def one(p):

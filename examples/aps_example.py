@@ -32,14 +32,23 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
     from autobzcore_tpu.utils.chebinterp import hchebinterp
 
     if split:
+        from autobzcore_tpu.parallel.sweep import threaded_solve
+
         h64 = hamiltonian_fourier_series(hr, dtype=jnp.complex128)
         integrand = FourierIntegrand(dos_kernel, h64, eta=eta)
+        from autobzcore_tpu import init as integral_init
+
         alg = IAI(precision="split", inner_cap=96, host_outer=True)
-        solver = IntegralSolver(IntegralProblem(integrand, bz), alg, abstol=args.abstol)
+        prob = IntegralProblem(integrand, bz)
+        cache = integral_init(prob, alg, abstol=args.abstol)
         t0 = time.time()
 
         def dos_pointwise(omegas):
-            return np.array([float(solver(float(om))) for om in omegas])
+            # pipeline the host-outer heaps across threads: each omega keeps
+            # its own adaptive refinement while the device queue stays fed
+            sols = threaded_solve(prob, alg, [float(om) for om in omegas],
+                                  nthreads=4, cache=cache)
+            return np.array([float(np.real(np.complex128(s.u))) for s in sols])
 
         frontier_fn = dos_pointwise
     else:

@@ -147,6 +147,13 @@ def gk_adaptive(
     pool_a = jnp.zeros((cap,), dt).at[:nseg].set(a0)
     pool_b = jnp.zeros((cap,), dt).at[:nseg].set(b0)
     pool_err = jnp.zeros((cap,), dt).at[:nseg].set(err0)
+    # under shard_map the body writes integrand-derived (device-varying)
+    # endpoints into the pools, so the carry must START varying like the
+    # values do (outside shard_map this folds to a no-op) — same pattern as
+    # grid_sweep's fori carry
+    vary = jnp.real(err0[0]) * 0
+    pool_a = pool_a + vary
+    pool_b = pool_b + vary
     n0 = jnp.asarray(nseg, jnp.int32)
     evals0 = stat0.astype(max_evals.dtype)
 

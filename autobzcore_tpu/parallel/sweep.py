@@ -253,7 +253,26 @@ class SweepSolver:
         self.chunk = chunk
         self.mesh = mesh
         self._consts = consts
-        if scan:
+        if scan and mesh is not None:
+            # pod-scale adaptive sweep: omega chunks shard over the mesh
+            # axis; EACH device sequences its local slice with lax.map, so
+            # per-parameter early exit is preserved while devices run in
+            # parallel (no cross-device lockstep — no collectives inside)
+            from jax import shard_map
+
+            axis = mesh.axis_names[0]
+            ndev = mesh.shape[axis]
+            if chunk % ndev:
+                raise ValueError(f"chunk {chunk} must divide over {ndev} devices")
+
+            def local(consts, xs):
+                return jax.lax.map(lambda x: one(consts, x), xs)
+
+            self._batched = jax.jit(
+                shard_map(local, mesh=mesh,
+                          in_specs=(P(), P(axis)), out_specs=P(axis))
+            )
+        elif scan:
             self._batched = jax.jit(
                 lambda consts, xs: jax.lax.map(lambda x: one(consts, x), xs)
             )

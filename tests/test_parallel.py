@@ -208,3 +208,36 @@ def test_threaded_solve_matches_sequential():
         ref = solve(IntegralProblem(fi, bz, om), alg, abstol=1e-6)
         assert float(s.u) == pytest.approx(float(ref.u), abs=1e-9)
         assert s.retcode
+
+
+def test_sweep_solver_scan_sharded_matches_single():
+    """scan=True + mesh: omega chunks shard over devices, each device
+    lax.map-sequences its slice (per-parameter adaptivity, no lockstep)."""
+    from autobzcore_tpu import IAI
+    from autobzcore_tpu.models.observables import dos_integrand
+    from autobzcore_tpu.parallel.sweep import SweepSolver, make_mesh
+
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    fi = dos_integrand(tb_integer(2), eta=0.5)
+    prob = IntegralProblem(fi, bz)
+    alg = IAI(inner_cap=64, inner_nbisect=2)
+    mesh = make_mesh(8, ("p",), devices=jax.devices("cpu"))
+    omegas = np.linspace(-2.0, 2.0, 11)
+    sharded = SweepSolver(prob, alg, abstol=1e-6, chunk=16, scan=True, mesh=mesh)
+    plain = SweepSolver(prob, alg, abstol=1e-6, chunk=16, scan=True)
+    got = sharded(omegas)
+    ref = plain(omegas)
+    assert np.allclose(got, ref, atol=1e-10)
+
+
+def test_sweep_solver_scan_sharded_chunk_mismatch_raises():
+    from autobzcore_tpu import IAI
+    from autobzcore_tpu.models.observables import dos_integrand
+    from autobzcore_tpu.parallel.sweep import SweepSolver, make_mesh
+
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    fi = dos_integrand(tb_integer(2), eta=0.5)
+    mesh = make_mesh(8, ("p",), devices=jax.devices("cpu"))
+    with pytest.raises(ValueError, match="divide"):
+        SweepSolver(IntegralProblem(fi, bz), IAI(inner_cap=64), chunk=12,
+                    scan=True, mesh=mesh)

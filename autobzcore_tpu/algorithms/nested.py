@@ -57,7 +57,8 @@ class NestedQuad(IntegralAlgorithm):
     dimension (index 0 = innermost), as in the reference."""
 
     def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False,
-                 host_outer=False, host_nbisect=4, checkpoint=None):
+                 host_outer=False, host_nbisect=4, checkpoint=None,
+                 leaf_nbisect=None):
         self.algs = algs
         # split=True runs FourierIntegrand carriers in split-complex f64
         # (true double-precision IAI on TPU, where c128 cannot exist)
@@ -83,6 +84,12 @@ class NestedQuad(IntegralAlgorithm):
         # prod(panel sizes) * cap live pool entries at the innermost level.
         self.inner_cap = inner_cap
         self.inner_nbisect = inner_nbisect
+        # innermost-level batch width override: extra evals from batched
+        # bisection do NOT multiply into deeper solves at the leaf, so wider
+        # panels are affordable there — but measured on the SrVO3 nest they
+        # only add evals without wall-time gain (leaf 1/2/4/8 -> 302/320/306/
+        # 446 ms at omega=13, r3), so None keeps the level-default coupling
+        self.leaf_nbisect = leaf_nbisect
 
     def _algs_for(self, ndim):
         if isinstance(self.algs, (tuple, list)):
@@ -159,7 +166,12 @@ class NestedQuad(IntegralAlgorithm):
             if isinstance(alg, QuadGKJL):  # includes AuxQuadGKJL
                 outermost = d_rem == dom.ndim
                 cap = alg.cap if outermost else min(alg.cap, self.inner_cap)
-                nbisect = alg.nbisect if outermost else min(alg.nbisect, self.inner_nbisect)
+                if outermost:
+                    nbisect = alg.nbisect
+                elif d_rem == 1 and self.leaf_nbisect is not None:
+                    nbisect = max(1, int(self.leaf_nbisect))
+                else:
+                    nbisect = min(alg.nbisect, self.inner_nbisect)
                 return gk_adaptive(
                     batch_f, p, segs, order=alg.order, cap=cap,
                     nbisect=nbisect, abstol=atol, reltol=rtol,

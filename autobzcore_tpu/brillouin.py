@@ -374,7 +374,8 @@ class IAI(AutoBZAlgorithm):
     """
 
     def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex",
-                 host_outer=False, host_nbisect=4, checkpoint=None):
+                 host_outer=False, host_nbisect=4, checkpoint=None,
+                 leaf_nbisect=None):
         # default to pure worst-first refinement (nbisect=1, the reference's
         # heap semantics): in a nest every extra outer panel multiplies into
         # full inner solves — nbisect=4 measured 13.7M evals / 915 ms per
@@ -400,13 +401,18 @@ class IAI(AutoBZAlgorithm):
         self.host_nbisect = host_nbisect
         # checkpoint: path template for host-outer heap persistence/resume
         self.checkpoint = checkpoint
+        # innermost-level batch width (see NestedQuad.leaf_nbisect): leaf
+        # evals don't multiply into deeper solves, so wider batches there
+        # trade a little eval waste for fewer while-loop iterations
+        self.leaf_nbisect = leaf_nbisect
 
     def bz_to_standard(self, bz):
         return bz, bz.lims, NestedQuad(self.algs, self.inner_cap, self.inner_nbisect,
                                        split=self.precision == "split",
                                        host_outer=self.host_outer,
                                        host_nbisect=self.host_nbisect,
-                                       checkpoint=self.checkpoint)
+                                       checkpoint=self.checkpoint,
+                                       leaf_nbisect=self.leaf_nbisect)
 
 
 class PTR(AutoBZAlgorithm):

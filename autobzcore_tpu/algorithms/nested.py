@@ -24,12 +24,29 @@ import jax.numpy as jnp
 
 from ..interfaces import IntegralSolution
 from ..limits import IteratedLimits
-from ..ops.adaptive import fixed_rule_eval, gk_adaptive
+from ..ops.adaptive import fixed_rule_eval, gk_adaptive, gk_adaptive_guided
 from ..utils.tree import tree_norm
 from ..wrappers import batch_eval_fn
 from .base import IntegralAlgorithm, effective_tolerances
 from .gk import QuadGKJL
 from .quadrature import QuadratureFunction
+
+
+def _downcast_params(p):
+    """f32/c64 copy of a parameter pytree for the guided search tier (keeps
+    f64 parameters from promoting the c64 guide evaluations back to f64)."""
+    def cast(v):
+        try:
+            v = jnp.asarray(v)
+        except TypeError:
+            return v
+        if jnp.issubdtype(v.dtype, jnp.floating):
+            return v.astype(jnp.float32)
+        if jnp.issubdtype(v.dtype, jnp.complexfloating):
+            return v.astype(jnp.complex64)
+        return v
+
+    return jax.tree_util.tree_map(cast, p)
 
 
 def assemble_points(xs, coords):
@@ -58,11 +75,20 @@ class NestedQuad(IntegralAlgorithm):
 
     def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False,
                  host_outer=False, host_nbisect=4, checkpoint=None,
-                 leaf_nbisect=None):
+                 leaf_nbisect=None, guide_rfloor=4e-6):
         self.algs = algs
         # split=True runs FourierIntegrand carriers in split-complex f64
-        # (true double-precision IAI on TPU, where c128 cannot exist)
-        self.split = split
+        # (true double-precision IAI on TPU, where c128 cannot exist);
+        # split="guided" adds the f32-search tier: every adaptive level finds
+        # its partition with cheap complex64 evaluations, then evaluates and
+        # certifies only the surviving intervals in split-f64
+        # (ops/adaptive.gk_adaptive_guided) — the savings compound across
+        # nest levels
+        self.guided = split == "guided"
+        self.split = bool(split)
+        # relative f32-noise floor for the guided search phase (keeps the
+        # search from spinning where the c64 tier cannot resolve the error)
+        self.guide_rfloor = float(guide_rfloor)
         # host_outer=True drives the OUTERMOST adaptive level from a host-side
         # heap: each refinement step is one bounded device call over a panel
         # of outer nodes (inner levels stay fully on-device).  This bounds
@@ -132,6 +158,15 @@ class NestedQuad(IntegralAlgorithm):
             def make_carrier():
                 return carrier0
 
+        if self.guided:
+            if isinstance(f, FourierIntegrand):
+                def make_carrier32():
+                    return f.nest_carrier(downcast=True)
+            else:
+                # no cheap tier for opaque integrands: the machinery still
+                # works (search and evaluate tiers coincide), just no speedup
+                make_carrier32 = make_carrier
+
         def solve_level(lims, carrier, coords, p, atol, rtol, maxiters):
             d_rem = lims.ndim
             alg = algs[d_rem - 1]
@@ -180,30 +215,148 @@ class NestedQuad(IntegralAlgorithm):
                 )
             raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")
 
-        @jax.jit
-        def run(p, atol, rtol, maxiters):
-            # maxiters is threaded to every nesting level's adaptive driver,
-            # matching the reference's kwarg pass-through (src/interfaces.jl:64-69)
-            return solve_level(dom, make_carrier(), (), p, atol, rtol, maxiters)
+        guide_rfloor = self.guide_rfloor
+
+        def solve_level_g(lims, car32, carS, coords, p32, p, atol, rtol, maxiters):
+            """Guided twin of ``solve_level``: each adaptive level searches
+            with the c64 carrier (full-f32 inner recursion) and evaluates /
+            certifies with the split-f64 carrier (guided inner recursion)."""
+            d_rem = lims.ndim
+            alg = algs[d_rem - 1]
+            segs = lims.outer_segments()
+            inner_stats = d_rem > 1
+            rtol_g = jnp.maximum(jnp.asarray(rtol), guide_rfloor)
+
+            if d_rem == 1:
+                def batch_f32(xs, pp):
+                    return car32.eval_batch(xs, coords, pp)
+
+                def batch_fS(xs, pp):
+                    return carS.eval_batch(xs, coords, pp)
+            else:
+                def batch_f32(xs, pp):
+                    def one(x):
+                        lims2 = lims.fix(x)
+                        car2 = car32.fix(x)
+                        segs2 = lims2.outer_segments()
+                        len2 = segs2[-1] - segs2[0]
+                        inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
+                        val, _, ne, _ = solve_level(
+                            lims2, car2, coords + (x,), pp, inner_atol, rtol_g, maxiters
+                        )
+                        return val, ne
+
+                    return jax.vmap(one)(xs)
+
+                def batch_fS(xs, pp):
+                    def one(x):
+                        lims2 = lims.fix(x)
+                        c2_32 = car32.fix(x)
+                        c2S = carS.fix(x)
+                        segs2 = lims2.outer_segments()
+                        len2 = segs2[-1] - segs2[0]
+                        inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
+                        val, _, ne, _ = solve_level_g(
+                            lims2, c2_32, c2S, coords + (x,), p32, pp,
+                            inner_atol, rtol, maxiters
+                        )
+                        return val, ne
+
+                    return jax.vmap(one)(xs)
+
+            if isinstance(alg, QuadratureFunction):
+                # fixed rule: nothing to search, evaluate split directly
+                x, w = alg.fun(alg.npt)
+                val, ne = fixed_rule_eval(batch_fS, p, segs, x, w, stats=inner_stats)
+                z = jnp.zeros((), segs.dtype)
+                return val, z, ne, jnp.asarray(True)
+            if isinstance(alg, QuadGKJL):  # includes AuxQuadGKJL
+                outermost = d_rem == dom.ndim
+                cap = alg.cap if outermost else min(alg.cap, self.inner_cap)
+                if outermost:
+                    nbisect = alg.nbisect
+                elif d_rem == 1 and self.leaf_nbisect is not None:
+                    nbisect = max(1, int(self.leaf_nbisect))
+                else:
+                    nbisect = min(alg.nbisect, self.inner_nbisect)
+                return gk_adaptive_guided(
+                    batch_f32, batch_fS, p32, p, segs, order=alg.order,
+                    cap=cap, nbisect=nbisect, abstol=atol, reltol=rtol,
+                    guide_rfloor=guide_rfloor, maxiters=maxiters,
+                    norm=alg.norm, stats=inner_stats,
+                )
+            raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")
+
+        if self.guided:
+            @jax.jit
+            def run(p, atol, rtol, maxiters):
+                p32 = _downcast_params(p)
+                return solve_level_g(dom, make_carrier32(), make_carrier(), (),
+                                     p32, p, atol, rtol, maxiters)
+        else:
+            @jax.jit
+            def run(p, atol, rtol, maxiters):
+                # maxiters is threaded to every nesting level's adaptive driver,
+                # matching the reference's kwarg pass-through (src/interfaces.jl:64-69)
+                return solve_level(dom, make_carrier(), (), p, atol, rtol, maxiters)
 
         cacheval = {"run": run}
 
         if self.host_outer and dom.ndim > 1:
             # one bounded device call per refinement step: inner solves for a
             # panel of outermost coordinates (vals, evals, converged)
-            @jax.jit
-            def panel(xs, p, atol, rtol, maxiters):
-                def one(x):
-                    lims2 = dom.fix(x)
-                    car2 = make_carrier().fix(x)
-                    segs2 = lims2.outer_segments()
-                    len2 = segs2[-1] - segs2[0]
-                    inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
-                    val, _, ne, conv = solve_level(lims2, car2, (x,), p,
-                                                   inner_atol, rtol, maxiters)
-                    return val, ne, conv
+            if self.guided:
+                @jax.jit
+                def panel(xs, p, atol, rtol, maxiters):
+                    p32 = _downcast_params(p)
 
-                return jax.vmap(one)(xs)
+                    def one(x):
+                        lims2 = dom.fix(x)
+                        c2_32 = make_carrier32().fix(x)
+                        c2S = make_carrier().fix(x)
+                        segs2 = lims2.outer_segments()
+                        len2 = segs2[-1] - segs2[0]
+                        inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
+                        val, _, ne, conv = solve_level_g(
+                            lims2, c2_32, c2S, (x,), p32, p,
+                            inner_atol, rtol, maxiters)
+                        return val, ne, conv
+
+                    return jax.vmap(one)(xs)
+
+                # cheap f32 panel for the host-side search phase
+                @jax.jit
+                def panel32(xs, p, atol, rtol, maxiters):
+                    p32 = _downcast_params(p)
+                    rtol_g = jnp.maximum(jnp.asarray(rtol), guide_rfloor)
+
+                    def one(x):
+                        lims2 = dom.fix(x)
+                        car2 = make_carrier32().fix(x)
+                        segs2 = lims2.outer_segments()
+                        len2 = segs2[-1] - segs2[0]
+                        inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
+                        val, _, ne, conv = solve_level(lims2, car2, (x,), p32,
+                                                       inner_atol, rtol_g, maxiters)
+                        return val, ne, conv
+
+                    return jax.vmap(one)(xs)
+
+                cacheval["panel32"] = panel32
+            else:
+                @jax.jit
+                def panel(xs, p, atol, rtol, maxiters):
+                    def one(x):
+                        lims2 = dom.fix(x)
+                        car2 = make_carrier().fix(x)
+                        segs2 = lims2.outer_segments()
+                        len2 = segs2[-1] - segs2[0]
+                        inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
+                        val, _, ne, conv = solve_level(lims2, car2, (x,), p,
+                                                       inner_atol, rtol, maxiters)
+                        return val, ne, conv
+
+                    return jax.vmap(one)(xs)
 
             cacheval["panel"] = panel
         return cacheval
@@ -251,6 +404,7 @@ class NestedQuad(IntegralAlgorithm):
         rtol_f = float(rtol)
         budget = _budget(maxiters)
         panel = cacheval["panel"]
+        panel32 = cacheval.get("panel32")  # guided: cheap f32 search tier
         top_alg = self._algs_for(dom.ndim)[dom.ndim - 1]
         order = getattr(top_alg, "order", 7)
         norm = getattr(top_alg, "norm", tree_norm)
@@ -259,22 +413,43 @@ class NestedQuad(IntegralAlgorithm):
 
         tm = jax.tree_util.tree_map
 
-        def hnorm(tree):
-            return float(norm(tm(jnp.asarray, tree)))
+        # heap totals are host numpy — possibly complex128 (host_complex_safe
+        # rejoins complex panel results on the host).  The norm must therefore
+        # run on the CPU backend: jnp.asarray under a TPU default device would
+        # eagerly ship a c128 program the TPU compiler rejects.
+        cpu0 = jax.devices("cpu")[0]
 
-        def rules(bounds):
+        def hnorm(tree):
+            return float(norm(tm(lambda v: jax.device_put(np.asarray(v), cpu0),
+                                 tree)))
+
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        dbg = _os.environ.get("AUTOBZ_HOST_OUTER_DEBUG") == "1"
+
+        def rules(bounds, pan=None):
             """Evaluate the GK rule on a list of (a, b) intervals with ONE
             device call; returns per-interval (I, E, ne, conv)."""
+            if pan is None:
+                pan = panel
             nodes = np.concatenate(
                 [(a + b) / 2 + (b - a) / 2 * xk for a, b in bounds]
             )
+            t0 = _time.time() if dbg else 0.0
             # inner levels run unbudgeted: maxiters bounds the OUTER heap only
             # (a truncated inner solve would silently poison the stored panel
             # values — and any resumed checkpoint built from them)
-            vals, nes, convs = panel(jnp.asarray(nodes), p,
-                                     jnp.asarray(atol_f), jnp.asarray(rtol_f),
-                                     _budget(None))
+            vals, nes, convs = pan(jnp.asarray(nodes), p,
+                                   jnp.asarray(atol_f), jnp.asarray(rtol_f),
+                                   _budget(None))
             vals = tm(np.asarray, host_complex_safe(vals))
+            if dbg:
+                which = "panel32" if pan is panel32 else "panel"
+                print(f"[host-outer] {which} n={len(bounds)} "
+                      f"[{bounds[0][0]:.4g},{bounds[0][1]:.4g}]... "
+                      f"t={_time.time() - t0:.2f}s", file=_sys.stderr, flush=True)
             nes = np.asarray(nes)
             convs = np.asarray(convs)
             npts = len(xk)
@@ -321,7 +496,10 @@ class NestedQuad(IntegralAlgorithm):
             total_E = 0.0
             nev = 0
             inner_ok = True
-            init = rules(list(zip(segs[:-1], segs[1:])))
+            # a fresh guided run seeds the heap with the cheap f32 tier; the
+            # upgrade pass replaces every stored value before certification
+            init = rules(list(zip(segs[:-1], segs[1:])),
+                         panel32 if panel32 is not None else panel)
             for i, ((a, b), (I, E, ne, conv)) in enumerate(zip(zip(segs[:-1], segs[1:]), init)):
                 total = I if total is None else tm(np.add, total, I)
                 total_E += E
@@ -347,37 +525,82 @@ class NestedQuad(IntegralAlgorithm):
         # device better; growing width amortizes late-stage refinement
         nbis = max(1, int(self.host_nbisect))
         iters_since_ckpt = 0
-        while total_E > max(atol_f, rtol_f * hnorm(total)) and nev < max_evals and heap:
-            iters_since_ckpt += 1
-            if iters_since_ckpt >= 16:
-                save_ckpt()
-                iters_since_ckpt = 0
-            tol_now = max(atol_f, rtol_f * hnorm(total))
-            batch = []  # (a, b, I_parent, E_parent)
-            picked_E = 0.0
-            while heap and len(batch) < nbis:
-                # stop picking once the already-picked errors could settle it
-                if batch and total_E - picked_E <= tol_now:
+
+        def refine(pan, floor_rel=0.0, allow_ckpt=True):
+            """Worst-first refinement of the heap through panel ``pan`` until
+            ``max(atol, rtol·‖I‖, floor_rel·‖I‖)`` (the floor bounds the
+            guided search phase at the f32 noise level)."""
+            nonlocal total, total_E, nev, inner_ok, count, iters_since_ckpt, heap
+            while True:
+                tol_now = max(atol_f, max(rtol_f, floor_rel) * hnorm(total))
+                if not (total_E > tol_now and nev < max_evals and heap):
                     break
-                negE, _, a, b, I = heapq.heappop(heap)
-                batch.append((a, b, I, -negE))
-                picked_E += -negE
-            bounds = []
-            for a, b, _, _ in batch:
-                m = (a + b) / 2
-                bounds += [(a, m), (m, b)]
-            res = rules(bounds)
-            for k, (a, b, I, Ep) in enumerate(batch):
-                m = (a + b) / 2
-                I1, E1, n1, c1 = res[2 * k]
-                I2, E2, n2, c2 = res[2 * k + 1]
-                total = tm(lambda t, x, y, z: t + x + y - z, total, I1, I2, I)
-                total_E += E1 + E2 - Ep
-                nev += n1 + n2
-                inner_ok = inner_ok and c1 and c2
-                count += 1
-                heapq.heappush(heap, (-E1, 2 * count, a, m, I1))
-                heapq.heappush(heap, (-E2, 2 * count + 1, m, b, I2))
+                iters_since_ckpt += 1
+                if allow_ckpt and iters_since_ckpt >= 16:
+                    save_ckpt()
+                    iters_since_ckpt = 0
+                batch = []  # (a, b, I_parent, E_parent)
+                picked_E = 0.0
+                while heap and len(batch) < nbis:
+                    # stop picking once the already-picked errors could settle it
+                    if batch and total_E - picked_E <= tol_now:
+                        break
+                    negE, _, a, b, I = heapq.heappop(heap)
+                    batch.append((a, b, I, -negE))
+                    picked_E += -negE
+                bounds = []
+                for a, b, _, _ in batch:
+                    m = (a + b) / 2
+                    bounds += [(a, m), (m, b)]
+                res = rules(bounds, pan)
+                for k, (a, b, I, Ep) in enumerate(batch):
+                    m = (a + b) / 2
+                    I1, E1, n1, c1 = res[2 * k]
+                    I2, E2, n2, c2 = res[2 * k + 1]
+                    total = tm(lambda t, x, y, z: t + x + y - z, total, I1, I2, I)
+                    total_E += E1 + E2 - Ep
+                    nev += n1 + n2
+                    inner_ok = inner_ok and c1 and c2
+                    count += 1
+                    heapq.heappush(heap, (-E1, 2 * count, a, m, I1))
+                    heapq.heappush(heap, (-E2, 2 * count + 1, m, b, I2))
+
+        def upgrade_heap():
+            """Guided phase 2: re-evaluate every surviving outer interval with
+            the accurate panel (dispatch shape matches the refine dispatches,
+            padded with zero-width intervals, so the same executable serves)."""
+            nonlocal heap, total, total_E, nev, inner_ok
+            entries = [(key, a, b) for (_, key, a, b, _) in heap]
+            chunk = max(2 * nbis, 2)
+            results = []
+            for i0 in range(0, len(entries), chunk):
+                ch = [(a, b) for _, a, b in entries[i0:i0 + chunk]]
+                pad = chunk - len(ch)
+                res = rules(ch + [(0.0, 0.0)] * pad, panel)
+                nev += sum(r[2] for r in res)  # padding solves really ran
+                results += res[:len(ch)]
+            new_heap = []
+            new_total = None
+            new_E = 0.0
+            for (key, a, b), (I, E, ne, conv) in zip(entries, results):
+                new_total = I if new_total is None else tm(np.add, new_total, I)
+                new_E += E
+                inner_ok = inner_ok and conv
+                heapq.heappush(new_heap, (-E, key, a, b, I))
+            heap = new_heap
+            total = new_total
+            total_E = new_E
+
+        if state is not None:
+            # a resumed checkpoint always holds accurate-tier values
+            # (checkpoints are disabled during the guided search phase)
+            refine(panel)
+        elif panel32 is not None:
+            refine(panel32, floor_rel=self.guide_rfloor, allow_ckpt=False)
+            upgrade_heap()
+            refine(panel)
+        else:
+            refine(panel)
         converged = total_E <= max(atol_f, rtol_f * hnorm(total)) and inner_ok
         if ckpt_file is not None:
             if not converged and nev >= max_evals:

@@ -374,8 +374,8 @@ class IAI(AutoBZAlgorithm):
     """
 
     def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex",
-                 host_outer=False, host_nbisect=4, checkpoint=None,
-                 leaf_nbisect=None):
+                 host_outer=False, host_nbisect=None, checkpoint=None,
+                 leaf_nbisect=None, guide_rfloor=4e-6):
         # default to pure worst-first refinement (nbisect=1, the reference's
         # heap semantics): in a nest every extra outer panel multiplies into
         # full inner solves — nbisect=4 measured 13.7M evals / 915 ms per
@@ -385,19 +385,38 @@ class IAI(AutoBZAlgorithm):
         self.algs = algs if algs is not None else AuxQuadGKJL(nbisect=1)
         self.inner_cap = inner_cap
         self.inner_nbisect = inner_nbisect
-        if precision not in ("complex", "split"):
-            raise ValueError("precision must be 'complex' or 'split'")
+        if precision not in ("complex", "split", "guided"):
+            raise ValueError("precision must be 'complex', 'split', or 'guided'")
         # "split": FourierIntegrand series evaluate in split-complex f64
         # pairs — the double-precision adaptive tier on TPU, where complex128
         # cannot exist (kernels receive SplitComplex values; the shipped
-        # observables handle both)
+        # observables handle both).
+        # "guided": same split-f64 values and certificates, but every
+        # adaptive level finds its partition with cheap complex64 searches
+        # first and only evaluates the surviving intervals in split-f64
+        # (ops/adaptive.gk_adaptive_guided), guide_rfloor bounding the f32
+        # search depth.  Measured (SrVO3 DOS, v5e): the win is at moderate
+        # tolerances — abstol 1e-3 runs 4.7 s/omega warm ON-DEVICE (no
+        # host_outer needed) with a full f64 certificate; at abstol 1e-5 the
+        # c64 searches can no longer resolve the inner absolute tolerances,
+        # saturate their pools, and 'split' + host_outer is faster (178 s vs
+        # 434 s sequential).  Rule of thumb: guided for abstol >= ~1e-4,
+        # split+host_outer below.
         self.precision = precision
+        self.guide_rfloor = guide_rfloor
         # host_outer: outermost adaptive level runs from a host heap with one
         # bounded device dispatch per refinement (tight tolerances through
         # execution-time-limited transports; see NestedQuad.host_outer)
         self.host_outer = host_outer
         # worst outer intervals bisected per host-outer dispatch: wider
-        # batches amortize the host<->device round trip on remote transports
+        # batches amortize the host<->device round trip on remote transports.
+        # Guided panels do roughly 4x the per-node work of split panels (the
+        # c64 search runs inside them), and hosted transports kill dispatches
+        # that run too long — measured: a 120-node guided SrVO3 panel at
+        # abstol 1e-5 crashes the tunnel worker, a 30-node one completes —
+        # so guided defaults to single-interval dispatches.
+        if host_nbisect is None:
+            host_nbisect = 1 if precision == "guided" else 4
         self.host_nbisect = host_nbisect
         # checkpoint: path template for host-outer heap persistence/resume
         self.checkpoint = checkpoint
@@ -407,12 +426,14 @@ class IAI(AutoBZAlgorithm):
         self.leaf_nbisect = leaf_nbisect
 
     def bz_to_standard(self, bz):
+        split = {"complex": False, "split": True, "guided": "guided"}[self.precision]
         return bz, bz.lims, NestedQuad(self.algs, self.inner_cap, self.inner_nbisect,
-                                       split=self.precision == "split",
+                                       split=split,
                                        host_outer=self.host_outer,
                                        host_nbisect=self.host_nbisect,
                                        checkpoint=self.checkpoint,
-                                       leaf_nbisect=self.leaf_nbisect)
+                                       leaf_nbisect=self.leaf_nbisect,
+                                       guide_rfloor=self.guide_rfloor)
 
 
 class PTR(AutoBZAlgorithm):

@@ -301,9 +301,19 @@ class FourierIntegrand:
         return g
 
     # --- nested quadrature support ----------------------------------------
-    def nest_carrier(self, split=False):
+    def nest_carrier(self, split=False, downcast=False):
         if isinstance(self.s, JacobianSeries):
             raise TypeError("nested quadrature over a JacobianSeries is not supported")
+        if downcast:
+            # guide tier for the f32-search/split-evaluate nest: the same
+            # series downcast to complex64 so search-phase evaluations stay in
+            # single precision even under x64 tracing (phase_matrix computes
+            # in the real counterpart of the series dtype)
+            s = self.s
+            c64 = np.asarray(s.c).astype(np.complex64)
+            return FourierCarrier(self.pf, FourierSeries(
+                c64, period=s.period, offset=s.offset, ndim=s.sndim,
+                dtype=jnp.complex64))
         if split:
             if not jax.config.jax_enable_x64:
                 raise RuntimeError(

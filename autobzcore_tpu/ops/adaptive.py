@@ -85,8 +85,16 @@ def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder, stats=False):
         v = v.reshape((K, npts) + v.shape[1:])
         wshape = (1, npts) + (1,) * (v.ndim - 2)
         hshape = (K,) + (1,) * (v.ndim - 2)
-        vk = jnp.sum(wk.reshape(wshape) * v, axis=1) * half.reshape(hshape)
-        vg = jnp.sum(wg.reshape(wshape) * v, axis=1) * half.reshape(hshape)
+        # rule reductions run in the VALUE's (real-counterpart) dtype: f64
+        # weights times c64 guide-tier values would otherwise promote to
+        # complex128, which the TPU x64 rewriter cannot lower
+        if jnp.issubdtype(v.dtype, jnp.inexact):
+            rdt = jnp.finfo(v.dtype).dtype
+            wk_, wg_, half_ = wk.astype(rdt), wg.astype(rdt), half.astype(rdt)
+        else:
+            wk_, wg_, half_ = wk, wg, half
+        vk = jnp.sum(wk_.reshape(wshape) * v, axis=1) * half_.reshape(hshape)
+        vg = jnp.sum(wg_.reshape(wshape) * v, axis=1) * half_.reshape(hshape)
         return vk, vg
 
     valk = jax.tree_util.tree_map(lambda v: per_leaf(v)[0], fx)
@@ -94,6 +102,14 @@ def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder, stats=False):
     diff = jax.tree_util.tree_map(lambda k, g: k - g, valk, valg)
     err = _err_norm(diff, 1)
     return valk, err, stat_sum
+
+
+def _gk_tolerances(dt, abstol, reltol):
+    rtol_default = jnp.sqrt(jnp.finfo(dt).eps)
+    if abstol is None and reltol is None:
+        return jnp.zeros((), dt), rtol_default
+    return (jnp.asarray(0.0 if abstol is None else abstol, dt),
+            jnp.asarray(0.0 if reltol is None else reltol, dt))
 
 
 def gk_adaptive(
@@ -110,6 +126,7 @@ def gk_adaptive(
     node_builder=lambda x: x,
     norm=tree_norm,
     stats=False,
+    _return_state=False,
 ):
     """Adaptive GK integration of ``batch_f`` over the segments ``segs``.
 
@@ -125,13 +142,7 @@ def gk_adaptive(
     npts = xk.shape[0]
     nseg = segs.shape[0] - 1
 
-    rtol_default = jnp.sqrt(jnp.finfo(dt).eps)
-    if abstol is None and reltol is None:
-        atol = jnp.zeros((), dt)
-        rtol = rtol_default
-    else:
-        atol = jnp.asarray(0.0 if abstol is None else abstol, dt)
-        rtol = jnp.asarray(0.0 if reltol is None else reltol, dt)
+    atol, rtol = _gk_tolerances(dt, abstol, reltol)
     max_evals = _as_eval_budget(maxiters)
 
     # initial evaluation of all starting segments
@@ -210,7 +221,152 @@ def gk_adaptive(
     tot_val, tot_err = totals(pool_val, pool_err)
     tol = jnp.maximum(atol, rtol * norm(tot_val))
     converged = tot_err <= tol
+    if _return_state:
+        return tot_val, tot_err, evals, converged, state
     return tot_val, tot_err, evals, converged
+
+
+def gk_adaptive_guided(
+    batch_f32: Callable,
+    batch_f: Callable,
+    p32,
+    p,
+    segs,
+    *,
+    order: int = 7,
+    cap: int = 256,
+    nbisect: int = 4,
+    abstol=None,
+    reltol=None,
+    guide_rfloor=4e-6,
+    maxiters=None,
+    node_builder=lambda x: x,
+    norm=tree_norm,
+    stats=False,
+    upgrade_chunk=None,
+):
+    """Low-precision-guided adaptive GK: search in f32, evaluate in split-f64.
+
+    TPU-original three-phase driver (no reference counterpart — the reference
+    has hardware f64, ``src/algorithms.jl:73-91``):
+
+    1. **Search** — run the standard interval-pool refinement with the cheap
+       ``batch_f32`` integrand tier until the f32 error estimate reaches
+       ``max(abstol, reltol·‖I‖, guide_rfloor·‖I‖)`` (the floor keeps the
+       search from spinning at the f32 noise floor).  This finds *where* the
+       integrand needs subdivision at a fraction of the split-f64 eval cost.
+    2. **Upgrade** — re-evaluate the final pool's intervals with the accurate
+       ``batch_f`` tier in chunks of ``upgrade_chunk`` intervals (a dynamic
+       trip-count ``while_loop``, so only ~n/chunk chunks of real work run,
+       not cap/chunk), producing true f64 values and error estimates.
+    3. **Polish** — continue the standard refinement loop with ``batch_f``
+       until the *f64* certificate meets ``max(abstol, reltol·‖I‖)``; for a
+       well-guided search this phase runs few or zero iterations.
+
+    Since refinement roughly doubles evaluation work (every kept interval's
+    parent chain was also evaluated), phase 2 costs about half of a pure
+    split-f64 refinement *per level* — and in a nest the saving compounds
+    multiplicatively across levels.
+
+    ``numevals`` counts every actual integrand evaluation of BOTH tiers.
+    """
+    xk_np, wk_np, wg_np = kronrod(order)
+    segs = jnp.asarray(segs)
+    dt = segs.dtype
+    xk = jnp.asarray(xk_np, dt)
+    wk = jnp.asarray(wk_np, dt)
+    wg = jnp.asarray(wg_np, dt)
+    npts = xk.shape[0]
+
+    atol, rtol = _gk_tolerances(dt, abstol, reltol)
+    max_evals = _as_eval_budget(maxiters)
+
+    # ---- phase 1: f32-tier search (full pool machinery, floored reltol) ----
+    _, _, evals32, _, state32 = gk_adaptive(
+        batch_f32, p32, segs, order=order, cap=cap, nbisect=nbisect,
+        abstol=abstol, reltol=jnp.maximum(rtol, jnp.asarray(guide_rfloor, dt)),
+        maxiters=maxiters, node_builder=node_builder, norm=norm, stats=stats,
+        _return_state=True,
+    )
+    pool_a, pool_b, _, _, n, _ = state32
+
+    # ---- phase 2: chunked split-f64 upgrade of the surviving intervals -----
+    C = int(upgrade_chunk) if upgrade_chunk else max(2 * nbisect, 4)
+    C = min(C, cap)
+
+    # fresh split-tier pools; unused slots keep zero-width (0, 0) intervals
+    # whose rule values/errors come out exactly 0
+    probe = jax.eval_shape(
+        lambda: gk_rule_eval(batch_f, p, segs[:1], segs[1:2], xk, wk, wg,
+                             node_builder, stats)[0]
+    )
+    pool_val = jax.tree_util.tree_map(
+        lambda s: jnp.zeros((cap,) + s.shape[1:], s.dtype), probe)
+    pool_err = jnp.zeros((cap,), dt)
+    live = jnp.arange(cap) < n
+    ua = jnp.where(live, pool_a, 0.0)
+    ub = jnp.where(live, pool_b, 0.0)
+
+    def up_cond(st):
+        k = st[0]
+        return k * C < n
+
+    def up_body(st):
+        k, pv, pe, ev = st
+        start = jnp.minimum(k * C, cap - C)
+        aa = jax.lax.dynamic_slice(ua, (start,), (C,))
+        bb = jax.lax.dynamic_slice(ub, (start,), (C,))
+        cval, cerr, cstat = gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg,
+                                         node_builder, stats)
+        idx = start + jnp.arange(C)
+        pv = jax.tree_util.tree_map(lambda a, c: a.at[idx].set(c), pv, cval)
+        pe = pe.at[idx].set(cerr)
+        return k + 1, pv, pe, ev + cstat
+
+    _, pool_val, pool_err, evals = jax.lax.while_loop(
+        up_cond, up_body, (jnp.asarray(0, n.dtype), pool_val, pool_err,
+                           evals32))
+
+    # ---- phase 3: polish with the accurate tier until the f64 certificate --
+    def totals(pv, pe):
+        tv = jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0), pv)
+        return tv, jnp.sum(pe)
+
+    def cond(state):
+        _, _, pv, pe, nn, ev = state
+        tv, te = totals(pv, pe)
+        tol = jnp.maximum(atol, rtol * norm(tv))
+        return (te > tol) & (nn + nbisect <= cap) & (ev < max_evals)
+
+    def body(state):
+        pa, pb, pv, pe, nn, ev = state
+        _, idx = jax.lax.top_k(pe, nbisect)
+        aa = pa[idx]
+        bb = pb[idx]
+        mm = (aa + bb) / 2
+        ca = jnp.concatenate([aa, mm])
+        cb = jnp.concatenate([mm, bb])
+        cval, cerr, cstat = gk_rule_eval(batch_f, p, ca, cb, xk, wk, wg,
+                                         node_builder, stats)
+        new_idx = nn + jnp.arange(nbisect, dtype=nn.dtype)
+        li = idx.astype(nn.dtype)
+
+        def two_scatter(arr, left, right):
+            return arr.at[li].set(left).at[new_idx].set(right)
+
+        pa = two_scatter(pa, ca[:nbisect], ca[nbisect:])
+        pb = two_scatter(pb, cb[:nbisect], cb[nbisect:])
+        pe = two_scatter(pe, cerr[:nbisect], cerr[nbisect:])
+        pv = jax.tree_util.tree_map(
+            lambda a, c: two_scatter(a, c[:nbisect], c[nbisect:]), pv, cval)
+        return pa, pb, pv, pe, nn + nbisect, ev + cstat
+
+    state = (ua, ub, pool_val, pool_err, n, evals)
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, pool_val, pool_err, n, evals = state
+    tot_val, tot_err = totals(pool_val, pool_err)
+    tol = jnp.maximum(atol, rtol * norm(tot_val))
+    return tot_val, tot_err, evals, tot_err <= tol
 
 
 def fixed_rule_eval(batch_f, p, segs, x, w, node_builder=lambda x: x, stats=False):
@@ -239,6 +395,11 @@ def fixed_rule_eval(batch_f, p, segs, x, w, node_builder=lambda x: x, stats=Fals
         v = v.reshape((S, npt) + v.shape[1:])
         wshape = (1, npt) + (1,) * (v.ndim - 2)
         hshape = (S,) + (1,) * (v.ndim - 2)
-        return jnp.sum(jnp.sum(w.reshape(wshape) * v, axis=1) * half.reshape(hshape), axis=0)
+        if jnp.issubdtype(v.dtype, jnp.inexact):  # see per_leaf dtype note
+            rdt = jnp.finfo(v.dtype).dtype
+            w_, half_ = w.astype(rdt), half.astype(rdt)
+        else:
+            w_, half_ = w, half
+        return jnp.sum(jnp.sum(w_.reshape(wshape) * v, axis=1) * half_.reshape(hshape), axis=0)
 
     return jax.tree_util.tree_map(leaf, fx), stat_sum

@@ -90,8 +90,21 @@ class SplitComplex:
         return jnp.zeros_like(self.re) if self.im is None else self.im
 
     def join(self):
-        """Materialize as a complex array (host/CPU use only)."""
-        return self.re + 1j * self.imag
+        """Materialize as a complex array (host/CPU use only).
+
+        Concrete arrays living on a non-CPU device transfer as real pairs and
+        join in numpy: an eager ``1j * im`` would dispatch a complex128
+        program to the TPU, which its compiler rejects outright ("Element
+        type C128 is not supported on TPU")."""
+        re, im = self.re, self.imag
+        if isinstance(re, jax.Array) and not isinstance(re, jax.core.Tracer):
+            try:
+                on_cpu = all(d.platform == "cpu" for d in re.devices())
+            except Exception:
+                on_cpu = True
+            if not on_cpu:
+                return np.asarray(re) + 1j * np.asarray(im)
+        return re + 1j * im
 
     def conj(self):
         return SplitComplex(self.re, _neg_im(self.im))

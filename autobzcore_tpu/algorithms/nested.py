@@ -75,7 +75,7 @@ class NestedQuad(IntegralAlgorithm):
 
     def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False,
                  host_outer=False, host_nbisect=4, checkpoint=None,
-                 leaf_nbisect=None, guide_rfloor=4e-6):
+                 leaf_nbisect=None, guide_rfloor=2e-5, guide_patience=6):
         self.algs = algs
         # split=True runs FourierIntegrand carriers in split-complex f64
         # (true double-precision IAI on TPU, where c128 cannot exist);
@@ -89,6 +89,10 @@ class NestedQuad(IntegralAlgorithm):
         # relative f32-noise floor for the guided search phase (keeps the
         # search from spinning where the c64 tier cannot resolve the error)
         self.guide_rfloor = float(guide_rfloor)
+        # stalled-error patience for the guided search: the model-free backstop
+        # when eval noise is amplified above guide_rfloor * L1 (c64 Green's
+        # functions — see ops/adaptive.gk_adaptive docstring)
+        self.guide_patience = int(guide_patience)
         # host_outer=True drives the OUTERMOST adaptive level from a host-side
         # heap: each refinement step is one bounded device call over a panel
         # of outer nodes (inner levels stay fully on-device).  This bounds
@@ -167,7 +171,8 @@ class NestedQuad(IntegralAlgorithm):
                 # works (search and evaluate tiers coincide), just no speedup
                 make_carrier32 = make_carrier
 
-        def solve_level(lims, carrier, coords, p, atol, rtol, maxiters):
+        def solve_level(lims, carrier, coords, p, atol, rtol, maxiters,
+                        noise_rfloor=0.0, stall_patience=0):
             d_rem = lims.ndim
             alg = algs[d_rem - 1]
             segs = lims.outer_segments()
@@ -187,7 +192,8 @@ class NestedQuad(IntegralAlgorithm):
                         len2 = segs2[-1] - segs2[0]
                         inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
                         val, _, ne, _ = solve_level(
-                            lims2, car2, coords + (x,), pp, inner_atol, rtol, maxiters
+                            lims2, car2, coords + (x,), pp, inner_atol, rtol,
+                            maxiters, noise_rfloor, stall_patience
                         )
                         return val, ne
 
@@ -211,11 +217,13 @@ class NestedQuad(IntegralAlgorithm):
                     batch_f, p, segs, order=alg.order, cap=cap,
                     nbisect=nbisect, abstol=atol, reltol=rtol,
                     maxiters=maxiters, norm=alg.norm,
-                    stats=inner_stats,
+                    stats=inner_stats, noise_rfloor=noise_rfloor,
+                    stall_patience=stall_patience,
                 )
             raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")
 
         guide_rfloor = self.guide_rfloor
+        guide_patience = self.guide_patience
 
         def solve_level_g(lims, car32, carS, coords, p32, p, atol, rtol, maxiters):
             """Guided twin of ``solve_level``: each adaptive level searches
@@ -225,7 +233,6 @@ class NestedQuad(IntegralAlgorithm):
             alg = algs[d_rem - 1]
             segs = lims.outer_segments()
             inner_stats = d_rem > 1
-            rtol_g = jnp.maximum(jnp.asarray(rtol), guide_rfloor)
 
             if d_rem == 1:
                 def batch_f32(xs, pp):
@@ -234,6 +241,9 @@ class NestedQuad(IntegralAlgorithm):
                 def batch_fS(xs, pp):
                     return carS.eval_batch(xs, coords, pp)
             else:
+                # the c64 search recursion carries the L1-relative noise floor
+                # so inner searches stop where f32 stops resolving instead of
+                # saturating their pools against tiny absolute tolerances
                 def batch_f32(xs, pp):
                     def one(x):
                         lims2 = lims.fix(x)
@@ -242,7 +252,8 @@ class NestedQuad(IntegralAlgorithm):
                         len2 = segs2[-1] - segs2[0]
                         inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
                         val, _, ne, _ = solve_level(
-                            lims2, car2, coords + (x,), pp, inner_atol, rtol_g, maxiters
+                            lims2, car2, coords + (x,), pp, inner_atol, rtol,
+                            maxiters, guide_rfloor, guide_patience
                         )
                         return val, ne
 
@@ -283,6 +294,7 @@ class NestedQuad(IntegralAlgorithm):
                     batch_f32, batch_fS, p32, p, segs, order=alg.order,
                     cap=cap, nbisect=nbisect, abstol=atol, reltol=rtol,
                     guide_rfloor=guide_rfloor, maxiters=maxiters,
+                    stall_patience=guide_patience,
                     norm=alg.norm, stats=inner_stats,
                 )
             raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")
@@ -324,11 +336,11 @@ class NestedQuad(IntegralAlgorithm):
 
                     return jax.vmap(one)(xs)
 
-                # cheap f32 panel for the host-side search phase
+                # cheap f32 panel for the host-side search phase; the
+                # L1-relative noise floor rides the whole c64 recursion
                 @jax.jit
                 def panel32(xs, p, atol, rtol, maxiters):
                     p32 = _downcast_params(p)
-                    rtol_g = jnp.maximum(jnp.asarray(rtol), guide_rfloor)
 
                     def one(x):
                         lims2 = dom.fix(x)
@@ -337,7 +349,9 @@ class NestedQuad(IntegralAlgorithm):
                         len2 = segs2[-1] - segs2[0]
                         inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
                         val, _, ne, conv = solve_level(lims2, car2, (x,), p32,
-                                                       inner_atol, rtol_g, maxiters)
+                                                       inner_atol, rtol,
+                                                       maxiters, guide_rfloor,
+                                                       guide_patience)
                         return val, ne, conv
 
                     return jax.vmap(one)(xs)
@@ -526,14 +540,22 @@ class NestedQuad(IntegralAlgorithm):
         nbis = max(1, int(self.host_nbisect))
         iters_since_ckpt = 0
 
-        def refine(pan, floor_rel=0.0, allow_ckpt=True):
+        def refine(pan, floor_rel=0.0, allow_ckpt=True, patience=0):
             """Worst-first refinement of the heap through panel ``pan`` until
             ``max(atol, rtol·‖I‖, floor_rel·‖I‖)`` (the floor bounds the
-            guided search phase at the f32 noise level)."""
+            guided search phase at the f32 noise level).  ``patience`` > 0
+            additionally stops after that many consecutive dispatches without
+            a 3% improvement of the total error estimate — the model-free
+            noise-floor detector for the search phase (eval noise through c64
+            Green's functions is amplified ~||H||/eta above eps32, so no fixed
+            floor_rel can be right; a stalled estimate detects the real one)."""
             nonlocal total, total_E, nev, inner_ok, count, iters_since_ckpt, heap
+            best_E, stall = float("inf"), 0
             while True:
                 tol_now = max(atol_f, max(rtol_f, floor_rel) * hnorm(total))
                 if not (total_E > tol_now and nev < max_evals and heap):
+                    break
+                if patience and stall >= patience:
                     break
                 iters_since_ckpt += 1
                 if allow_ckpt and iters_since_ckpt >= 16:
@@ -564,12 +586,21 @@ class NestedQuad(IntegralAlgorithm):
                     count += 1
                     heapq.heappush(heap, (-E1, 2 * count, a, m, I1))
                     heapq.heappush(heap, (-E2, 2 * count + 1, m, b, I2))
+                if patience:
+                    if total_E < 0.97 * best_E:
+                        best_E, stall = total_E, 0
+                    else:
+                        stall += 1
 
         def upgrade_heap():
             """Guided phase 2: re-evaluate every surviving outer interval with
             the accurate panel (dispatch shape matches the refine dispatches,
             padded with zero-width intervals, so the same executable serves)."""
             nonlocal heap, total, total_E, nev, inner_ok
+            # every search-tier value is replaced here, so search-phase inner
+            # convergence flags (stall-stopped f32 solves report conv=False
+            # by design) must not poison the accurate-tier certificate
+            inner_ok = True
             entries = [(key, a, b) for (_, key, a, b, _) in heap]
             chunk = max(2 * nbis, 2)
             results = []
@@ -596,7 +627,8 @@ class NestedQuad(IntegralAlgorithm):
             # (checkpoints are disabled during the guided search phase)
             refine(panel)
         elif panel32 is not None:
-            refine(panel32, floor_rel=self.guide_rfloor, allow_ckpt=False)
+            refine(panel32, floor_rel=self.guide_rfloor, allow_ckpt=False,
+                   patience=self.guide_patience)
             upgrade_heap()
             refine(panel)
         else:

@@ -375,7 +375,7 @@ class IAI(AutoBZAlgorithm):
 
     def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex",
                  host_outer=False, host_nbisect=None, checkpoint=None,
-                 leaf_nbisect=None, guide_rfloor=4e-6):
+                 leaf_nbisect=None, guide_rfloor=2e-5, guide_patience=6):
         # default to pure worst-first refinement (nbisect=1, the reference's
         # heap semantics): in a nest every extra outer panel multiplies into
         # full inner solves — nbisect=4 measured 13.7M evals / 915 ms per
@@ -394,16 +394,19 @@ class IAI(AutoBZAlgorithm):
         # "guided": same split-f64 values and certificates, but every
         # adaptive level finds its partition with cheap complex64 searches
         # first and only evaluates the surviving intervals in split-f64
-        # (ops/adaptive.gk_adaptive_guided), guide_rfloor bounding the f32
-        # search depth.  Measured (SrVO3 DOS, v5e): the win is at moderate
-        # tolerances — abstol 1e-3 runs 4.7 s/omega warm ON-DEVICE (no
-        # host_outer needed) with a full f64 certificate; at abstol 1e-5 the
-        # c64 searches can no longer resolve the inner absolute tolerances,
-        # saturate their pools, and 'split' + host_outer is faster (178 s vs
-        # 434 s sequential).  Rule of thumb: guided for abstol >= ~1e-4,
-        # split+host_outer below.
+        # (ops/adaptive.gk_adaptive_guided), guide_rfloor + guide_patience
+        # bounding the f32 search at its true noise floor (ops/adaptive
+        # docstrings).  Measured (SrVO3 DOS, v5e, warm): abstol 1e-3 runs
+        # 4.7 s/omega ON-DEVICE (no host_outer needed) with a full f64
+        # certificate vs split's 19.9 s; at abstol 1e-5 guided+host_outer
+        # is 49.9 s sequential vs split's 178 s (24.4M evals, resid 2e-6,
+        # retcode True) — guided is the default recommendation at every
+        # tolerance once the noise-floor detection landed (r3).
         self.precision = precision
         self.guide_rfloor = guide_rfloor
+        # stalled-error patience of the guided search tier (model-free
+        # noise-floor detection; see ops/adaptive.gk_adaptive)
+        self.guide_patience = guide_patience
         # host_outer: outermost adaptive level runs from a host heap with one
         # bounded device dispatch per refinement (tight tolerances through
         # execution-time-limited transports; see NestedQuad.host_outer)
@@ -433,7 +436,8 @@ class IAI(AutoBZAlgorithm):
                                        host_nbisect=self.host_nbisect,
                                        checkpoint=self.checkpoint,
                                        leaf_nbisect=self.leaf_nbisect,
-                                       guide_rfloor=self.guide_rfloor)
+                                       guide_rfloor=self.guide_rfloor,
+                                       guide_patience=self.guide_patience)
 
 
 class PTR(AutoBZAlgorithm):

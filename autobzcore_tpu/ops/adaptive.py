@@ -61,11 +61,14 @@ def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder, stats=False):
     """Evaluate the GK rule on a batch of intervals.
 
     ``aa, bb``: (K,) interval endpoints.  Returns (val pytree with leading K,
-    err (K,), stat_sum).  ``node_builder(xs_flat) -> integrand input`` lets
-    callers lift 1D nodes into d-dim points (NestedQuad).  With ``stats``,
-    ``batch_f`` returns (values, per-node counts) and the summed counts are
-    threaded out — used to propagate exact integrand evaluation counts through
-    nested solves.
+    err (K,), l1 (K,), stat_sum).  ``l1`` is the per-interval rule estimate of
+    the L1 mass ``int |f|`` — the scale of floating-point noise in the error
+    estimate (|vk - vg| at convergence is ~eps * sum wk|f|, NOT ~eps * |I|),
+    used by the guided tier's relative noise floor.  ``node_builder(xs_flat)
+    -> integrand input`` lets callers lift 1D nodes into d-dim points
+    (NestedQuad).  With ``stats``, ``batch_f`` returns (values, per-node
+    counts) and the summed counts are threaded out — used to propagate exact
+    integrand evaluation counts through nested solves.
     """
     K = aa.shape[0]
     npts = xk.shape[0]
@@ -95,13 +98,16 @@ def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder, stats=False):
             wk_, wg_, half_ = wk, wg, half
         vk = jnp.sum(wk_.reshape(wshape) * v, axis=1) * half_.reshape(hshape)
         vg = jnp.sum(wg_.reshape(wshape) * v, axis=1) * half_.reshape(hshape)
-        return vk, vg
+        vl = jnp.sum(wk_.reshape(wshape) * jnp.abs(v), axis=1) * half_.reshape(hshape)
+        return vk, vg, vl
 
     valk = jax.tree_util.tree_map(lambda v: per_leaf(v)[0], fx)
     valg = jax.tree_util.tree_map(lambda v: per_leaf(v)[1], fx)
+    vall = jax.tree_util.tree_map(lambda v: per_leaf(v)[2], fx)
     diff = jax.tree_util.tree_map(lambda k, g: k - g, valk, valg)
     err = _err_norm(diff, 1)
-    return valk, err, stat_sum
+    l1 = _err_norm(vall, 1)
+    return valk, err, l1, stat_sum
 
 
 def _gk_tolerances(dt, abstol, reltol):
@@ -126,9 +132,29 @@ def gk_adaptive(
     node_builder=lambda x: x,
     norm=tree_norm,
     stats=False,
+    noise_rfloor=0.0,
+    stall_patience=0,
     _return_state=False,
 ):
     """Adaptive GK integration of ``batch_f`` over the segments ``segs``.
+
+    ``noise_rfloor`` > 0 adds an L1-relative term to the convergence
+    tolerance: ``tol = max(abstol, reltol*|I|, noise_rfloor*int|f|)``.  The
+    rule's error estimate cannot resolve below ~eps * int|f| (catastrophic
+    cancellation scales with the L1 mass, not the integral), so a tier whose
+    eps is known (the guided c64 search: ~eps32) uses this to stop at its
+    own noise floor instead of saturating the pool against an absolute
+    tolerance it can never certify.
+
+    ``stall_patience`` > 0 adds a model-free noise-floor detector: stop when
+    ``stall_patience`` consecutive bisection steps fail to shrink the total
+    error estimate below 0.97x its best-so-far.  At the eval-noise floor a
+    bisection conserves noise mass (each child's err ~ eps * child L1, and
+    the children's L1 sums to the parent's), so the total stalls exactly
+    where refinement stops being informative — with no noise model.  This is
+    the backstop for searches whose noise is *amplified* above eps * L1
+    (e.g. c64 Green's functions: cancellation in det(z - H) scales with
+    ||H||/eta, measured up to ~400x eps32 on the SrVO3 anchor).
 
     ``segs``: (S+1,) breakpoints (may be traced — nested limits produce them on
     device).  Returns ``(val, err, numevals, converged)``.
@@ -148,7 +174,7 @@ def gk_adaptive(
     # initial evaluation of all starting segments
     a0 = segs[:-1]
     b0 = segs[1:]
-    val0, err0, stat0 = gk_rule_eval(batch_f, p, a0, b0, xk, wk, wg, node_builder, stats)
+    val0, err0, l10, stat0 = gk_rule_eval(batch_f, p, a0, b0, xk, wk, wg, node_builder, stats)
 
     def pad_leaf(v):
         out = jnp.zeros((cap,) + v.shape[1:], v.dtype)
@@ -158,6 +184,7 @@ def gk_adaptive(
     pool_a = jnp.zeros((cap,), dt).at[:nseg].set(a0)
     pool_b = jnp.zeros((cap,), dt).at[:nseg].set(b0)
     pool_err = jnp.zeros((cap,), dt).at[:nseg].set(err0)
+    pool_l1 = jnp.zeros((cap,), dt).at[:nseg].set(l10)
     # under shard_map the body writes integrand-derived (device-varying)
     # endpoints into the pools, so the carry must START varying like the
     # values do (outside shard_map this folds to a no-op) — same pattern as
@@ -173,18 +200,28 @@ def gk_adaptive(
         tot_err = jnp.sum(pool_err)
         return tot_val, tot_err
 
-    def cond(state):
-        pool_a, pool_b, pool_val, pool_err, n, evals = state
-        tot_val, tot_err = totals(pool_val, pool_err)
+    def tol_of(tot_val, pool_l1):
         tol = jnp.maximum(atol, rtol * norm(tot_val))
+        if noise_rfloor:
+            tol = jnp.maximum(tol, noise_rfloor * jnp.sum(pool_l1))
+        return tol
+
+    def cond(state):
+        pool_a, pool_b, pool_val, pool_err, pool_l1, n, evals, best, stall = state
+        tot_val, tot_err = totals(pool_val, pool_err)
+        tol = tol_of(tot_val, pool_l1)
         not_conv = tot_err > tol
         room = n + nbisect <= cap
         under_budget = evals < max_evals
-        return not_conv & room & under_budget
+        ok = not_conv & room & under_budget
+        if stall_patience:
+            ok = ok & (stall < stall_patience)
+        return ok
 
     def body(state):
         pool_a, pool_b, pool_err_arr = state[0], state[1], state[3]
-        pool_val, n, evals = state[2], state[4], state[5]
+        pool_val, pool_l1_arr, n, evals = state[2], state[4], state[5], state[6]
+        best, stall = state[7], state[8]
         # worst `nbisect` intervals
         _, idx = jax.lax.top_k(pool_err_arr, nbisect)
         aa = pool_a[idx]
@@ -192,7 +229,7 @@ def gk_adaptive(
         mm = (aa + bb) / 2
         ca = jnp.concatenate([aa, mm])
         cb = jnp.concatenate([mm, bb])
-        cval, cerr, cstat = gk_rule_eval(batch_f, p, ca, cb, xk, wk, wg, node_builder, stats)
+        cval, cerr, cl1, cstat = gk_rule_eval(batch_f, p, ca, cb, xk, wk, wg, node_builder, stats)
         # Left children overwrite parents, right children go to fresh slots —
         # as two SEQUENTIAL scatters, not one combined scatter: while n <
         # nbisect, top_k picks uninitialized zero-error slots whose indices
@@ -208,18 +245,27 @@ def gk_adaptive(
         pool_a = two_scatter(pool_a, ca[:nbisect], ca[nbisect:])
         pool_b = two_scatter(pool_b, cb[:nbisect], cb[nbisect:])
         pool_err_arr = two_scatter(pool_err_arr, cerr[:nbisect], cerr[nbisect:])
+        pool_l1_arr = two_scatter(pool_l1_arr, cl1[:nbisect], cl1[nbisect:])
         pool_val = jax.tree_util.tree_map(
             lambda pv, cv: two_scatter(pv, cv[:nbisect], cv[nbisect:]),
             pool_val, cval,
         )
-        return (pool_a, pool_b, pool_val, pool_err_arr, n + nbisect,
-                evals + cstat)
+        if stall_patience:
+            _, tot_err_new = totals(pool_val, pool_err_arr)
+            improved = tot_err_new < 0.97 * best
+            best = jnp.minimum(best, tot_err_new)
+            stall = jnp.where(improved, 0, stall + 1)
+        return (pool_a, pool_b, pool_val, pool_err_arr, pool_l1_arr,
+                n + nbisect, evals + cstat, best, stall)
 
-    state = (pool_a, pool_b, pool_val, pool_err, n0, evals0)
+    best0 = jnp.asarray(jnp.inf, dt)
+    stall0 = jnp.asarray(0, jnp.int32)
+    state = (pool_a, pool_b, pool_val, pool_err, pool_l1, n0, evals0,
+             best0, stall0)
     state = jax.lax.while_loop(cond, body, state)
-    pool_a, pool_b, pool_val, pool_err, n, evals = state
+    pool_a, pool_b, pool_val, pool_err, pool_l1, n, evals = state[:7]
     tot_val, tot_err = totals(pool_val, pool_err)
-    tol = jnp.maximum(atol, rtol * norm(tot_val))
+    tol = tol_of(tot_val, pool_l1)
     converged = tot_err <= tol
     if _return_state:
         return tot_val, tot_err, evals, converged, state
@@ -238,12 +284,13 @@ def gk_adaptive_guided(
     nbisect: int = 4,
     abstol=None,
     reltol=None,
-    guide_rfloor=4e-6,
+    guide_rfloor=2e-5,
     maxiters=None,
     node_builder=lambda x: x,
     norm=tree_norm,
     stats=False,
     upgrade_chunk=None,
+    stall_patience=6,
 ):
     """Low-precision-guided adaptive GK: search in f32, evaluate in split-f64.
 
@@ -252,9 +299,19 @@ def gk_adaptive_guided(
 
     1. **Search** — run the standard interval-pool refinement with the cheap
        ``batch_f32`` integrand tier until the f32 error estimate reaches
-       ``max(abstol, reltol·‖I‖, guide_rfloor·‖I‖)`` (the floor keeps the
-       search from spinning at the f32 noise floor).  This finds *where* the
-       integrand needs subdivision at a fraction of the split-f64 eval cost.
+       ``max(abstol, reltol·‖I‖, guide_rfloor·∫|f|)``.  The L1-relative term
+       is the f32 noise model: the rule's error estimate bottoms out at
+       ~eps32·∫|f| (cancellation scales with the absolute mass, not the
+       integral), so flooring on ∫|f| stops the search exactly where f32
+       stops being informative — flooring on ‖I‖ instead was measured to
+       saturate every search pool at tight absolute tolerances (450M evals
+       vs split's 23.7M on the SrVO3 nest at abstol 1e-5).  This finds
+       *where* the integrand needs subdivision at a fraction of the
+       split-f64 eval cost.  ``stall_patience`` backstops the noise model:
+       eval noise can be *amplified* far above eps32·∫|f| (c64 Green's
+       functions: cancellation in det(z−H) scales with ‖H‖/η, measured
+       ~400×eps32 on the SrVO3 anchor), and a stalled total error estimate
+       detects that floor with no model at all.
     2. **Upgrade** — re-evaluate the final pool's intervals with the accurate
        ``batch_f`` tier in chunks of ``upgrade_chunk`` intervals (a dynamic
        trip-count ``while_loop``, so only ~n/chunk chunks of real work run,
@@ -284,11 +341,12 @@ def gk_adaptive_guided(
     # ---- phase 1: f32-tier search (full pool machinery, floored reltol) ----
     _, _, evals32, _, state32 = gk_adaptive(
         batch_f32, p32, segs, order=order, cap=cap, nbisect=nbisect,
-        abstol=abstol, reltol=jnp.maximum(rtol, jnp.asarray(guide_rfloor, dt)),
+        abstol=abstol, reltol=rtol, noise_rfloor=guide_rfloor,
+        stall_patience=stall_patience,
         maxiters=maxiters, node_builder=node_builder, norm=norm, stats=stats,
         _return_state=True,
     )
-    pool_a, pool_b, _, _, n, _ = state32
+    pool_a, pool_b, n = state32[0], state32[1], state32[5]
 
     # ---- phase 2: chunked split-f64 upgrade of the surviving intervals -----
     C = int(upgrade_chunk) if upgrade_chunk else max(2 * nbisect, 4)
@@ -316,8 +374,8 @@ def gk_adaptive_guided(
         start = jnp.minimum(k * C, cap - C)
         aa = jax.lax.dynamic_slice(ua, (start,), (C,))
         bb = jax.lax.dynamic_slice(ub, (start,), (C,))
-        cval, cerr, cstat = gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg,
-                                         node_builder, stats)
+        cval, cerr, _, cstat = gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg,
+                                            node_builder, stats)
         idx = start + jnp.arange(C)
         pv = jax.tree_util.tree_map(lambda a, c: a.at[idx].set(c), pv, cval)
         pe = pe.at[idx].set(cerr)
@@ -346,8 +404,8 @@ def gk_adaptive_guided(
         mm = (aa + bb) / 2
         ca = jnp.concatenate([aa, mm])
         cb = jnp.concatenate([mm, bb])
-        cval, cerr, cstat = gk_rule_eval(batch_f, p, ca, cb, xk, wk, wg,
-                                         node_builder, stats)
+        cval, cerr, _, cstat = gk_rule_eval(batch_f, p, ca, cb, xk, wk, wg,
+                                            node_builder, stats)
         new_idx = nn + jnp.arange(nbisect, dtype=nn.dtype)
         li = idx.astype(nn.dtype)
 

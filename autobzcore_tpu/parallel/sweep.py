@@ -234,10 +234,16 @@ class SweepSolver:
     hosted-TPU tunnel) amortizes over the chunk.  Chunks themselves dispatch
     asynchronously, so the host round-trips overlap device work.  This is the
     multi-omega IAI driver (VERDICT r2 missing #1).
+
+    ``group=N`` (with ``scan=True``) vmaps N *adjacent* parameters in lockstep
+    inside each scan step: lockstep waste is bounded within the group (adjacent
+    omegas have similar difficulty, unlike the full-sweep lockstep that
+    measured 5x), while every device tensor gets N times wider — the lever for
+    latency-bound adaptive solves whose GK panels underfill the TPU.
     """
 
     def __init__(self, prob, alg, abstol=None, reltol=None, chunk=256, mesh=None,
-                 scan=False):
+                 scan=False, group=1):
         from ..algorithms.base import effective_tolerances
         from ..interfaces import _takes_mixed_parameters, init
         from ..parameters import MixedParameters
@@ -253,6 +259,20 @@ class SweepSolver:
         self.chunk = chunk
         self.mesh = mesh
         self._consts = consts
+        g = int(group)
+        if g > 1 and not scan:
+            raise ValueError("group > 1 requires scan=True")
+
+        def seq(consts, xs):
+            # lax.map over groups of g lockstep-vmapped solves; xs length is
+            # a multiple of g (chunk and chunk//ndev are validated below)
+            if g == 1:
+                return jax.lax.map(lambda x: one(consts, x), xs)
+            grp = jax.vmap(lambda x: one(consts, x))
+            out = jax.lax.map(grp, xs.reshape(-1, g))
+            return jax.tree_util.tree_map(
+                lambda v: v.reshape((-1,) + v.shape[2:]), out)
+
         if scan and mesh is not None:
             # pod-scale adaptive sweep: omega chunks shard over the mesh
             # axis; EACH device sequences its local slice with lax.map, so
@@ -264,18 +284,19 @@ class SweepSolver:
             ndev = mesh.shape[axis]
             if chunk % ndev:
                 raise ValueError(f"chunk {chunk} must divide over {ndev} devices")
-
-            def local(consts, xs):
-                return jax.lax.map(lambda x: one(consts, x), xs)
+            if (chunk // ndev) % g:
+                raise ValueError(
+                    f"per-device slice {chunk // ndev} must divide into "
+                    f"groups of {g}")
 
             self._batched = jax.jit(
-                shard_map(local, mesh=mesh,
+                shard_map(seq, mesh=mesh,
                           in_specs=(P(), P(axis)), out_specs=P(axis))
             )
         elif scan:
-            self._batched = jax.jit(
-                lambda consts, xs: jax.lax.map(lambda x: one(consts, x), xs)
-            )
+            if chunk % g:
+                raise ValueError(f"chunk {chunk} must divide into groups of {g}")
+            self._batched = jax.jit(seq)
         else:
             self._batched = jax.jit(jax.vmap(one, in_axes=(None, 0)))
         self.numevals = 0

@@ -112,6 +112,47 @@ def test_guided_auxvalue_channels():
     assert float(sol.u.aux) == pytest.approx(float(ref.u.aux), abs=1e-7)
 
 
+def _f32_peak(xs, p):
+    eta = p
+    return eta / ((xs - 0.5) ** 2 + eta**2)
+
+
+def test_noise_rfloor_stops_saturating_search():
+    """An f32 pool chasing an absolute tolerance below its eval-noise floor
+    saturates the cap; the L1-relative floor stops it where f32 stops
+    resolving, with the value still accurate to that floor."""
+    from autobzcore_tpu.ops.adaptive import gk_adaptive
+
+    segs = jnp.asarray([0.0, 1.0], jnp.float32)
+    kw = dict(order=7, cap=2000, nbisect=1, abstol=1e-11, reltol=0.0)
+    val0, _, ne0, conv0 = gk_adaptive(_f32_peak, jnp.float32(1e-3), segs, **kw)
+    val1, _, ne1, conv1 = gk_adaptive(_f32_peak, jnp.float32(1e-3), segs,
+                                      noise_rfloor=1e-7, **kw)
+    assert not bool(conv0) and int(ne0) > 10 * int(ne1)  # saturated vs floored
+    assert bool(conv1)
+    exact = 2 * np.arctan(0.5 / 1e-3)  # atan((1-.5)/eta) + atan(.5/eta)
+    assert float(val1) == pytest.approx(exact, rel=1e-5)
+
+
+def test_stall_patience_detects_noise_floor_without_model():
+    """The stalled-total-error detector stops the same saturating search with
+    NO noise model at all — the backstop for amplified eval noise (c64
+    Green's functions) where no fixed rfloor can be right."""
+    from autobzcore_tpu.ops.adaptive import gk_adaptive
+
+    segs = jnp.asarray([0.0, 1.0], jnp.float32)
+    kw = dict(order=7, cap=2000, nbisect=1, abstol=1e-11, reltol=0.0)
+    _, _, ne0, _ = gk_adaptive(_f32_peak, jnp.float32(1e-3), segs, **kw)
+    val1, err1, ne1, _ = gk_adaptive(_f32_peak, jnp.float32(1e-3), segs,
+                                     stall_patience=8, **kw)
+    assert int(ne0) > 10 * int(ne1)
+    exact = 2 * np.arctan(0.5 / 1e-3)
+    assert float(val1) == pytest.approx(exact, rel=1e-5)
+    # the reported residual is an honest noise-floor estimate, not the
+    # requested abstol
+    assert float(err1) > 1e-11
+
+
 def test_guided_rejects_bad_precision():
     with pytest.raises(ValueError):
         IAI(precision="half")

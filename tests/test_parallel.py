@@ -230,6 +230,35 @@ def test_sweep_solver_scan_sharded_matches_single():
     assert np.allclose(got, ref, atol=1e-10)
 
 
+def test_sweep_solver_scan_grouped_matches_ungrouped():
+    """group=N vmaps N adjacent parameters in lockstep inside each scan step;
+    values are identical to the ungrouped scan (lockstep changes only how far
+    the worst lane refines, and refinement past convergence is exact)."""
+    from autobzcore_tpu import IAI
+    from autobzcore_tpu.models.observables import dos_integrand
+    from autobzcore_tpu.parallel.sweep import SweepSolver, make_mesh
+
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    fi = dos_integrand(tb_integer(2), eta=0.5)
+    prob = IntegralProblem(fi, bz)
+    alg = IAI(inner_cap=64, inner_nbisect=2)
+    omegas = np.linspace(-2.0, 2.0, 11)
+    ref = SweepSolver(prob, alg, abstol=1e-6, chunk=12, scan=True)(omegas)
+    for g in (3, 12):
+        got = SweepSolver(prob, alg, abstol=1e-6, chunk=12, scan=True,
+                          group=g)(omegas)
+        assert np.allclose(got, ref, atol=1e-8)
+    # grouped + sharded compose: per-device slice splits into groups
+    mesh = make_mesh(8, ("p",), devices=jax.devices("cpu"))
+    got = SweepSolver(prob, alg, abstol=1e-6, chunk=16, scan=True, group=2,
+                      mesh=mesh)(omegas)
+    assert np.allclose(got, ref, atol=1e-8)
+    with pytest.raises(ValueError, match="group"):
+        SweepSolver(prob, alg, chunk=12, scan=True, group=5)
+    with pytest.raises(ValueError, match="group"):
+        SweepSolver(prob, alg, chunk=12, group=2)
+
+
 def test_sweep_solver_scan_sharded_chunk_mismatch_raises():
     from autobzcore_tpu import IAI
     from autobzcore_tpu.models.observables import dos_integrand

@@ -236,10 +236,12 @@ class SweepSolver:
     multi-omega IAI driver (VERDICT r2 missing #1).
 
     ``group=N`` (with ``scan=True``) vmaps N *adjacent* parameters in lockstep
-    inside each scan step: lockstep waste is bounded within the group (adjacent
-    omegas have similar difficulty, unlike the full-sweep lockstep that
-    measured 5x), while every device tensor gets N times wider — the lever for
-    latency-bound adaptive solves whose GK panels underfill the TPU.
+    inside each scan step: lockstep waste is bounded within the group while
+    every device tensor gets N times wider.  Measured on the SrVO3 3-level IAI
+    nest this LOSES (133/281/699 ms per omega at group 1/3/11, v5e warm): the
+    nest's per-level vmaps already fill the chip, so lockstep only multiplies
+    whole inner solves.  The knob exists for shallow/cheap integrands whose
+    panels genuinely underfill the device — measure before using.
     """
 
     def __init__(self, prob, alg, abstol=None, reltol=None, chunk=256, mesh=None,

@@ -38,7 +38,9 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
         integrand = FourierIntegrand(dos_kernel, h64, eta=eta)
         from autobzcore_tpu import init as integral_init
 
-        alg = IAI(precision="split", inner_cap=96, host_outer=True)
+        # guided = c64 search / split-f64 certify with noise-floor detection:
+        # 14.3 s/omega threaded at abstol 1e-5 vs split's 38.8 (BASELINE.md)
+        alg = IAI(precision="guided", inner_cap=96, host_outer=True)
         prob = IntegralProblem(integrand, bz)
         cache = integral_init(prob, alg, abstol=args.abstol)
         t0 = time.time()

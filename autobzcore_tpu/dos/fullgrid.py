@@ -28,6 +28,76 @@ from ..ops.grid_sweep import FullGridSpectralSweep
 from .interfaces import DOSAlgorithm, DOSSolution
 
 
+def next_rung_npt(npts, deltas, tol, factor, nmax):
+    """Adaptive rung scheduler for exponentially convergent PTR ladders.
+
+    PTR on an analytic periodic integrand converges exponentially,
+    ``err(npt) ~ A exp(-c npt)`` (for the eta-broadened Green's function the
+    pole sits eta off the real axis, so c ~ 2 pi eta / period).  Each
+    observed sup-norm rung delta approximates the COARSER rung's true error,
+    ``deltas[j] ~ err(npts[j])`` for the pair ``(npts[j], npts[j+1])``, so
+    with two deltas the rate fits as
+    ``c = ln(deltas[-2]/deltas[-1]) / (npts[-2] - npts[-3])``.
+
+    The blind geometric ladder overshoots badly near convergence: on the
+    SrVO3 north star the 1120^3 rung's true error was already ~4.5e-7
+    (delta 1.13e-5 is the error of the 800^3 rung), yet the x sqrt(2)
+    schedule confirmed with a 1600^3 rung — 83 s where ~1230^3 certifies.
+    This scheduler picks the SMALLEST next rung that still certifies:
+
+    - predicted current error ``e_k = deltas[-1] * exp(-c (n_k - n_{k-1}))``;
+    - advance ``ln(e_k / (0.7 tol))/c`` when ``e_k`` is above the target;
+    - always step at least ``1/c`` so the next measured delta is a
+      ``>= 1 - 1/e`` fraction of the coarser rung's true error — then a
+      passing delta bounds the NEW rung's error by ``0.58 * tol`` honestly.
+
+    The step clamps to ``[max(8, 2% n_k, 1/c), (factor - 1) n_k]`` — never a
+    bigger jump than the geometric fallback, never a micro-step — and the
+    result caps at ``nmax``.  Falls back to geometric growth while fewer
+    than two deltas exist or when the fitted rate is non-positive (noise,
+    pre-asymptotic regime).  Returns the next npt (> npts[-1]) or None when
+    ``npts[-1] >= nmax``.
+    """
+    import math
+
+    n_k = int(npts[-1])
+    if n_k >= nmax:
+        return None
+
+    def geometric():
+        return min(int(nmax), max(n_k + 1, int(round(n_k * factor))))
+
+    if len(npts) < 3 or len(deltas) < 2:
+        return geometric()
+    d_prev, d_last = float(deltas[-2]), float(deltas[-1])
+    # trust a 2-point fit only for STRONG decay (>= 4x per pair — oscillation
+    # cannot mimic consistent drops that steep); weaker trends additionally
+    # need three monotone deltas, since at coarse rungs the PTR error
+    # oscillates (smooth integrands, pre-asymptotic regime) and a 2-point
+    # fit extrapolates garbage
+    if not (d_prev > d_last > 0.0):
+        return geometric()
+    strong = d_prev >= 4.0 * d_last and (
+        len(deltas) < 3 or float(deltas[-3]) >= d_prev
+    )
+    mono3 = len(deltas) >= 3 and float(deltas[-3]) > d_prev
+    if not (strong or mono3):
+        return geometric()
+    span = float(npts[-2] - npts[-3])
+    if span <= 0:
+        return geometric()
+    c = math.log(d_prev / d_last) / span
+    if not math.isfinite(c) or c <= 0:
+        return geometric()
+    e_cur = d_last * math.exp(-c * (n_k - float(npts[-2])))
+    target = 0.7 * float(tol)
+    need = math.log(e_cur / target) / c if (target > 0 and e_cur > target) else 0.0
+    step = need + 1.0 / c
+    step = max(step, 8.0, 0.02 * n_k, 1.0 / c)
+    step = min(step, max(1.0, (factor - 1.0) * n_k))
+    return min(int(nmax), n_k + int(math.ceil(step)))
+
+
 class LorentzianFullGrid(DOSAlgorithm):
     """``LorentzianFullGrid(eta, nmin=50, nmax=2000, factor=sqrt(2))``.
 
@@ -49,12 +119,19 @@ class LorentzianFullGrid(DOSAlgorithm):
     """
 
     def __init__(self, eta, nmin=50, nmax=2000, factor=np.sqrt(2.0), mesh=None,
-                 **engine_kwargs):
+                 schedule="auto", **engine_kwargs):
         self.eta = float(eta)
         self.nmin = int(nmin)
         self.nmax = int(nmax)
         self.factor = float(factor)
         self.mesh = mesh
+        # "auto": rate-fitted rung scheduling (next_rung_npt) once two rung
+        # deltas exist — certifies with the smallest rung the observed
+        # exponential convergence allows; "geometric": the blind x factor
+        # ladder (the pre-r3 behavior)
+        if schedule not in ("auto", "geometric"):
+            raise ValueError("schedule must be 'auto' or 'geometric'")
+        self.schedule = schedule
         self.engine_kwargs = engine_kwargs
 
     def npt_ladder(self):
@@ -104,7 +181,10 @@ class LorentzianFullGrid(DOSAlgorithm):
         D = None
         err = np.inf
         nev = 0
-        for npt in self.npt_ladder():
+        npts_done = []
+        deltas = []
+        npt = self.nmin
+        while npt is not None:
             if nev + npt**3 > budget:
                 # budget honored even before the first rung: a too-small
                 # maxiters yields a NaN curve with retcode=False rather than
@@ -120,9 +200,21 @@ class LorentzianFullGrid(DOSAlgorithm):
             D = acc / npt**3
             if prev is not None:
                 err = float(np.max(np.abs(D - prev)))
+                deltas.append(err)
                 if err <= max(atol, rtol * float(np.max(np.abs(D)))):
                     return D, err, True, nev
             prev = D
+            npts_done.append(npt)
+            if self.schedule == "auto":
+                # rate-fitted scheduling certifies with the smallest rung the
+                # observed exponential convergence allows (tol = the delta
+                # threshold the loop above actually uses)
+                tol_now = max(atol, rtol * float(np.max(np.abs(D))))
+                npt = next_rung_npt(npts_done, deltas, tol_now, self.factor,
+                                    self.nmax)
+            else:
+                npt = None if npt >= self.nmax else min(
+                    self.nmax, max(npt + 1, int(round(npt * self.factor))))
         return D, err, err <= max(atol, rtol * float(np.max(np.abs(D)))), nev
 
     def dos_solve(self, h, domain, p, cacheval, abstol=None, reltol=None, maxiters=None):

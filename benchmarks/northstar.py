@@ -81,7 +81,15 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--eta", type=float, default=1e-2)
     ap.add_argument("--nomega", type=int, default=1000)
-    ap.add_argument("--ladder", default="140,200,280,400,560")
+    ap.add_argument("--ladder", default="140,200,280,400,560",
+                    help="comma list of npt rungs, or 'auto' for rate-fitted "
+                    "scheduling (dos.fullgrid.next_rung_npt): geometric from "
+                    "--nmin until two rung deltas exist, then the smallest "
+                    "rung the observed exponential convergence certifies")
+    ap.add_argument("--nmin", type=int, default=400,
+                    help="first rung for --ladder auto")
+    ap.add_argument("--nmax", type=int, default=2000,
+                    help="rung cap for --ladder auto")
     ap.add_argument("--save", default=None, help="save each rung's DOS curve to this .npz")
     ap.add_argument("--prev", default=None, help=".npz with a prior rung's curve (key D, npt) to diff against")
     ap.add_argument("--mesh", type=int, default=0,
@@ -156,7 +164,21 @@ def main(argv=None):
     total_t = 0.0
     err = float("inf")
     D = None
-    for npt in [int(x) for x in args.ladder.split(",")]:
+
+    from autobzcore_tpu.dos.fullgrid import next_rung_npt
+
+    rungs = None if args.ladder == "auto" else [int(x) for x in args.ladder.split(",")]
+    npts_done = []
+    deltas = []
+
+    def _next_npt():
+        if rungs is not None:
+            return rungs[len(npts_done)] if len(npts_done) < len(rungs) else None
+        if not npts_done:
+            return args.nmin
+        return next_rung_npt(npts_done, deltas, args.tol, np.sqrt(2.0), args.nmax)
+
+    while (npt := _next_npt()) is not None:
         if args.engine == "fullgrid":
             t_host = 0.0
             t0 = time.perf_counter()
@@ -174,9 +196,11 @@ def main(argv=None):
             total_t += t_dev
             if prev is not None:
                 err = float(np.max(np.abs(D - prev)))
+                deltas.append(err)
             print(f"npt={npt}: full grid ({npt ** 3:.3g} pts) device={t_dev:.2f}s "
                   f"max|dD|={err:.2e}", file=sys.stderr)
             prev = D
+            npts_done.append(npt)
             if args.save:
                 np.savez(args.save, D=D, npt=npt, omegas=omegas)
             if err <= args.tol:
@@ -211,9 +235,11 @@ def main(argv=None):
         total_t += t_host + t_dev
         if prev is not None:
             err = float(np.max(np.abs(D - prev)))
+            deltas.append(err)
         print(f"npt={npt}: K={K} ({Kp // BLOCK} blocks) symptr(host)={t_host:.2f}s "
               f"device={t_dev:.2f}s max|dD|={err:.2e}", file=sys.stderr)
         prev = D
+        npts_done.append(npt)
         if args.save:
             np.savez(args.save, D=D, npt=npt, omegas=omegas)
         if err <= args.tol:

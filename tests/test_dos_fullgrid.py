@@ -19,7 +19,11 @@ def setup():
 def test_single_energy_converges(setup):
     s, bz = setup
     eta = 0.3  # smooth: a coarse ladder rung suffices
-    alg = LorentzianFullGrid(eta, nmin=8, nmax=64, slab=4, omega_batch=1)
+    # geometric schedule pinned: at these coarse oscillatory rungs the
+    # rung-pair deltas are luck-of-cancellation, and this test asserts the
+    # legacy x sqrt(2) pairing specifically
+    alg = LorentzianFullGrid(eta, nmin=8, nmax=64, slab=4, omega_batch=1,
+                             schedule="geometric")
     cache = init(DOSProblem(s, 0.5, bz), alg, abstol=1e-5)
     sol = solve_(cache)
     assert sol.retcode
@@ -84,6 +88,42 @@ def test_budget_honored_before_first_rung(setup):
     assert sol.retcode is False
     assert sol.numevals == 0
     assert np.isnan(float(sol.u))
+
+
+def test_next_rung_npt_scheduler():
+    """Rate-fitted rung scheduling: on the recorded north-star deltas the
+    scheduler certifies with ~874^3 where the geometric ladder burned
+    1120^3 + 1600^3; oscillatory/short histories fall back to geometric."""
+    import math
+
+    from autobzcore_tpu.dos.fullgrid import next_rung_npt
+
+    f = math.sqrt(2.0)
+    # real r3 north-star data (BASELINE.md): monotone exponential decay
+    assert next_rung_npt([400, 560, 800, 1120],
+                         [3.24e-3, 2.91e-4, 1.13e-5], 1e-5, f, 2000) < 1280
+    # fewer than three deltas -> geometric
+    assert next_rung_npt([50, 71], [1e-3], 1e-5, f, 2000) == 100
+    # oscillation -> geometric
+    assert next_rung_npt([50, 71, 100, 141], [1e-3, 2e-3, 5e-4],
+                         1e-5, f, 2000) == 199
+    # cap respected
+    assert next_rung_npt([2000], [], 1e-5, f, 2000) is None
+    # never a bigger jump than the geometric fallback
+    n = next_rung_npt([100, 141, 200, 283], [1e-1, 1e-2, 1e-3], 1e-12, f, 4000)
+    assert n <= round(283 * f) + 1
+
+
+def test_auto_schedule_converges_with_headroom(setup):
+    """The default auto schedule certifies the same answer as geometric when
+    nmax leaves room (the intended regime: deep monotone convergence)."""
+    s, bz = setup
+    alg = LorentzianFullGrid(0.3, nmin=8, nmax=128, slab=4, omega_batch=1)
+    cache = init(DOSProblem(s, 0.5, bz), alg, abstol=1e-5)
+    sol = solve_(cache)
+    assert sol.retcode
+    ref = _dense_dos(s, 64, np.array([0.5]), 0.3)[0] / 64**3
+    assert float(sol.u) == pytest.approx(ref, abs=2e-5)
 
 
 def test_engine_cache_keys_on_grid_contents(setup):

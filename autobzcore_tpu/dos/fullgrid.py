@@ -51,9 +51,11 @@ def next_rung_npt(npts, deltas, tol, factor, nmax):
       ``>= 1 - 1/e`` fraction of the coarser rung's true error — then a
       passing delta bounds the NEW rung's error by ``0.58 * tol`` honestly.
 
-    The step clamps to ``[max(8, 2% n_k, 1/c), (factor - 1) n_k]`` — never a
-    bigger jump than the geometric fallback, never a micro-step — and the
-    result caps at ``nmax``.  Falls back to geometric growth while fewer
+    The step clamps to ``[max(8, 2% n_k, 1/c), (factor - 1) n_k]`` — never
+    (more than one 32-quantum) bigger than the geometric fallback, never a
+    micro-step — then rounds up to a multiple of 32 (each distinct npt is a
+    distinct compiled kernel-shape set; ~40 s cold through the hosted
+    tunnel) and caps at ``nmax``.  Falls back to geometric growth while fewer
     than two deltas exist or when the fitted rate is non-positive (noise,
     pre-asymptotic regime).  Returns the next npt (> npts[-1]) or None when
     ``npts[-1] >= nmax``.
@@ -95,7 +97,16 @@ def next_rung_npt(npts, deltas, tol, factor, nmax):
     step = need + 1.0 / c
     step = max(step, 8.0, 0.02 * n_k, 1.0 / c)
     step = min(step, max(1.0, (factor - 1.0) * n_k))
-    return min(int(nmax), n_k + int(math.ceil(step)))
+    nxt = n_k + int(math.ceil(step))
+    # quantize UP to a multiple of 32 (8 for small rungs, where a 32-step
+    # would dominate the rung itself): every distinct npt is a distinct set
+    # of compiled kernel shapes (a cold compile through the hosted tunnel
+    # costs ~40 s wall — comparable to the rung it saves), and 32-multiples
+    # keep slab contraction dims MXU-tile aligned.  Rounding up only adds
+    # certification margin.
+    q = 32 if nxt >= 256 else 8
+    nxt = q * ((nxt + q - 1) // q)
+    return min(int(nmax), nxt)
 
 
 class LorentzianFullGrid(DOSAlgorithm):

@@ -100,8 +100,9 @@ def test_next_rung_npt_scheduler():
 
     f = math.sqrt(2.0)
     # real r3 north-star data (BASELINE.md): monotone exponential decay
-    assert next_rung_npt([400, 560, 800, 1120],
-                         [3.24e-3, 2.91e-4, 1.13e-5], 1e-5, f, 2000) < 1280
+    n = next_rung_npt([400, 560, 800, 1120],
+                      [3.24e-3, 2.91e-4, 1.13e-5], 1e-5, f, 2000)
+    assert n < 1280 and n % 32 == 0  # rate-fitted rungs are shape-quantized
     # fewer than three deltas -> geometric
     assert next_rung_npt([50, 71], [1e-3], 1e-5, f, 2000) == 100
     # oscillation -> geometric
@@ -109,9 +110,9 @@ def test_next_rung_npt_scheduler():
                          1e-5, f, 2000) == 199
     # cap respected
     assert next_rung_npt([2000], [], 1e-5, f, 2000) is None
-    # never a bigger jump than the geometric fallback
+    # never a bigger jump than the geometric fallback (+ the 32-quantum)
     n = next_rung_npt([100, 141, 200, 283], [1e-1, 1e-2, 1e-3], 1e-12, f, 4000)
-    assert n <= round(283 * f) + 1
+    assert n <= round(283 * f) + 32
 
 
 def test_auto_schedule_converges_with_headroom(setup):

@@ -68,10 +68,20 @@ class AbsoluteEstimate(IntegralAlgorithm):
         )
         norm = self.norm
 
+        import numpy as np
+
+        sqrt_eps = float(np.sqrt(np.finfo(np.float64).eps))
+
         def fn(consts, p, atol, rtol):
             ec, ac = consts
             u_est, _ = est_fn(ec, p, est_atol, est_rtol)
-            atol2 = jnp.maximum(atol, rtol * norm(u_est))
+            # match do_solve (and the reference, src/algorithms.jl:649-650):
+            # an unset reltol defaults to sqrt(eps), not zero.  Sweep drivers
+            # collapse None -> 0.0 before tracing, so rtol == 0 here means
+            # "unset" (an explicit reltol=0.0 also gets the sqrt(eps) floor —
+            # the traced path cannot tell the two apart).
+            rtol_eff = jnp.where(rtol > 0, rtol, sqrt_eps)
+            atol2 = jnp.maximum(atol, rtol_eff * norm(u_est))
             return abs_fn(ac, p, atol2, jnp.zeros(()))
 
         return fn, (est_consts, abs_consts)

@@ -74,9 +74,17 @@ class NestedQuad(IntegralAlgorithm):
     dimension (index 0 = innermost), as in the reference."""
 
     def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False,
-                 host_outer=False, host_nbisect=4, checkpoint=None,
+                 host_outer=False, host_nbisect=None, checkpoint=None,
                  leaf_nbisect=None, guide_rfloor=2e-5, guide_patience=6):
         self.algs = algs
+        # host-outer panel width: guided panels dispatch BOTH tiers per
+        # refinement step, and a 120-node guided panel reliably crashes the
+        # hosted-TPU tunnel worker where a 30-node one completes
+        # (docs/DESIGN.md "Guided precision") — so the guided default is 1
+        # bisection (2 intervals x 15 GK nodes), others 4.  The IAI wrapper
+        # (brillouin.py) forwards its own resolved value.
+        if host_nbisect is None:
+            host_nbisect = 1 if split == "guided" else 4
         # split=True runs FourierIntegrand carriers in split-complex f64
         # (true double-precision IAI on TPU, where c128 cannot exist);
         # split="guided" adds the f32-search tier: every adaptive level finds
@@ -708,6 +716,11 @@ class NestedQuad(IntegralAlgorithm):
             I, E, _, conv = _quadgk_host(
                 f_outer, p, segs.astype(float), atol_l, rtol,
                 order=getattr(alg, "order", 7),
+                # the maxiters budget counts INNER integrand evals (stats),
+                # which this level's own nev cannot see — stop outer heap
+                # refinement once the nest's total is spent
+                should_stop=(None if budget == np.inf
+                             else (lambda: stats["nev"] >= budget)),
             )
             stats["ok"] = stats["ok"] and conv
             return I, E

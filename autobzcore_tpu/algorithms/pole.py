@@ -80,11 +80,14 @@ class _CountedF:
         return self.f(x, p)
 
 
-def _quadgk_host(f, p, segs, atol, rtol, order=7, max_segs=10**4, max_evals=np.inf):
+def _quadgk_host(f, p, segs, atol, rtol, order=7, max_segs=10**4, max_evals=np.inf,
+                 should_stop=None):
     """Heap-based adaptive GK over (possibly complex) segment endpoints.
 
     Returns (integral, error, nevals, converged); refinement stops at
-    ``max_evals`` (the ``maxiters`` budget, reference ``src/interfaces.jl:64-69``).
+    ``max_evals`` (the ``maxiters`` budget, reference ``src/interfaces.jl:64-69``)
+    or when ``should_stop()`` returns True (used by nested drivers whose
+    budget counts INNER integrand evals, invisible to this level's ``nev``).
     """
     xk, wk, wg = kronrod(order)
 
@@ -107,7 +110,8 @@ def _quadgk_host(f, p, segs, atol, rtol, order=7, max_segs=10**4, max_evals=np.i
     count = len(segs) - 1
     nev = count * len(xk)
     while (total_E > max(atol, rtol * abs(total_I)) and count < max_segs
-           and nev + 2 * len(xk) <= max_evals):
+           and nev + 2 * len(xk) <= max_evals
+           and not (should_stop is not None and should_stop())):
         negE, _, a, b, I = heapq.heappop(heap)
         m = (a + b) / 2
         I1, E1 = rule(a, m)

@@ -145,13 +145,17 @@ class LorentzianFullGrid(DOSAlgorithm):
         self.schedule = schedule
         self.engine_kwargs = engine_kwargs
 
+    def _geometric_next(self, npt):
+        """Next geometric rung after ``npt``, or None at the cap."""
+        if npt >= self.nmax:
+            return None
+        return min(self.nmax, max(npt + 1, int(round(npt * self.factor))))
+
     def npt_ladder(self):
         npt = self.nmin
-        while True:
+        while npt is not None:
             yield npt
-            if npt >= self.nmax:
-                return
-            npt = min(self.nmax, max(npt + 1, int(round(npt * self.factor))))
+            npt = self._geometric_next(npt)
 
     def init_cacheval(self, h, domain, p):
         if isinstance(h, JacobianSeries):
@@ -224,8 +228,7 @@ class LorentzianFullGrid(DOSAlgorithm):
                 npt = next_rung_npt(npts_done, deltas, tol_now, self.factor,
                                     self.nmax)
             else:
-                npt = None if npt >= self.nmax else min(
-                    self.nmax, max(npt + 1, int(round(npt * self.factor))))
+                npt = self._geometric_next(npt)
         return D, err, err <= max(atol, rtol * float(np.max(np.abs(D)))), nev
 
     def dos_solve(self, h, domain, p, cacheval, abstol=None, reltol=None, maxiters=None):
@@ -234,10 +237,17 @@ class LorentzianFullGrid(DOSAlgorithm):
         val = jnp.asarray(D[0] if np.ndim(domain) == 0 else D)
         return DOSSolution(val, err, bool(ok), int(nev))
 
-    def dos_sweep(self, cacheval, Es, abstol=None, reltol=None, maxiters=None):
+    def dos_sweep(self, cacheval, Es, abstol=None, reltol=None, maxiters=None,
+                  with_status=False):
         """Converged broadened DOS over a whole energy grid (the ladder's
-        convergence test runs on the sup-norm of the full curve)."""
+        convergence test runs on the sup-norm of the full curve).
+
+        ``with_status=True`` returns ``(D, ok)`` so frontier drivers
+        (``DOSProblem`` interval domains) can propagate ladder truncation
+        into their own retcode instead of certifying unconverged data."""
         D, err, ok, nev = self._ladder(
             cacheval, np.asarray(Es, np.float64), abstol, reltol, maxiters
         )
+        if with_status:
+            return jnp.asarray(D), bool(ok)
         return jnp.asarray(D)

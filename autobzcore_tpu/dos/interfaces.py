@@ -101,21 +101,40 @@ def _interval_solve(cache: DOSCache) -> DOSSolution:
     atol = 1e-2 if atol is None else float(atol)
     alg, cv = cache.alg, cache.cacheval
 
+    status = {"ok": True}
     sweep = getattr(alg, "dos_sweep", None)
     if sweep is not None:
         params = inspect.signature(sweep).parameters
         extra = {k: v for k, v in kwargs.items() if k in params}
+        if "with_status" in params:
+            extra["with_status"] = True
 
         def frontier(xs):
-            return np.asarray(sweep(cv, np.asarray(xs, np.float64), **extra))
+            out = sweep(cv, np.asarray(xs, np.float64), **extra)
+            if "with_status" in params:
+                out, ok = out
+                status["ok"] = status["ok"] and bool(ok)
+            return np.asarray(out)
     else:
         def frontier(xs):
-            return np.array([
-                float(alg.dos_solve(cache.H, float(x), cache.p, cv, **kwargs).u)
-                for x in np.asarray(xs)
-            ])
+            sols = [alg.dos_solve(cache.H, float(x), cache.p, cv, **kwargs)
+                    for x in np.asarray(xs)]
+            for s in sols:
+                status["ok"] = status["ok"] and bool(s.retcode)
+            return np.array([float(s.u) for s in sols])
+
+    def checked_frontier(xs):
+        D = frontier(xs)
+        # a truncated ladder can return NaN (budget before the first rung);
+        # zero-fill so hchebinterp terminates — retcode=False already marks
+        # the interpolant uncertified
+        if np.any(np.isnan(D)):
+            status["ok"] = False
+            D = np.nan_to_num(D)
+        return D
 
     from ..utils.chebinterp import hchebinterp
 
-    interp = hchebinterp(frontier, lo, hi, atol=atol)
-    return DOSSolution(interp, atol, True, interp.numevals)
+    interp = hchebinterp(checked_frontier, lo, hi, atol=atol)
+    ok = status["ok"]
+    return DOSSolution(interp, atol if ok else np.inf, ok, interp.numevals)

@@ -253,7 +253,12 @@ def gk_adaptive(
         if stall_patience:
             _, tot_err_new = totals(pool_val, pool_err_arr)
             improved = tot_err_new < 0.97 * best
-            best = jnp.minimum(best, tot_err_new)
+            # update best ONLY on a counted improvement (the host refine()
+            # semantic, nested.py): slow-but-genuine convergence then
+            # compounds across steps until it clears the 3% bar and resets
+            # the stall counter, instead of every 1-2% step counting as a
+            # stall against a running min
+            best = jnp.where(improved, tot_err_new, best)
             stall = jnp.where(improved, 0, stall + 1)
         return (pool_a, pool_b, pool_val, pool_err_arr, pool_l1_arr,
                 n + nbisect, evals + cstat, best, stall)

@@ -110,6 +110,14 @@ def threaded_solve(prob, alg, ps, nthreads=4, warmup=True, **kwargs):
     cache = kwargs.pop("cache", None)
     if cache is None:
         cache = init(prob, alg, **kwargs)
+    elif kwargs:
+        # a prebuilt cache carries its init-time tolerances; silently
+        # dropping abstol/reltol here would run every solve at the WRONG
+        # tolerance while reporting success
+        raise ValueError(
+            f"cache= already fixes the solve kwargs; got extra {sorted(kwargs)} "
+            "(pass them to init() when building the cache)"
+        )
     mixed = _takes_mixed_parameters(prob.f)
 
     def one(p):
@@ -306,6 +314,10 @@ class SweepSolver:
     def __call__(self, xs):
         xs = jnp.asarray(xs)
         n = xs.shape[0]
+        if n == 0:
+            # np.concatenate over zero chunks raises, and the last-value pad
+            # below indexes xs[-1]; an empty sweep is simply empty
+            return np.zeros((0,), np.result_type(xs.dtype, np.float32))
         c = self.chunk
         npad = -(-n // c) * c
         # pad with the last real value, not 0.0: a padded adaptive solve at

@@ -141,3 +141,23 @@ def test_engine_cache_keys_on_grid_contents(setup):
     ref_geo = _dense_dos(s, 8, geo, 0.25) / 8**3
     assert np.max(np.abs(D_geo - ref_geo)) < 1e-4
     assert not np.allclose(D_lin, D_geo)
+
+
+def test_interval_domain_truncated_ladder_not_certified(setup):
+    """An interval-domain DOSProblem whose ladder hits the maxiters budget
+    must return retcode=False (uncertified interpolant), not a 'certified'
+    curve built from unconverged or NaN frontier data."""
+    from autobzcore_tpu.dos import solve as dos_solve_fn
+
+    s, bz = setup
+    alg = LorentzianFullGrid(0.3, nmin=8, nmax=64, slab=4, omega_batch=1,
+                             schedule="geometric")
+    # budget below the first rung: every frontier is NaN -> zero-filled,
+    # flagged uncertified
+    sol = dos_solve_fn(DOSProblem(s, (0.0, 1.0), bz), alg, abstol=1e-2,
+                       maxiters=8**3 - 1)
+    assert sol.retcode is False
+    assert not np.isfinite(sol.err)
+    # and a certified run over the same interval does report retcode=True
+    ok = dos_solve_fn(DOSProblem(s, (0.0, 1.0), bz), alg, abstol=1e-2)
+    assert ok.retcode

@@ -156,3 +156,16 @@ def test_stall_patience_detects_noise_floor_without_model():
 def test_guided_rejects_bad_precision():
     with pytest.raises(ValueError):
         IAI(precision="half")
+
+
+def test_guided_nest_defaults_to_narrow_host_panels():
+    """NestedQuad(split='guided', host_outer=True) constructed DIRECTLY (not
+    via the IAI wrapper) must default host_nbisect to 1: guided panels
+    dispatch both tiers per refinement step and 120-node panels crash the
+    hosted-TPU tunnel worker (docs/DESIGN.md 'Guided precision')."""
+    from autobzcore_tpu import NestedQuad, QuadGKJL
+
+    algs = (QuadGKJL(), QuadGKJL())
+    assert NestedQuad(algs, split="guided", host_outer=True).host_nbisect == 1
+    assert NestedQuad(algs, split=True, host_outer=True).host_nbisect == 4
+    assert NestedQuad(algs, split="guided", host_nbisect=3).host_nbisect == 3

@@ -313,7 +313,13 @@ class TestPoleNest:
         dom = CubicLimits(np.array([-1.0, 0.0]), np.array([1.0, 2.0]))
         full = solve(IntegralProblem(self._f, dom),
                      NestedQuad((ContQuadGKJL(), QuadGKJL())), abstol=1e-8)
+        budget = full.numevals // 10
         trunc = solve(IntegralProblem(self._f, dom),
                       NestedQuad((ContQuadGKJL(), QuadGKJL())), abstol=1e-8,
-                      maxiters=full.numevals // 10)
+                      maxiters=budget)
         assert trunc.retcode is False
+        # the OUTER heap must stop refining once the nest's total is spent
+        # (measured: 7305 at budget 5485 — one outer step's inner work in
+        # flight; before the should_stop hook it ran to full ~54855)
+        assert trunc.numevals < 2 * budget
+        assert trunc.numevals < full.numevals // 2

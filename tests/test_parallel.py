@@ -270,3 +270,70 @@ def test_sweep_solver_scan_sharded_chunk_mismatch_raises():
     with pytest.raises(ValueError, match="divide"):
         SweepSolver(IntegralProblem(fi, bz), IAI(inner_cap=64), chunk=12,
                     scan=True, mesh=mesh)
+
+
+def test_threaded_solve_rejects_tolerances_with_cache():
+    """cache= fixes the solve kwargs at init time; passing abstol alongside
+    it must raise instead of silently solving at the cache's tolerance."""
+    from autobzcore_tpu import IAI, init
+    from autobzcore_tpu.models.observables import dos_integrand
+    from autobzcore_tpu.parallel.sweep import threaded_solve
+
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    fi = dos_integrand(tb_integer(2), eta=0.5)
+    prob = IntegralProblem(fi, bz)
+    alg = IAI(inner_cap=64, host_outer=True)
+    cache = init(prob, alg, abstol=1e-6)
+    with pytest.raises(ValueError, match="cache="):
+        threaded_solve(prob, alg, [0.0], cache=cache, abstol=1e-9)
+    # cache alone works and honors the init-time tolerance
+    sols = threaded_solve(prob, alg, [0.0], cache=cache)
+    assert sols[0].retcode
+
+
+def test_sweep_solver_empty_input():
+    """An empty parameter array returns an empty result (the last-value pad
+    must not index xs[-1] on a size-0 array)."""
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    prob = IntegralProblem(lambda x, p: jnp.exp(-p * x**2), 0.0, 1.0)
+    sweep = SweepSolver(prob, QuadGKJL(), abstol=1e-8, chunk=4)
+    out = sweep(np.zeros((0,)))
+    assert out.shape == (0,)
+
+
+def test_absolute_estimate_sweep_matches_pointwise_tolerance():
+    """AbsoluteEstimate's traced path must apply the same unset-reltol
+    default (sqrt(eps)) as do_solve: the abs phase's tolerance, captured via
+    a stub algorithm, agrees between pointwise and sweep for abstol-only
+    input (reference src/algorithms.jl:649-650)."""
+    from autobzcore_tpu.algorithms.meta import AbsoluteEstimate
+
+    captured = {}
+
+    class StubAlg:
+        def init_cacheval(self, f, dom, p):
+            return None
+
+        def do_solve(self, f, dom, p, cacheval, abstol=None, reltol=None,
+                     maxiters=None):
+            from autobzcore_tpu.interfaces import IntegralSolution
+            captured["pointwise_atol"] = float(abstol) if abstol else 0.0
+            return IntegralSolution(jnp.asarray(100.0), 0.0, True, 1)
+
+        def solve_fn(self, cacheval):
+            def fn(p, atol, rtol):
+                captured["sweep_atol"] = atol
+                return jnp.asarray(100.0), jnp.asarray(0.0)
+            return fn
+
+    alg = AbsoluteEstimate(StubAlg(), StubAlg(), norm=lambda u: jnp.abs(u))
+    prob = IntegralProblem(lambda x, p: x, 0.0, 1.0)
+    cv = alg.init_cacheval(prob.f, (0.0, 1.0), None)
+    alg.do_solve(prob.f, (0.0, 1.0), None, cv, abstol=1e-10)
+    fn, consts = alg.solve_fn_consts(cv)
+    fn(consts, 0.0, jnp.asarray(1e-10), jnp.asarray(0.0))
+    # both paths: atol = max(1e-10, sqrt(eps) * 100) = 1.49e-6
+    expect = float(np.sqrt(np.finfo(np.float64).eps)) * 100.0
+    assert captured["pointwise_atol"] == pytest.approx(expect, rel=1e-12)
+    assert float(captured["sweep_atol"]) == pytest.approx(expect, rel=1e-6)

@@ -129,6 +129,22 @@ class NestedQuad(IntegralAlgorithm):
         # 446 ms at omega=13, r3), so None keeps the level-default coupling
         self.leaf_nbisect = leaf_nbisect
 
+    def _level_knobs(self, alg, d_rem, ndim):
+        """Pool cap and bisection width for one nest level (shared by the
+        plain and guided tiers so the knob semantics cannot drift apart):
+        the outermost level keeps the algorithm's own knobs; inner levels
+        clamp to ``inner_cap``/``inner_nbisect``; the leaf may widen to
+        ``leaf_nbisect`` (batch-width knob for the innermost vmapped pool)."""
+        outermost = d_rem == ndim
+        cap = alg.cap if outermost else min(alg.cap, self.inner_cap)
+        if outermost:
+            nbisect = alg.nbisect
+        elif d_rem == 1 and self.leaf_nbisect is not None:
+            nbisect = max(1, int(self.leaf_nbisect))
+        else:
+            nbisect = min(alg.nbisect, self.inner_nbisect)
+        return cap, nbisect
+
     def _algs_for(self, ndim):
         if isinstance(self.algs, (tuple, list)):
             if len(self.algs) != ndim:
@@ -213,14 +229,7 @@ class NestedQuad(IntegralAlgorithm):
                 z = jnp.zeros((), segs.dtype)
                 return val, z, ne, jnp.asarray(True)
             if isinstance(alg, QuadGKJL):  # includes AuxQuadGKJL
-                outermost = d_rem == dom.ndim
-                cap = alg.cap if outermost else min(alg.cap, self.inner_cap)
-                if outermost:
-                    nbisect = alg.nbisect
-                elif d_rem == 1 and self.leaf_nbisect is not None:
-                    nbisect = max(1, int(self.leaf_nbisect))
-                else:
-                    nbisect = min(alg.nbisect, self.inner_nbisect)
+                cap, nbisect = self._level_knobs(alg, d_rem, dom.ndim)
                 return gk_adaptive(
                     batch_f, p, segs, order=alg.order, cap=cap,
                     nbisect=nbisect, abstol=atol, reltol=rtol,
@@ -290,14 +299,7 @@ class NestedQuad(IntegralAlgorithm):
                 z = jnp.zeros((), segs.dtype)
                 return val, z, ne, jnp.asarray(True)
             if isinstance(alg, QuadGKJL):  # includes AuxQuadGKJL
-                outermost = d_rem == dom.ndim
-                cap = alg.cap if outermost else min(alg.cap, self.inner_cap)
-                if outermost:
-                    nbisect = alg.nbisect
-                elif d_rem == 1 and self.leaf_nbisect is not None:
-                    nbisect = max(1, int(self.leaf_nbisect))
-                else:
-                    nbisect = min(alg.nbisect, self.inner_nbisect)
+                cap, nbisect = self._level_knobs(alg, d_rem, dom.ndim)
                 return gk_adaptive_guided(
                     batch_f32, batch_fS, p32, p, segs, order=alg.order,
                     cap=cap, nbisect=nbisect, abstol=atol, reltol=rtol,

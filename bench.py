@@ -19,7 +19,38 @@ import numpy as np
 os.environ.setdefault("OMP_NUM_THREADS", "1")  # keep the numpy baseline honest
 
 
+def _wait_for_tunnel():
+    """Hosted-TPU tunnels fail by HANGING: a dead worker blocks the first
+    PJRT client creation forever (no timeout in the dial), so a wedged
+    tunnel would hang this whole benchmark at ``jax.devices()``.  Probe in
+    a KILLABLE subprocess and wait up to BENCH_TUNNEL_WAIT seconds (default
+    1800 — observed outages heal on worker restart) before touching the
+    device in-process.  No-op when the tunnel env is absent (CPU runs)."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    import subprocess
+
+    deadline = time.time() + float(os.environ.get("BENCH_TUNNEL_WAIT", "1800"))
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((64, 64)); assert float((x @ x).sum()) == 64.0**3")
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=90,
+                               capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print("bench: TPU tunnel still unresponsive after BENCH_TUNNEL_WAIT; "
+                  "proceeding (may hang)", file=sys.stderr)
+            return
+        print("bench: TPU tunnel unresponsive, retrying in 60 s", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_tunnel()
     import jax
     import jax.numpy as jnp
 

@@ -45,16 +45,28 @@ def _err_norm(tree, batch_ndim):
     return tree_norm(tree)
 
 
+def _count_dtype():
+    """Dtype for evaluation counters: FLOAT, not int32.  Nested stats sum
+    per-node inner-solve counts (a single saturating search measured 450M
+    evals, BASELINE.md), so an outer level can exceed 2^31 and an int32
+    counter would wrap NEGATIVE — permanently passing the ``evals <
+    max_evals`` budget check.  f64 counts exactly to 2^53; on TPU with x64
+    off, f32 is exact to 2^24 and merely loses ulps beyond (monotone, never
+    wraps) — strictly safer than modular int32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 def _as_eval_budget(maxiters):
-    """Evaluation budget as an int32 scalar; accepts None, Python ints, and
-    traced values (so ``maxiters`` can be a jit argument,
-    reference ``src/interfaces.jl:64-69``)."""
+    """Evaluation budget as a float scalar (see ``_count_dtype``); accepts
+    None, Python ints, and traced values (so ``maxiters`` can be a jit
+    argument, reference ``src/interfaces.jl:64-69``)."""
+    cdt = _count_dtype()
     if maxiters is None:
-        return jnp.asarray(2**31 - 1, jnp.int32)
+        return jnp.asarray(2**62, cdt)
     try:
-        return jnp.asarray(min(2**31 - 1, int(maxiters)), jnp.int32)
+        return jnp.asarray(min(2**62, int(maxiters)), cdt)
     except (TypeError, jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
-        return jnp.asarray(maxiters).astype(jnp.int32)
+        return jnp.asarray(maxiters).astype(cdt)
 
 
 def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder, stats=False):
@@ -79,10 +91,10 @@ def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder, stats=False):
     out = batch_f(node_builder(flat), p)  # leaves (K*npts, ...)
     if stats:
         fx, per_node = out
-        stat_sum = jnp.sum(per_node).astype(jnp.int32)
+        stat_sum = jnp.sum(per_node.astype(_count_dtype()))
     else:
         fx = out
-        stat_sum = jnp.asarray(K * npts, jnp.int32)
+        stat_sum = jnp.asarray(K * npts, _count_dtype())
 
     def per_leaf(v):
         v = v.reshape((K, npts) + v.shape[1:])
@@ -101,12 +113,30 @@ def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder, stats=False):
         vl = jnp.sum(wk_.reshape(wshape) * jnp.abs(v), axis=1) * half_.reshape(hshape)
         return vk, vg, vl
 
-    valk = jax.tree_util.tree_map(lambda v: per_leaf(v)[0], fx)
-    valg = jax.tree_util.tree_map(lambda v: per_leaf(v)[1], fx)
-    vall = jax.tree_util.tree_map(lambda v: per_leaf(v)[2], fx)
+    leaves, treedef = jax.tree_util.tree_flatten(fx)
+    trips = [per_leaf(v) for v in leaves]  # one trace per leaf, not three
+    valk = jax.tree_util.tree_unflatten(treedef, [t[0] for t in trips])
+    valg = jax.tree_util.tree_unflatten(treedef, [t[1] for t in trips])
+    vall = jax.tree_util.tree_unflatten(treedef, [t[2] for t in trips])
     diff = jax.tree_util.tree_map(lambda k, g: k - g, valk, valg)
     err = _err_norm(diff, 1)
     l1 = _err_norm(vall, 1)
+    # zero-width intervals are DEAD POOL SLOTS (top_k picks them while live
+    # intervals < nbisect; the guided upgrade sweeps them in its last chunk)
+    # whose nodes all collapse onto one point — which may be outside the
+    # integrand's domain or a singular endpoint (x=0 of the [0, inf)
+    # transform).  The evaluation still happens (fixed shapes), but its
+    # result must not reach the pool: half=0 only zeroes finite values,
+    # NaN * 0 = NaN.  Mask outputs to exactly 0.
+    dead = half == 0
+
+    def mask_leaf(v):
+        return jnp.where(dead.reshape((K,) + (1,) * (v.ndim - 1)),
+                         jnp.zeros((), v.dtype), v)
+
+    valk = jax.tree_util.tree_map(mask_leaf, valk)
+    err = jnp.where(dead, 0, err)
+    l1 = jnp.where(dead, 0, l1)
     return valk, err, l1, stat_sum
 
 
@@ -449,10 +479,10 @@ def fixed_rule_eval(batch_f, p, segs, x, w, node_builder=lambda x: x, stats=Fals
     npt = x.shape[0]
     if stats:
         fx, per_node = out
-        stat_sum = jnp.sum(per_node).astype(jnp.int32)
+        stat_sum = jnp.sum(per_node.astype(_count_dtype()))
     else:
         fx = out
-        stat_sum = jnp.asarray(S * npt, jnp.int32)
+        stat_sum = jnp.asarray(S * npt, _count_dtype())
 
     def leaf(v):
         v = v.reshape((S, npt) + v.shape[1:])

@@ -34,7 +34,7 @@ def phase_cs(x, n, offset, period, dtype=jnp.float64, deriv=0):
     return c, s
 
 
-def contract_split(vre, vim, cos, sin, axis, method=None):
+def contract_split(vre, vim, cos, sin, axis, method=None, ndiag=None):
     """Contract split-complex ``v`` with phase ``e^{i ang}`` along ``axis``:
     (re + i im)(cos + i sin) summed over the axis, new axis prepends.
 
@@ -59,7 +59,11 @@ def contract_split(vre, vim, cos, sin, axis, method=None):
     # evaluations (e.g. the 30-band GGR spectral grid, which OOMed with them)
     out_elems = cos.shape[0] * (vre.size // max(vre.shape[axis], 1))
     if method != "emul" and use_ozaki() and out_elems >= (1 << 17):
-        td = lambda c, v: ozaki_tensordot(c, v, axis)  # noqa: E731
+        # ndiag threads the caller's accuracy knob into the Ozaki slicing
+        # (grid_sweep's stage 0 must honor the same truncation bound its
+        # stages A/B advertise); None keeps the ~3e-15 default
+        kw = {} if ndiag is None else {"ndiag": ndiag}
+        td = lambda c, v: ozaki_tensordot(c, v, axis, **kw)  # noqa: E731
     else:
         prec = jax.lax.Precision.HIGHEST  # TPU default matmul precision is bf16
         td = lambda c, v: jnp.tensordot(c, v, axes=([1], [axis]), precision=prec)  # noqa: E731

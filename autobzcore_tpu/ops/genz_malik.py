@@ -112,6 +112,19 @@ def gm_box_eval(batch_f, p, centers, halves, pts, wk, we, diff_idx):
     val5 = jax.tree_util.tree_map(lambda v: reduce_leaf(v, we), fx)
     diff = jax.tree_util.tree_map(lambda a, b: a - b, val7, val5)
     err = _err_norm(diff, 1)
+    # zero-volume boxes are DEAD POOL SLOTS (top_k picks them while live
+    # boxes < nbisect) whose nodes collapse onto one point, possibly outside
+    # the integrand's domain: the evaluation happens (fixed shapes) but its
+    # result must not reach the pool — vol=0 only zeroes finite values,
+    # NaN * 0 = NaN.  Mask outputs to exactly 0.
+    dead = vol == 0
+
+    def mask_leaf(v):
+        return jnp.where(dead.reshape((K,) + (1,) * (v.ndim - 1)),
+                         jnp.zeros((), v.dtype), v)
+
+    val7 = jax.tree_util.tree_map(mask_leaf, val7)
+    err = jnp.where(dead, 0, err)
 
     # fourth differences per dim for the split heuristic (scalar proxy: norm
     # over result components)
@@ -171,8 +184,10 @@ def gm_adaptive(
     pool_val = jax.tree_util.tree_map(pad_leaf, val0)
     pool_err = jnp.zeros((cap,), dt).at[:1].set(err0)
     pool_sd = jnp.zeros((cap,), jnp.int32).at[:1].set(sd0)
+    from .adaptive import _count_dtype
+
     n0 = jnp.asarray(1, jnp.int32)
-    evals0 = jnp.asarray(P, jnp.int32)
+    evals0 = jnp.asarray(P, _count_dtype())
 
     def totals(pool_val, pool_err):
         tot_val = jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0), pool_val)

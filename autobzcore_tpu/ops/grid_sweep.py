@@ -156,7 +156,7 @@ class FullGridSpectralSweep:
         @jax.jit
         def prep(cre, cim, c3, s3, c2, s2):
             # (n1, n2, n3, 6) -> contract n3 -> (npt3, n1, n2, 6)
-            vre, vim = contract_split(cre, cim, c3, s3, 2)
+            vre, vim = contract_split(cre, cim, c3, s3, 2, ndiag=self.ndiag)
             # -> (n1, n2, 6, npt3) -> (n1, n2*6*npt3)
             vre = jnp.transpose(vre, (1, 2, 3, 0)).reshape(self.n1, -1)
             vim = jnp.transpose(vim, (1, 2, 3, 0)).reshape(self.n1, -1)
@@ -189,8 +189,8 @@ class FullGridSpectralSweep:
         OFF = m * S * npt  # start of the off-diagonal block (diagonals first)
         # Lorentzian point chunking: ~1.6M point-band pairs per pass per band
         # loop, chunk along npt2
-        rows = max(1, int(1.6e6 // (S * npt)))
-        while npt % rows:
+        rows = max(1, min(int(1.6e6 // (S * npt)), npt))
+        while npt % rows:  # largest divisor of npt <= the memory-bound start
             rows -= 1
         nch = npt // rows
         CH = rows * S * npt

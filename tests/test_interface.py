@@ -323,3 +323,30 @@ class TestPoleNest:
         # flight; before the should_stop hook it ran to full ~54855)
         assert trunc.numevals < 2 * budget
         assert trunc.numevals < full.numevals // 2
+
+
+class TestDeadPoolSlots:
+    """Unused pool slots are zero-width/zero-volume intervals whose nodes
+    collapse onto a single point (possibly outside the domain or a singular
+    endpoint); their evaluations must be masked out of the pool, not relied
+    on to vanish via 0-width scaling (NaN * 0 = NaN)."""
+
+    def test_quadgk_singular_origin_infinite_domain(self):
+        # one starting segment < nbisect: the first top_k picks dead slots
+        # pinned at t=0, which the [0, inf) transform maps to the x=0
+        # singularity of the integrand
+        sol = solve(
+            IntegralProblem(lambda x, p: jnp.exp(-x) / jnp.sqrt(x), 0.0, np.inf),
+            QuadGKJL(), abstol=1e-8)
+        assert sol.retcode
+        assert float(np.real(np.complex128(sol.u))) == pytest.approx(
+            np.sqrt(np.pi), abs=1e-7)
+
+    def test_hcubature_integrand_undefined_at_origin(self):
+        # genz-malik starts with ONE live box (< nbisect): dead boxes sit at
+        # the all-zeros point, below this integrand's domain [2,3]^2
+        f = lambda x, p: jnp.sqrt(x[..., 0] - 2.0) * jnp.sqrt(x[..., 1] - 2.0)
+        sol = solve(IntegralProblem(f, np.array([2.0, 2.0]), np.array([3.0, 3.0])),
+                    HCubatureJL(), abstol=1e-8)
+        assert sol.retcode
+        assert float(np.real(np.complex128(sol.u))) == pytest.approx(4.0 / 9.0, abs=1e-7)

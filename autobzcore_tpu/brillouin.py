@@ -199,6 +199,10 @@ def load_bz(kind, A=None, B=None, *, species=None, positions=None, atol=None, di
         return load_bz(kind, out["lattice"], out["recip_lattice"], atol=atol)
     if A is None:
         A = np.eye(dim)
+    if isinstance(A, (int, np.integer)) and not isinstance(A, bool):
+        # the documented int-dimension form: load_bz(FBZ(), 3) -> 3D identity
+        # lattice (a FLOAT scalar stays a 1x1 lattice [[A]])
+        A = np.eye(int(A))
     A = np.asarray(A, dtype=np.float64)
     if A.ndim == 0:
         A = A.reshape(1, 1)

@@ -95,8 +95,13 @@ def next_rung_npt(npts, deltas, tol, factor, nmax):
     target = 0.7 * float(tol)
     need = math.log(e_cur / target) / c if (target > 0 and e_cur > target) else 0.0
     step = need + 1.0 / c
+    # the 1/c honesty floor must SURVIVE the upper clamp: for slow rates
+    # ((factor-1) n_k < 1/c) a clamped step would measure only a fraction
+    # (1 - e^{-c step}) of the coarser rung's error and could certify a
+    # curve several times above tol.  Big steps are also the efficient
+    # choice there — slow decay needs them.
+    step = min(step, max(1.0, (factor - 1.0) * n_k, 1.0 / c))
     step = max(step, 8.0, 0.02 * n_k, 1.0 / c)
-    step = min(step, max(1.0, (factor - 1.0) * n_k))
     nxt = n_k + int(math.ceil(step))
     # quantize UP to a multiple of 32 (8 for small rungs, where a 32-step
     # would dominate the rung itself): every distinct npt is a distinct set
@@ -175,17 +180,29 @@ class LorentzianFullGrid(DOSAlgorithm):
         return {"h": h, "engines": {}}
 
     def _engine(self, cacheval, Es):
-        # key on the full grid contents: same length/endpoints with different
-        # interior spacing (log vs linear) must not collide
-        key = (np.asarray(Es, np.float64).tobytes(), self.eta)
+        """One engine per (padded width, eta): omega VALUES are runtime
+        arguments of the rung kernels, so engines key on the compiled width
+        only and ``set_omegas`` swaps grids — the interval-domain driver's
+        varying chebinterp frontiers then reuse one compiled engine instead
+        of building (and tunnel-compiling) a fresh one per refinement round.
+        Padding to multiples of 32 bounds the set of compiled widths; pad
+        lanes repeat the last energy and are sliced off by the caller."""
+        Es = np.atleast_1d(np.asarray(Es, np.float64))
+        W = Es.size
+        Wp = max(32 * ((W + 31) // 32), 1) if W > 8 else W
+        Ep = np.concatenate([Es, np.full(Wp - W, Es[-1])])
+        key = (Wp, self.eta)
         eng = cacheval["engines"].get(key)
         if eng is None:
-            eng = FullGridSpectralSweep(cacheval["h"], Es, self.eta,
+            eng = FullGridSpectralSweep(cacheval["h"], Ep, self.eta,
                                         **self.engine_kwargs)
             cacheval["engines"][key] = eng
+        else:
+            eng.set_omegas(Ep)
         return eng
 
     def _ladder(self, cacheval, Es, abstol, reltol, maxiters):
+        W = np.atleast_1d(np.asarray(Es)).size  # pad lanes sliced off below
         eng = self._engine(cacheval, Es)
         atol = 0.0 if abstol is None else float(abstol)
         rtol = 0.0 if reltol is None else float(reltol)
@@ -212,7 +229,7 @@ class LorentzianFullGrid(DOSAlgorithm):
             else:
                 acc = eng.rung(npt)
             nev += npt**3
-            D = acc / npt**3
+            D = acc[:W] / npt**3
             if prev is not None:
                 err = float(np.max(np.abs(D - prev)))
                 deltas.append(err)

@@ -116,6 +116,14 @@ class GGR(DOSAlgorithm):
         d = bz.ndim
         if d not in _GGR_FORMULAS:
             raise ValueError("GGR implemented for up to 3d BZ")
+        vshape = np.asarray(h.c).shape[h.sndim:]
+        if len(vshape) not in (0, 2) or (len(vshape) == 2 and vshape[0] != vshape[1]):
+            # the split tier infers band count as sqrt(prod(valshape)) — a
+            # vector-valued series would silently reinterpret as fake
+            # matrices; reject like LorentzianFullGrid does
+            raise ValueError(
+                f"GGR requires scalar or square-matrix series values, got {vshape}"
+            )
         npt = self.npt
 
         if bz.syms is None:
@@ -287,16 +295,22 @@ class GGR(DOSAlgorithm):
         # zeros; gate the 1/v formulas on a scale-relative threshold
         vtol = 1e-10 * float(jnp.maximum(1.0, jnp.max(jnp.abs(velocities))))
 
+        # spectral tensors enter as jit ARGUMENTS, not closure constants:
+        # captured (K, m)/(K, d, m) arrays become HLO literals shipped with
+        # every remote compile (the 365-523 s / HTTP-413 failure mode fixed
+        # for LTM at tetrahedron.py and for stored series at fourier.py)
         @jax.jit
-        def dos_at(E):
+        def _dos_at(E, energies, velocities, w):
             dw = jnp.abs(E - energies)  # (K, m)
             vt = jnp.moveaxis(velocities, 1, 2)  # (K, m, d)
             contrib = formula(b, dw, vt, vtol)  # (K, m)
             return jnp.sum(w[:, None] * contrib)
 
+        _dos_vmap = jax.jit(jax.vmap(_dos_at, in_axes=(0, None, None, None)))
+
         return {
-            "dos_at": dos_at,
-            "dos_sweep": jax.jit(jax.vmap(dos_at)),
+            "dos_at": lambda E: _dos_at(E, energies, velocities, w),
+            "dos_sweep": lambda Es: _dos_vmap(Es, energies, velocities, w),
             "energies": energies,
             "velocities": velocities,
             "weights": w,

@@ -99,6 +99,13 @@ def _interval_solve(cache: DOSCache) -> DOSSolution:
     kwargs = dict(cache.kwargs)
     atol = kwargs.get("abstol")
     atol = 1e-2 if atol is None else float(atol)
+    # the certificate is |interpolant - true DOS| <= atol: split the budget
+    # between the two error sources — the frontier samples carry their own
+    # solver error (ladder/grid convergence) and hchebinterp certifies only
+    # against the SAMPLED values
+    if "abstol" in kwargs:
+        kwargs["abstol"] = atol / 2
+    atol_interp = atol / 2 if "abstol" in kwargs else atol
     alg, cv = cache.alg, cache.cacheval
 
     status = {"ok": True}
@@ -135,6 +142,6 @@ def _interval_solve(cache: DOSCache) -> DOSSolution:
 
     from ..utils.chebinterp import hchebinterp
 
-    interp = hchebinterp(checked_frontier, lo, hi, atol=atol)
+    interp = hchebinterp(checked_frontier, lo, hi, atol=atol_interp)
     ok = status["ok"]
     return DOSSolution(interp, atol if ok else np.inf, ok, interp.numevals)

@@ -319,14 +319,18 @@ class AdaptiveGaussianBroadening(DOSAlgorithm):
         norm = 1.0 / (np.sqrt(2 * np.pi) * sigma)
         inv_total = 1.0 / float(jnp.sum(w))  # = npt^-d (fractional normalization)
 
+        # spectral arrays as jit ARGUMENTS, not closure constants (remote
+        # compiles ship captured literals — see ggr.py / tetrahedron LTM)
         @jax.jit
-        def dos_at(E):
+        def _dos_at(E, e, sigma, norm, w):
             g = norm * jnp.exp(-0.5 * ((E - e) / sigma) ** 2)
             return inv_total * jnp.sum(w[:, None] * g)
 
+        _dos_vmap = jax.jit(jax.vmap(_dos_at, in_axes=(0, None, None, None, None)))
+
         return {
-            "dos_at": dos_at,
-            "dos_sweep": jax.jit(jax.vmap(dos_at)),
+            "dos_at": lambda E: _dos_at(E, e, sigma, norm, w),
+            "dos_sweep": lambda Es: _dos_vmap(Es, e, sigma, norm, w),
             "energies": e,
             "sigma": sigma,
             "numevals": cv["numevals"],

@@ -128,6 +128,13 @@ class JacobianSeries:
         return self.s.sndim
 
     @property
+    def sndim(self):
+        # expose the wrapped series' spatial dimension so the BZ layer's
+        # series/BZ dimension guard works through the Jacobian wrapper
+        # (brillouin.py reads getattr(s, 'sndim', ...))
+        return self.s.sndim
+
+    @property
     def period(self):
         return self.s.period
 

@@ -144,6 +144,19 @@ class FullGridSpectralSweep:
         self.omega_batch = ob
         self._run_cache = {}
 
+    def set_omegas(self, omegas):
+        """Swap the frequency grid WITHOUT recompiling: the omega values are
+        runtime arguments of the rung kernels (only their COUNT is a compiled
+        shape), so a same-length engine serves any energy grid — the
+        interval-domain DOS driver reuses one engine across chebinterp
+        refinement rounds this way."""
+        omegas = np.asarray(omegas, np.float64)
+        if omegas.size != self.omegas.size:
+            raise ValueError(
+                f"set_omegas needs the compiled width {self.omegas.size}, got {omegas.size}"
+            )
+        self.omegas = omegas
+
     # -- per-rung preparation ------------------------------------------------
 
     def _prepare(self, npt):

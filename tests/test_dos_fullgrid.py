@@ -127,9 +127,11 @@ def test_auto_schedule_converges_with_headroom(setup):
     assert float(sol.u) == pytest.approx(ref, abs=2e-5)
 
 
-def test_engine_cache_keys_on_grid_contents(setup):
-    """Two grids with identical length/endpoints but different interior
-    spacing must not share an engine (ADVICE r2)."""
+def test_engine_cache_reuses_compiled_width_with_correct_values(setup):
+    """Two grids with identical length but different interior spacing share
+    ONE engine (omega values are runtime args; only the width is a compiled
+    shape) and still produce their own correct curves — the wrong-grid-reuse
+    hazard of ADVICE r2 is now structurally impossible via set_omegas."""
     s, bz = setup
     alg = LorentzianFullGrid(0.25, nmin=8, nmax=8, slab=4, omega_batch=1)
     cache = init(DOSProblem(s, 0.0, bz), alg, abstol=1e-3)
@@ -137,9 +139,11 @@ def test_engine_cache_keys_on_grid_contents(setup):
     geo = np.geomspace(1.0, 4.0, 5)
     D_lin = np.asarray(alg.dos_sweep(cache.cacheval, lin, abstol=1.0))
     D_geo = np.asarray(alg.dos_sweep(cache.cacheval, geo, abstol=1.0))
-    assert len(cache.cacheval["engines"]) == 2
+    assert len(cache.cacheval["engines"]) == 1  # same width -> one engine
     ref_geo = _dense_dos(s, 8, geo, 0.25) / 8**3
+    ref_lin = _dense_dos(s, 8, lin, 0.25) / 8**3
     assert np.max(np.abs(D_geo - ref_geo)) < 1e-4
+    assert np.max(np.abs(D_lin - ref_lin)) < 1e-4
     assert not np.allclose(D_lin, D_geo)
 
 

@@ -164,3 +164,21 @@ class TestIBZ:
         A = np.eye(3)
         bz = load_bz(IBZ(), A, species=["V"], positions=np.array([[0.0, 0.0, 0.0]]))
         assert bz.nsyms == 48
+
+
+def test_wigner_seitz_skewed_basis():
+    """Non-reduced bases are LLL-reduced before the neighbor shell, and the
+    cell volume is certified against |det B| — a skewed basis (columns
+    (1,10),(0,1) whose cell needs the m=(1,-10) bisector) must not silently
+    yield a cell larger than the fundamental domain."""
+    import numpy as np
+    from scipy.spatial import ConvexHull
+
+    from autobzcore_tpu.ibz.polyhedron import wigner_seitz
+
+    B2 = np.column_stack([np.array([1.0, 10.0]), np.array([0.0, 1.0])])
+    ws2 = wigner_seitz(B2)
+    assert ConvexHull(ws2.vertices).volume == pytest.approx(1.0, rel=1e-9)
+    B3 = np.column_stack([[1.0, 7.0, 3.0], [0.0, 1.0, 5.0], [0.0, 0.0, 1.0]])
+    ws3 = wigner_seitz(B3)
+    assert ConvexHull(ws3.vertices).volume == pytest.approx(1.0, rel=1e-9)

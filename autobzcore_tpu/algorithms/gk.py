@@ -23,9 +23,15 @@ from .base import IntegralAlgorithm, effective_tolerances, segments_of
 
 
 def _budget(maxiters):
-    """Evaluation budget as a jit-stable int32 scalar (no recompiles when the
-    user varies ``maxiters`` between solves)."""
-    return jnp.asarray(2**31 - 1 if maxiters is None else min(2**31 - 1, int(maxiters)), jnp.int32)
+    """Evaluation budget as a jit-stable float scalar (no recompiles when the
+    user varies ``maxiters`` between solves).  Delegates to
+    ``ops.adaptive._as_eval_budget`` so the unbudgeted sentinel (2^62) and
+    dtype match the drivers' monotone float counters — an int32 clamp here
+    would silently stop an unbudgeted deep nest at 2^31-1 evals with
+    retcode=False."""
+    from ..ops.adaptive import _as_eval_budget
+
+    return _as_eval_budget(maxiters)
 
 
 def _infinity_transform(segs):

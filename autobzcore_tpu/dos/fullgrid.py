@@ -189,6 +189,8 @@ class LorentzianFullGrid(DOSAlgorithm):
         lanes repeat the last energy and are sliced off by the caller."""
         Es = np.atleast_1d(np.asarray(Es, np.float64))
         W = Es.size
+        if W == 0:
+            raise ValueError("empty energy grid")
         Wp = max(32 * ((W + 31) // 32), 1) if W > 8 else W
         Ep = np.concatenate([Es, np.full(Wp - W, Es[-1])])
         key = (Wp, self.eta)

@@ -116,7 +116,7 @@ class GGR(DOSAlgorithm):
         d = bz.ndim
         if d not in _GGR_FORMULAS:
             raise ValueError("GGR implemented for up to 3d BZ")
-        vshape = np.asarray(h.c).shape[h.sndim:]
+        vshape = np.shape(h.c)[h.sndim:]  # shape only — no host copy of c
         if len(vshape) not in (0, 2) or (len(vshape) == 2 and vshape[0] != vshape[1]):
             # the split tier infers band count as sqrt(prod(valshape)) — a
             # vector-valued series would silently reinterpret as fake

@@ -99,17 +99,24 @@ def _interval_solve(cache: DOSCache) -> DOSSolution:
     kwargs = dict(cache.kwargs)
     atol = kwargs.get("abstol")
     atol = 1e-2 if atol is None else float(atol)
-    # the certificate is |interpolant - true DOS| <= atol: split the budget
-    # between the two error sources — the frontier samples carry their own
-    # solver error (ladder/grid convergence) and hchebinterp certifies only
-    # against the SAMPLED values
-    if "abstol" in kwargs:
-        kwargs["abstol"] = atol / 2
-    atol_interp = atol / 2 if "abstol" in kwargs else atol
     alg, cv = cache.alg, cache.cacheval
 
     status = {"ok": True}
     sweep = getattr(alg, "dos_sweep", None)
+    # the certificate is |interpolant - true DOS| <= atol: when the frontier
+    # solver actually HONORS abstol (its sweep takes one — the adaptive
+    # ladder engines), split the budget between the two error sources.
+    # Fixed-grid algorithms (GGR/LTM/AGB sweeps take no abstol) get the full
+    # budget for interpolation: halving it there doubles panel refinement
+    # for no certificate gain since the grid error is set at init
+    honors_abstol = (
+        "abstol" in kwargs
+        and sweep is not None
+        and "abstol" in inspect.signature(sweep).parameters
+    )
+    atol_interp = atol / 2 if honors_abstol else atol
+    if honors_abstol:
+        kwargs["abstol"] = atol / 2
     if sweep is not None:
         params = inspect.signature(sweep).parameters
         extra = {k: v for k, v in kwargs.items() if k in params}

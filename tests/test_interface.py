@@ -206,6 +206,17 @@ class TestMaxiters:
         assert trunc.retcode is False
         assert trunc.numevals < full.numevals
 
+    def test_unbudgeted_sentinel_exceeds_int32(self):
+        """maxiters=None must not clamp to int32 max: deep nests legitimately
+        exceed 2^31 integrand evals (450M measured for ONE saturating search,
+        BASELINE.md), and a silent 2^31-1 ceiling would truncate an
+        unbudgeted solve with retcode=False.  Large explicit budgets survive
+        unclamped too."""
+        from autobzcore_tpu.algorithms.gk import _budget
+
+        assert float(_budget(None)) == float(2**62)
+        assert float(_budget(2**40)) == float(2**40)
+
 
 class TestPoleQuadratures:
     """ContQuadGK/MeroQuadGK against straddling pole pairs

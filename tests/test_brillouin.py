@@ -256,3 +256,31 @@ class TestAutoPTRParity:
         # same converged value; the wider window needs at least as many evals
         assert float(s2.u) == pytest.approx(float(s3.u), abs=1e-6)
         assert s3.numevals >= s2.numevals
+
+
+class TestRandomModelCrossAlgorithm:
+    """Fixed-seed random Wannier models through the full BZ+Fourier stack:
+    all four BZ algorithms must agree on a broadened DOS integral.  The
+    reference's acceptance fixtures are symmetric integer-lattice models
+    (``test/dos.jl:8-41``) whose structure can mask sign/offset regressions
+    in the Fourier contraction or symmetrization; a generic complex
+    Hermitian model with no point symmetry beyond Hermiticity closes that
+    hole."""
+
+    @pytest.mark.parametrize("seed", [3, 7])
+    def test_bz_algorithms_agree_2d(self, seed):
+        from autobzcore_tpu.models import synthetic_wannier
+        from autobzcore_tpu.models.observables import dos_integrand
+
+        h = synthetic_wannier(2, nr=3, ndim=2, seed=seed)
+        bz = load_bz(FBZ(), np.eye(2))
+        fi = dos_integrand(h, eta=0.8)
+        vals = {
+            name: float(solve(IntegralProblem(fi, bz, 0.3), alg(), abstol=1e-5).u)
+            for name, alg in [("IAI", IAI), ("TAI", TAI), ("PTR", PTR),
+                              ("AutoPTR", AutoPTR)]
+        }
+        ref = vals["PTR"]
+        assert ref > 0
+        for name, v in vals.items():
+            assert v == pytest.approx(ref, abs=5e-5), (name, vals)

@@ -165,3 +165,51 @@ def test_interval_domain_truncated_ladder_not_certified(setup):
     # and a certified run over the same interval does report retcode=True
     ok = dos_solve_fn(DOSProblem(s, (0.0, 1.0), bz), alg, abstol=1e-2)
     assert ok.retcode
+
+
+def test_next_rung_npt_invariants_fuzz():
+    """Scheduler invariants over random delta histories: the next rung is
+    always strictly larger and nmax-capped; rate-FITTED rungs are quantized
+    (32 above 256, 8 below, or == nmax — geometric-fallback rungs keep the
+    classic x sqrt(2) ladder shapes for compile-cache reuse); and when the
+    fit is trusted the step respects the 1/c honesty floor even when it
+    exceeds the geometric clamp (the slow-rate certification hole fixed in
+    round 3)."""
+    import math
+
+    from autobzcore_tpu.dos.fullgrid import next_rung_npt
+
+    rng = np.random.default_rng(11)
+    f = np.sqrt(2.0)
+    for _ in range(300):
+        k = rng.integers(1, 7)
+        npts = [int(50 * f**j) for j in range(k)]
+        deltas = list(10.0 ** rng.uniform(-8, -1, size=max(0, k - 1)))
+        tol = 10.0 ** rng.uniform(-9, -2)
+        nmax = int(rng.choice([800, 2000, 4000]))
+        n = next_rung_npt(npts, deltas, tol, f, nmax)
+        if npts[-1] >= nmax:
+            assert n is None
+            continue
+        assert n is not None and n > npts[-1]
+        assert n <= nmax
+
+    # rate-fitted rungs quantize to 32-multiples (or nmax)
+    n = next_rung_npt([400, 560, 800], [4e-3, 1e-3], 1e-5, f, 2000)
+    assert n is not None and (n % 32 == 0 or n == 2000)
+
+    # honesty floor dominates the geometric clamp for slow decay: rate
+    # c = ln(1.5)/50 -> 1/c ~ 123 > (sqrt2-1)*150 ~ 62
+    npts = [50, 100, 150]
+    deltas = [1.5e-3, 1e-3]
+    c = math.log(1.5) / 50.0
+    n = next_rung_npt(npts, deltas, 1e-4, f, 10000)
+    # strong-decay gate rejects this 1.5x drop (2-point fit untrusted) ->
+    # geometric; verify the gate rather than the floor here
+    assert n == int(round(150 * f))
+    # a trusted fit (>=4x drops) with slow absolute rate: c = ln(4)/400
+    npts = [400, 600, 800]
+    deltas = [4e-3, 1e-3]
+    c = math.log(4.0) / 200.0
+    n = next_rung_npt(npts, deltas, 1e-7, f, 100000)
+    assert n - 800 >= 1.0 / c  # step at least the honesty floor

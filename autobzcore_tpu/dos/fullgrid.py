@@ -6,7 +6,7 @@ struct-of-arrays Cardano, omega-batched Lorentzian reduction) as a
 first-class :class:`~autobzcore_tpu.dos.interfaces.DOSAlgorithm`: the
 Richardson ladder of full npt^3 PTR grids refines until the sup-norm change
 of the whole DOS curve falls under ``abstol``.  On one TPU v5e chip the
-SrVO3 1000-omega curve converges to abstol=1e-5 in ~4 minutes warm
+SrVO3 1000-omega curve converges to abstol=1e-5 in ~3 minutes warm
 (BASELINE.md).  Contrast with :class:`~.ggr.GGR`/:class:`~.tetrahedron.LTM`
 (sharp, delta-function DOS from one fixed grid) — this algorithm computes
 the eta-broadened spectral density with a CONVERGENCE GUARANTEE in the grid,

@@ -25,7 +25,10 @@ def _wait_for_tunnel():
     tunnel would hang this whole benchmark at ``jax.devices()``.  Probe in
     a KILLABLE subprocess and wait up to BENCH_TUNNEL_WAIT seconds (default
     1800 — observed outages heal on worker restart) before touching the
-    device in-process.  No-op when the tunnel env is absent (CPU runs)."""
+    device in-process.  If the deadline expires with the tunnel still dead,
+    fall back to CPU (re-exec without the tunnel env) rather than hang: an
+    honestly-annotated CPU artifact beats a killed run with no artifact.
+    No-op when the tunnel env is absent (CPU runs)."""
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return
     import subprocess
@@ -43,8 +46,12 @@ def _wait_for_tunnel():
             pass
         if time.time() >= deadline:
             print("bench: TPU tunnel still unresponsive after BENCH_TUNNEL_WAIT; "
-                  "proceeding (may hang)", file=sys.stderr)
-            return
+                  "falling back to CPU (result annotated)", file=sys.stderr)
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["BENCH_CPU_FALLBACK"] = "1"
+            os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
         print("bench: TPU tunnel unresponsive, retrying in 60 s", file=sys.stderr)
         time.sleep(60)
 
@@ -202,6 +209,8 @@ def main():
         "vs_baseline": round(kpts_per_sec / np_rate, 2),
         "f64_split_kpoints_per_sec": round(f64_rate, 1),
     }
+    if os.environ.get("BENCH_CPU_FALLBACK") == "1":
+        result["device"] = "cpu-fallback (TPU tunnel unreachable past BENCH_TUNNEL_WAIT)"
     print(
         f"# device={dev.platform} grid_dispatch={t_grid:.4f}s grid_amortized={t_amort:.4f}s "
         f"sweep_1000w={t_sweep:.4f}s f64split_time={t_f64:.4f}s at npt={npt64} "

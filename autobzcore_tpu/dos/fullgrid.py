@@ -40,25 +40,31 @@ def next_rung_npt(npts, deltas, tol, factor, nmax):
     ``c = ln(deltas[-2]/deltas[-1]) / (npts[-2] - npts[-3])``.
 
     The blind geometric ladder overshoots badly near convergence: on the
-    SrVO3 north star the 1120^3 rung's true error was already ~4.5e-7
-    (delta 1.13e-5 is the error of the 800^3 rung), yet the x sqrt(2)
-    schedule confirmed with a 1600^3 rung — 83 s where ~1230^3 certifies.
-    This scheduler picks the SMALLEST next rung that still certifies:
+    SrVO3 north star the 800^3 rung's true error was already ~1.1e-5
+    (delta 1.13e-5, measured at the 1120^3 rung, IS that error), yet the
+    x sqrt(2) schedule confirmed with 1120^3 + 1600^3 — 114 s where a
+    ~930^3 rung certifies.  Two-branch policy on the predicted current
+    error ``e_k = deltas[-1] * exp(-c (n_k - n_{k-1}))``:
 
-    - predicted current error ``e_k = deltas[-1] * exp(-c (n_k - n_{k-1}))``;
-    - advance ``ln(e_k / (0.7 tol))/c`` when ``e_k`` is above the target;
-    - always step at least ``1/c`` so the next measured delta is a
-      ``>= 1 - 1/e`` fraction of the coarser rung's true error — then a
-      passing delta bounds the NEW rung's error by ``0.58 * tol`` honestly.
+    - ``e_k <= 1.4 tol`` (the current rung is already ~converged): take the
+      smallest HONEST confirmation step — ``delta = e_k (1 - e^{-c s}) <=
+      0.95 tol`` solved for ``s``, floored at ``1/c`` so the measured delta
+      is a ``>= 1 - 1/e`` fraction of the coarser rung's true error; a
+      passing delta then bounds the NEW rung's error by ``~0.6 tol``.
+    - otherwise: jump ``ln(e_k / (0.7 tol))/c`` straight toward the rung
+      whose predicted error hits the target (its own confirmation comes
+      next round), capped at ``1.5x`` the geometric growth for two-delta
+      fits and ``2.5x`` once three monotone deltas corroborate the rate —
+      a cap that lands short forces an extra full rung at the expensive
+      end of the ladder (measured 1.26x the geometric ladder's cost on the
+      SrVO3 deltas vs 0.25x for this policy).
 
-    The step clamps to ``[max(8, 2% n_k, 1/c), (factor - 1) n_k]`` — never
-    (more than one 32-quantum) bigger than the geometric fallback, never a
-    micro-step — then rounds up to a multiple of 32 (each distinct npt is a
-    distinct compiled kernel-shape set; ~40 s cold through the hosted
-    tunnel) and caps at ``nmax``.  Falls back to geometric growth while fewer
-    than two deltas exist or when the fitted rate is non-positive (noise,
-    pre-asymptotic regime).  Returns the next npt (> npts[-1]) or None when
-    ``npts[-1] >= nmax``.
+    Steps are floored at ``max(8, 2% n_k)``, rounded up to a multiple of 32
+    (each distinct npt is a distinct compiled kernel-shape set; ~40 s cold
+    through the hosted tunnel) and capped at ``nmax``.  Falls back to
+    geometric growth while fewer than two deltas exist or when the fitted
+    rate is non-positive (noise, pre-asymptotic regime).  Returns the next
+    npt (> npts[-1]) or None when ``npts[-1] >= nmax``.
     """
     import math
 
@@ -93,15 +99,34 @@ def next_rung_npt(npts, deltas, tol, factor, nmax):
         return geometric()
     e_cur = d_last * math.exp(-c * (n_k - float(npts[-2])))
     target = 0.7 * float(tol)
-    need = math.log(e_cur / target) / c if (target > 0 and e_cur > target) else 0.0
-    step = need + 1.0 / c
-    # the 1/c honesty floor must SURVIVE the upper clamp: for slow rates
-    # ((factor-1) n_k < 1/c) a clamped step would measure only a fraction
-    # (1 - e^{-c step}) of the coarser rung's error and could certify a
-    # curve several times above tol.  Big steps are also the efficient
-    # choice there — slow decay needs them.
-    step = min(step, max(1.0, (factor - 1.0) * n_k, 1.0 / c))
-    step = max(step, 8.0, 0.02 * n_k, 1.0 / c)
+    if target <= 0:
+        return geometric()
+    if e_cur <= 1.4 * float(tol):
+        # the CURRENT rung's predicted error is already ~tol: the very next
+        # delta can certify, so take the smallest honest confirmation step —
+        # delta = e_cur (1 - e^{-c s}) <= 0.95 tol solved for s, floored at
+        # the 1/c honesty step (s < 1/c would measure only a sliver of the
+        # coarser rung's error and could certify a curve above tol).  The
+        # old ``need + 1/c`` overshot by a full 1/c here, and in the jump
+        # branch below it paid (n1 + 1/c)^3 + (n1 + 2/c)^3 instead of
+        # n1^3 + (n1 + 1/c)^3 — measured 1.26x the geometric ladder's cost
+        # on the SrVO3 deltas where this split policy gives 0.80x.
+        dt = 0.95 * float(tol)
+        frac = 1.0 - dt / e_cur if e_cur > dt else 0.0
+        step = -math.log(max(frac, math.exp(-3.0))) / c if frac > 0 else 1.0 / c
+        step = max(step, 1.0 / c)
+    else:
+        # far from convergence: jump toward the rung n1 whose predicted
+        # error hits the 0.7 tol target (its following 1/c confirmation
+        # rung then certifies).  The cap guards against garbage fits —
+        # looser once three monotone deltas corroborate the rate; a cap
+        # that lands short (the old hard (factor-1) n_k) forces an extra
+        # full rung near convergence, which is exactly the expensive end
+        # of the ladder.
+        step = math.log(e_cur / target) / c
+        cap_mult = 2.5 if len(deltas) >= 3 else 1.5
+        step = min(step, max(1.0, cap_mult * (factor - 1.0) * n_k))
+    step = max(step, 8.0, 0.02 * n_k)
     nxt = n_k + int(math.ceil(step))
     # quantize UP to a multiple of 32 (8 for small rungs, where a 32-step
     # would dominate the rung itself): every distinct npt is a distinct set

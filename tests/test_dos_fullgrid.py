@@ -110,9 +110,13 @@ def test_next_rung_npt_scheduler():
                          1e-5, f, 2000) == 199
     # cap respected
     assert next_rung_npt([2000], [], 1e-5, f, 2000) is None
-    # never a bigger jump than the geometric fallback (+ the 32-quantum)
+    # jumps are capped: at most 2.5x the geometric growth even with three
+    # corroborating monotone deltas (+ the 32-quantum)
     n = next_rung_npt([100, 141, 200, 283], [1e-1, 1e-2, 1e-3], 1e-12, f, 4000)
-    assert n <= round(283 * f) + 32
+    assert n <= 283 + math.ceil(2.5 * (f - 1.0) * 283) + 32
+    # two-delta fits get the tighter 1.5x cap
+    n2 = next_rung_npt([100, 141, 200], [1e-1, 1e-3], 1e-12, f, 4000)
+    assert n2 <= 200 + math.ceil(1.5 * (f - 1.0) * 200) + 32
 
 
 def test_auto_schedule_converges_with_headroom(setup):

@@ -242,7 +242,21 @@ class LorentzianFullGrid(DOSAlgorithm):
         nev = 0
         npts_done = []
         deltas = []
-        npt = self.nmin
+        # warm start: a previous converged ladder (same engine family, same
+        # eta) recorded its final certifying PAIR — the rate c is a property
+        # of (series, eta), not of the energy grid, so frontier rounds of
+        # the interval-domain driver (and repeated pointwise solves) can
+        # re-certify with just those two rungs instead of re-climbing from
+        # nmin (the sub-certifying rungs are ~half the ladder's points).
+        # The pair's honesty gap carries over; if the new curve's delta
+        # fails anyway, the loop simply keeps extending from there.
+        queue = []
+        hint = cacheval.get("ladder_hint")
+        if hint is not None and atol > 0:
+            n1, n2, tol_u = hint
+            if atol >= tol_u / 4 and n2 <= self.nmax and rtol == 0.0:
+                queue = [n1, n2]
+        npt = queue.pop(0) if queue else self.nmin
         while npt is not None:
             if nev + npt**3 > budget:
                 # budget honored even before the first rung: a too-small
@@ -261,10 +275,15 @@ class LorentzianFullGrid(DOSAlgorithm):
                 err = float(np.max(np.abs(D - prev)))
                 deltas.append(err)
                 if err <= max(atol, rtol * float(np.max(np.abs(D)))):
+                    cacheval["ladder_hint"] = (
+                        npts_done[-1], npt, max(atol, rtol * float(np.max(np.abs(D))))
+                    )
                     return D, err, True, nev
             prev = D
             npts_done.append(npt)
-            if self.schedule == "auto":
+            if queue:
+                npt = queue.pop(0)
+            elif self.schedule == "auto":
                 # rate-fitted scheduling certifies with the smallest rung the
                 # observed exponential convergence allows (tol = the delta
                 # threshold the loop above actually uses)

@@ -217,3 +217,32 @@ def test_next_rung_npt_invariants_fuzz():
     c = math.log(4.0) / 200.0
     n = next_rung_npt(npts, deltas, 1e-7, f, 100000)
     assert n - 800 >= 1.0 / c  # step at least the honesty floor
+
+
+def test_ladder_warm_start_reuses_certifying_pair(setup):
+    """A converged ladder records its final rung pair; subsequent solves at
+    the same tolerance re-certify with just those two rungs (the rate is a
+    property of (series, eta), not the energy grid) — halving interval-DOS
+    frontier rounds.  A failed warm pair must still fall through to more
+    rungs, never certify falsely."""
+    s, bz = setup
+    alg = LorentzianFullGrid(0.25, nmin=8, nmax=64, slab=4, omega_batch=1)
+    cache = init(DOSProblem(s, 0.0, bz), alg, abstol=1e-3)
+    Es1 = np.linspace(0.5, 1.5, 5)
+    D1, ok1 = alg.dos_sweep(cache.cacheval, Es1, abstol=1e-3, with_status=True)
+    assert ok1
+    hint = cache.cacheval["ladder_hint"]
+    assert hint[0] < hint[1] <= 64
+    # second sweep on a different grid: exactly the two hint rungs
+    Es2 = np.linspace(1.0, 2.0, 5)
+    nev_before = hint[0] ** 3 + hint[1] ** 3
+    D2, err2, ok2, nev2 = alg._ladder(cache.cacheval, Es2, 1e-3, None, None)
+    assert ok2 and nev2 == nev_before
+    ref2 = _dense_dos(s, hint[1], Es2, 0.25) / hint[1] ** 3
+    assert np.max(np.abs(np.asarray(D2) - ref2)) < 1e-3
+    # a much tighter tolerance ignores the stale hint (atol < tol_u/4) and
+    # re-climbs from nmin — it must NOT certify from the stale 2-rung pair
+    D3, err3, ok3, nev3 = alg._ladder(cache.cacheval, Es2, 1e-3 / 100, None, None)
+    assert nev3 != nev_before  # not the warm pair: a fresh climb
+    ref3 = _dense_dos(s, 64, Es2, 0.25) / 64**3
+    assert np.max(np.abs(np.asarray(D3) - ref3)) < 1e-4

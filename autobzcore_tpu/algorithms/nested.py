@@ -733,6 +733,12 @@ class NestedQuad(IntegralAlgorithm):
     def solve_fn(self, cacheval):
         from .gk import _budget
 
+        if "pole_nest" in cacheval:
+            raise ValueError(
+                "NestedQuad with a pole-aware innermost level (ContQuadGKJL/"
+                "MeroQuadGKJL) runs host-side only and cannot be traced into "
+                "a sweep program; solve omegas one at a time via solve()/"
+                "IntegralSolver, or use threaded_solve for pipelining")
         run = cacheval["run"]
 
         def fn(p, atol, rtol):

@@ -28,6 +28,14 @@ from ..ops.grid_sweep import FullGridSpectralSweep
 from .interfaces import DOSAlgorithm, DOSSolution
 
 
+def _geometric_step(npt, nmax, factor):
+    """Next blind geometric rung after ``npt``, or None at the cap (the one
+    shared definition for both the ladder and the auto scheduler's fallback)."""
+    if npt >= nmax:
+        return None
+    return min(int(nmax), max(int(npt) + 1, int(round(npt * factor))))
+
+
 def next_rung_npt(npts, deltas, tol, factor, nmax):
     """Adaptive rung scheduler for exponentially convergent PTR ladders.
 
@@ -73,7 +81,7 @@ def next_rung_npt(npts, deltas, tol, factor, nmax):
         return None
 
     def geometric():
-        return min(int(nmax), max(n_k + 1, int(round(n_k * factor))))
+        return _geometric_step(n_k, nmax, factor)
 
     if len(npts) < 3 or len(deltas) < 2:
         return geometric()
@@ -177,9 +185,7 @@ class LorentzianFullGrid(DOSAlgorithm):
 
     def _geometric_next(self, npt):
         """Next geometric rung after ``npt``, or None at the cap."""
-        if npt >= self.nmax:
-            return None
-        return min(self.nmax, max(npt + 1, int(round(npt * self.factor))))
+        return _geometric_step(npt, self.nmax, self.factor)
 
     def npt_ladder(self):
         npt = self.nmin

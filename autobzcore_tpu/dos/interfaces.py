@@ -110,8 +110,7 @@ def _interval_solve(cache: DOSCache) -> DOSSolution:
     # budget for interpolation: halving it there doubles panel refinement
     # for no certificate gain since the grid error is set at init
     honors_abstol = (
-        "abstol" in kwargs
-        and sweep is not None
+        sweep is not None
         and "abstol" in inspect.signature(sweep).parameters
     )
     atol_interp = atol / 2 if honors_abstol else atol

@@ -316,8 +316,12 @@ class SweepSolver:
         n = xs.shape[0]
         if n == 0:
             # np.concatenate over zero chunks raises, and the last-value pad
-            # below indexes xs[-1]; an empty sweep is simply empty
-            return np.zeros((0,), np.result_type(xs.dtype, np.float32))
+            # below indexes xs[-1]; an empty sweep is simply empty — with the
+            # dtype/trailing shape the real solve would produce
+            spec = jax.eval_shape(
+                self._batched, self._consts,
+                jax.ShapeDtypeStruct((self.chunk,), xs.dtype))
+            return np.zeros((0,) + spec.shape[1:], spec.dtype)
         c = self.chunk
         npad = -(-n // c) * c
         # pad with the last real value, not 0.0: a padded adaptive solve at

@@ -284,3 +284,15 @@ class TestRandomModelCrossAlgorithm:
         assert ref > 0
         for name, v in vals.items():
             assert v == pytest.approx(ref, abs=5e-5), (name, vals)
+
+
+def test_load_bz_int_dimension_vs_float_lattice_constant():
+    """The scalar-A forms are type-directed and must stay distinct: an INT is
+    the documented dimension shorthand (identity lattice), a FLOAT is a 1x1
+    lattice constant."""
+    bz3 = load_bz(FBZ(), 3)
+    assert bz3.A.shape == (3, 3)
+    assert np.allclose(bz3.A, np.eye(3))
+    bz1 = load_bz(FBZ(), 3.0)
+    assert bz1.A.shape == (1, 1)
+    assert bz1.A[0, 0] == 3.0

@@ -246,3 +246,23 @@ def test_ladder_warm_start_reuses_certifying_pair(setup):
     assert nev3 != nev_before  # not the warm pair: a fresh climb
     ref3 = _dense_dos(s, 64, Es2, 0.25) / 64**3
     assert np.max(np.abs(np.asarray(D3) - ref3)) < 1e-4
+
+
+def test_interval_default_tolerance_forwards_abstol():
+    """A default-tolerance interval solve must forward the (defaulted)
+    certificate budget to an abstol-honoring sweep — the ladder must not run
+    at its own much tighter internal default when the user passes nothing."""
+    from autobzcore_tpu.dos.interfaces import (DOSAlgorithm, DOSProblem,
+                                               solve as dos_solve_fn)
+
+    seen = []
+
+    class Stub(DOSAlgorithm):
+        def dos_sweep(self, cacheval, Es, abstol=None, with_status=False):
+            seen.append(abstol)
+            out = np.exp(-np.asarray(Es) ** 2)
+            return (out, True) if with_status else out
+
+    sol = dos_solve_fn(DOSProblem(None, (0.0, 1.0)), Stub())
+    assert sol.retcode
+    assert seen and all(a == pytest.approx(0.5e-2) for a in seen)

@@ -361,3 +361,17 @@ class TestDeadPoolSlots:
                     HCubatureJL(), abstol=1e-8)
         assert sol.retcode
         assert float(np.real(np.complex128(sol.u))) == pytest.approx(4.0 / 9.0, abs=1e-7)
+
+
+def test_pole_nest_rejected_by_sweep_with_clear_error():
+    """Pole-aware nests run host-side; solve_fn (the sweep entry point) must
+    raise a descriptive ValueError, not a raw KeyError."""
+
+    def f(x, p):
+        return 1.0 / (x[0] - 0.3j) / (2.0 + x[1])
+
+    dom = CubicLimits(np.array([-1.0, 0.0]), np.array([1.0, 2.0]))
+    alg = NestedQuad((ContQuadGKJL(), QuadGKJL()))
+    cv = alg.init_cacheval(f, dom, 0.0)
+    with pytest.raises(ValueError, match="host-side only"):
+        alg.solve_fn(cv)

@@ -337,3 +337,19 @@ def test_absolute_estimate_sweep_matches_pointwise_tolerance():
     expect = float(np.sqrt(np.finfo(np.float64).eps)) * 100.0
     assert captured["pointwise_atol"] == pytest.approx(expect, rel=1e-12)
     assert float(captured["sweep_atol"]) == pytest.approx(expect, rel=1e-6)
+
+
+def test_sweep_solver_empty_input_keeps_output_dtype():
+    """The empty-sweep fast path must return the dtype/trailing shape the
+    real batched solve would produce (complex integrand -> complex empty),
+    so chunked callers can concatenate across empty and non-empty calls."""
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    prob = IntegralProblem(lambda x, p: jnp.exp(1j * p * x), 0.0, 1.0)
+    sweep = SweepSolver(prob, QuadGKJL(), abstol=1e-8, chunk=4)
+    full = sweep(np.array([0.3, 0.7]))
+    empty = sweep(np.zeros((0,)))
+    assert empty.shape == (0,)
+    assert empty.dtype == full.dtype
+    assert np.iscomplexobj(empty)
+    np.concatenate([empty, full])

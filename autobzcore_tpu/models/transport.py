@@ -1,0 +1,216 @@
+"""Kinetic coefficients and optical conductivity from Wannier Hamiltonians.
+
+Beyond-parity capability: the reference framework (AutoBZCore.jl) provides
+the BZ-integration machinery that downstream physics codes use to compute
+Kubo-Greenwood transport; the transport quantities themselves live one layer
+up (the cited application paper computes them with exactly this machinery —
+``README.md:20-23`` cites SciPost Phys. 15, 062 (2023), whose headline
+observables are the optical conductivity and kinetic coefficients).  Here
+they ship as first-class solvers, formulated TPU-first:
+
+- the (H, dH) spectral grid is evaluated, eigendecomposed, and weight-packed
+  ONCE (shared with :class:`~.observables.TransportSolver`);
+- the two-frequency transport distribution ``Gamma_ab(w1, w2) =
+  sum_k w_k Tr[v_a A(w1) v_b A(w2)]`` is one GEMM per frequency batch
+  (``(B, K m^2) x (K m^2, d^2)`` — MXU-shaped, no per-k small einsums);
+- the frequency integral ``A_alpha(Omega) = int dw (beta w)^alpha
+  fermi_window(w, Omega) Gamma(w, w+Omega)`` runs through the framework's
+  own adaptive Gauss-Kronrod pool (batched nodes, certified error), over
+  window-truncated limits.
+
+``alpha=0`` is the optical conductivity kernel sigma(Omega); ``Omega=0``
+uses the analytic window limit ``-f'(w)`` (DC conductivity for alpha=0,
+thermopower/thermal-conductivity numerators for alpha=1,2).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def fermi(x):
+    """Fermi function of the REDUCED variable ``x = beta (w - mu)``,
+    evaluated stably at large |x| (no overflow in exp)."""
+    # 1/(1+e^x) = sigmoid(-x); jax's sigmoid is the stable piecewise form
+    return jax.nn.sigmoid(-jnp.asarray(x))
+
+
+def fermi_window(w, Omega, beta, mu=0.0):
+    """``(f(w) - f(w + Omega)) / Omega`` with the analytic ``Omega -> 0``
+    limit ``-f'(w) = beta / (4 cosh^2(beta (w - mu) / 2))``.
+
+    Positive, symmetric under ``w -> 2 mu - Omega - w``, and integrates to 1
+    over the real line for every ``Omega`` (which fixes the normalization of
+    kinetic coefficients).  Stable at large ``beta |w - mu|``.
+    """
+    w = jnp.asarray(w)
+    x = beta * (w - mu)
+    dc = beta / (4.0 * jnp.cosh(jnp.clip(x / 2.0, -250.0, 250.0)) ** 2)
+    Om = jnp.asarray(Omega)
+    safe = jnp.where(Om == 0, 1.0, Om)
+    ac = (fermi(x) - fermi(x + beta * Om)) / safe
+    return jnp.where(Om == 0, dc, ac)
+
+
+def fermi_window_limits(Omega, beta, mu=0.0, wtol=1e-10):
+    """Truncation interval ``(lo, hi)`` outside which
+    ``fermi_window(w, Omega) < wtol * fermi_window(peak)``.
+
+    The window decays like ``e^{-beta dist}`` beyond the plateau
+    ``[mu - Omega, mu]``; ``t = log(1/wtol)/beta`` of padding bounds the
+    discarded tail mass by ``~2 wtol / beta`` (window <= beta/4 everywhere).
+    """
+    if beta <= 0:
+        raise ValueError("beta must be positive (use a finite temperature)")
+    t = float(np.log(1.0 / wtol)) / float(beta)
+    Om = float(Omega)
+    lo, hi = min(mu - Om, mu), max(mu - Om, mu)
+    return lo - t, hi + t
+
+
+def _spectral_pack(h, bz, npt):
+    """Evaluate (H, dH) on the (symmetry-reduced) npt^d grid, eigendecompose,
+    and pack the weighted band-pair velocity products as a GEMM operand.
+
+    Returns ``(e, Wmat, scale, Savg)``: eigenvalues ``(K, m)``, the weight-
+    absorbed operand ``W[(k, n, m), (a, b)]`` such that ``Gamma_ab(w1, w2) =
+    scale * sum_{knm} A1[k, n] A2[k, m] W[(k, n, m), (a, b)]`` (i.e.
+    ``Tr[v_a A(w1) v_b A(w2)]`` summed over the zone), and the group-average
+    maps for un-reducing an IBZ rank-2 tensor.
+    """
+    from ..ops.fourier_eval import evaluate_grid
+    from ..ops.symptr import symptr_rule
+
+    d = bz.ndim
+    if bz.syms is None:
+        lin = None
+        weights = np.ones(npt**d)
+    else:
+        reps, weights = symptr_rule(npt, d, bz.syms)
+        lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
+    u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
+    vol = abs(np.linalg.det(bz.B))
+    scale = vol / (npt**d)
+
+    @jax.jit
+    def spectral():
+        hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
+        grads = []
+        for j in range(d):
+            derivs = tuple(1 if i == j else 0 for i in range(d))
+            grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
+        vk = jnp.stack(grads, axis=d)
+        hk = hk.reshape((npt**d,) + hk.shape[d:])
+        vk = vk.reshape((npt**d, d) + vk.shape[d + 1:])
+        if lin is not None:
+            hk = hk[lin]
+            vk = vk[lin]
+        e, U = jnp.linalg.eigh(hk)
+        vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
+        # P[k, a, b, n, m] = Re[(v_a)_nm (v_b)_mn]: contracting with
+        # A1[k, n] A2[k, m] gives Tr[v_a A(w1) v_b A(w2)] (diagonal spectral
+        # functions in the band basis)
+        P = jnp.real(jnp.einsum("kanm,kbmn->kabnm", vband, vband))
+        return e, P
+
+    e, P = spectral()
+    w = jnp.asarray(weights, P.dtype)
+    K, m = e.shape
+    d2 = d * d
+    Wmat = (w[:, None, None, None, None] * P).transpose(0, 3, 4, 1, 2).reshape(K * m * m, d2)
+
+    if bz.syms is None:
+        Savg = None
+    else:
+        Sinv = np.linalg.inv(np.asarray(bz.syms, dtype=np.float64))
+        Savg = (np.swapaxes(Sinv, 1, 2), Sinv, len(Sinv))
+    return e, Wmat, scale, Savg
+
+
+class KineticCoefficientSolver:
+    """``KineticCoefficientSolver(h, bz, npt, eta, beta, alpha=0, mu=0.0)``.
+
+    Kinetic coefficient of order ``alpha`` at photon frequency ``Omega``::
+
+        A_alpha(Omega) = int dw (beta w)^alpha fermi_window(w, Omega)
+                           * Gamma(w, w + Omega)
+
+    with ``Gamma_ab`` the Kubo-Greenwood transport distribution over ``bz``
+    (Lorentzian broadening ``eta``, inverse temperature ``beta``, chemical
+    potential ``mu``; ``w`` is measured absolutely, the ``(beta w)^alpha``
+    moment is taken relative to ``mu``).  ``alpha=0, Omega=0`` is the DC
+    conductivity kernel; ``alpha=0, Omega>0`` the optical conductivity;
+    ``alpha=1, 2`` the thermopower / electronic-thermal-conductivity
+    numerators.
+
+    The spectral grid builds once at construction; each ``__call__(Omegas)``
+    runs one adaptive Gauss-Kronrod frequency integral per ``Omega`` (the
+    d x d tensor integrand controlled in a single pool, all GK nodes of a
+    refinement round batched into one GEMM).  Returns ``(W, d, d)``.
+    """
+
+    def __init__(self, h, bz, npt, eta, beta, alpha=0, mu=0.0, order=7,
+                 cap=256, wtol=1e-10):
+        if alpha not in (0, 1, 2) and not isinstance(alpha, int):
+            raise ValueError("alpha must be a small non-negative integer")
+        self.eta = float(eta)
+        self.beta = float(beta)
+        self.alpha = int(alpha)
+        self.mu = float(mu)
+        self.order = order
+        self.cap = cap
+        self.wtol = float(wtol)
+        self.d = bz.ndim
+        self.numevals = 0
+        e, Wmat, scale, Savg = _spectral_pack(h, bz, npt)
+        self._e, self._Wmat, self._scale, self._Savg = e, Wmat, scale, Savg
+
+        eta_, beta_, alpha_, mu_, d_ = self.eta, self.beta, self.alpha, self.mu, self.d
+        K, m = e.shape
+
+        def integrand(w, Omega):
+            # scalar w (vmapped into node batches by the GK pool)
+            A1 = eta_ / ((w - e) ** 2 + eta_**2) / np.pi          # (K, m)
+            A2 = eta_ / ((w + Omega - e) ** 2 + eta_**2) / np.pi  # (K, m)
+            pairs = (A1[:, :, None] * A2[:, None, :]).reshape(K * m * m)
+            G = scale * (pairs @ Wmat)                            # (d^2,)
+            G = G.reshape(d_, d_)
+            if Savg is not None:
+                SinvT, Sinv_, n = Savg
+                G = jnp.einsum("sab,bc,scd->ad", jnp.asarray(SinvT, G.dtype), G,
+                               jnp.asarray(Sinv_, G.dtype)) / n
+            win = fermi_window(w, Omega, beta_, mu_)
+            mom = (beta_ * (w - mu_)) ** alpha_ if alpha_ else 1.0
+            return mom * win * G
+
+        self._integrand = integrand
+
+    def __call__(self, Omegas, abstol=1e-6, reltol=None, maxiters=None):
+        from ..algorithms.gk import QuadGKJL
+        from ..interfaces import IntegralProblem, solve
+
+        alg = QuadGKJL(order=self.order, cap=self.cap)
+        Omegas = np.atleast_1d(np.asarray(Omegas, np.float64))
+        out = np.zeros((len(Omegas), self.d, self.d))
+        ok = True
+        for i, Om in enumerate(Omegas):
+            lo, hi = fermi_window_limits(Om, self.beta, self.mu, self.wtol)
+            prob = IntegralProblem(self._integrand, lo, hi, float(Om))
+            sol = solve(prob, alg, abstol=abstol, reltol=reltol,
+                        maxiters=maxiters)
+            ok = ok and bool(sol.retcode)
+            self.numevals += int(sol.numevals) if sol.numevals > 0 else 0
+            out[i] = np.asarray(sol.u)
+        self.retcode = ok
+        return out
+
+
+def optical_conductivity(h, bz, npt, eta, beta, Omegas, mu=0.0, abstol=1e-6):
+    """One-shot optical-conductivity kernel sweep ``sigma_ab(Omega)`` —
+    :class:`KineticCoefficientSolver` with ``alpha=0``.  Build the solver
+    directly for repeated sweeps (the spectral grid persists across calls).
+    """
+    return KineticCoefficientSolver(h, bz, npt, eta, beta, alpha=0, mu=mu)(
+        Omegas, abstol=abstol)

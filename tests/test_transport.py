@@ -1,0 +1,111 @@
+"""Kinetic coefficients / optical conductivity (beyond-parity transport layer).
+
+The reference provides the machinery these quantities are computed WITH
+(cited application: SciPost Phys. 15, 062 (2023) — ``README.md:20-23``);
+here they are first-class solvers.  Validation: window identities, the
+equal-frequency reduction to the Kubo-Greenwood ``TransportSolver``, a dense
+trapezoid reference for the adaptive frequency integral, and IBZ=FBZ
+consistency of the symmetrized rank-2 tensor.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from autobzcore_tpu import FBZ, InversionSymIBZ, load_bz
+from autobzcore_tpu.models.observables import TransportSolver
+from autobzcore_tpu.models.tight_binding import tb_integer
+from autobzcore_tpu.models.transport import (KineticCoefficientSolver,
+                                             fermi_window,
+                                             fermi_window_limits,
+                                             optical_conductivity)
+
+
+def test_fermi_window_identities():
+    """The window is positive, matches -f' at Omega=0, integrates to ~1 over
+    its truncation interval for any Omega, and is stable at huge beta|w|."""
+    beta = 7.0
+    ws = np.linspace(-6, 6, 2001)
+    w0 = np.asarray(fermi_window(ws, 0.0, beta))
+    assert np.all(w0 >= 0)
+    fp = beta * np.exp(beta * ws) / (1 + np.exp(beta * ws)) ** 2
+    assert np.max(np.abs(w0 - fp)) < 1e-12
+    for Om in (0.0, 0.3, 2.0):
+        lo, hi = fermi_window_limits(Om, beta, wtol=1e-12)
+        xs = np.linspace(lo, hi, 20001)
+        mass = np.trapezoid(np.asarray(fermi_window(xs, Om, beta)), xs)
+        assert mass == pytest.approx(1.0, abs=1e-9)
+    assert np.isfinite(float(fermi_window(1e6, 0.0, beta)))
+    assert float(fermi_window(1e6, 0.0, beta)) < 1e-200
+
+
+@pytest.fixture(scope="module")
+def setup():
+    h = tb_integer(2)
+    bz = load_bz(FBZ(), np.eye(2))
+    kc = KineticCoefficientSolver(h, bz, 16, eta=0.3, beta=4.0)
+    return h, bz, kc
+
+
+def test_equal_frequency_reduces_to_transport_solver(setup):
+    """At Omega=0 the two-frequency distribution Gamma(w, w) must equal the
+    single-frequency TransportSolver's output at the same (npt, eta)."""
+    h, bz, kc = setup
+    ts = TransportSolver(h, bz, 16, eta=0.3)
+    om = 0.37
+    win = float(fermi_window(om, 0.0, 4.0))
+    G_kc = np.asarray(kc._integrand(jnp.asarray(om), jnp.asarray(0.0))) / win
+    G_ts = np.asarray(ts(np.array([om])))[0]
+    assert np.max(np.abs(G_kc - G_ts)) < 1e-10
+
+
+def test_adaptive_matches_dense_trapezoid(setup):
+    """The adaptive GK frequency integral agrees with a dense trapezoid of
+    the same integrand over the same window-truncated interval."""
+    h, bz, kc = setup
+    for Om in (0.0, 0.8):
+        got = kc(np.array([Om]), abstol=1e-7)[0]
+        lo, hi = fermi_window_limits(Om, 4.0, wtol=1e-12)
+        ws = np.linspace(lo, hi, 1501)
+        vals = np.array([np.asarray(kc._integrand(jnp.asarray(w), jnp.asarray(Om)))
+                         for w in ws])
+        ref = np.trapezoid(vals, ws, axis=0)
+        assert kc.retcode
+        assert np.max(np.abs(got - ref)) < 1e-5
+        # square-lattice C4: isotropic diagonal, zero off-diagonal
+        assert got[0, 0] == pytest.approx(got[1, 1], rel=1e-8)
+        assert abs(got[0, 1]) < 1e-10 * got[0, 0]
+
+
+def test_ibz_matches_fbz(setup):
+    """The group-averaged IBZ kinetic coefficient equals the full-zone one
+    (rank-2 tensor symmetrization through the packed GEMM path)."""
+    h, bz, kc = setup
+    bzi = load_bz(InversionSymIBZ(), np.eye(2))
+    kci = KineticCoefficientSolver(h, bzi, 16, eta=0.3, beta=4.0)
+    gi = kci(np.array([0.8]), abstol=1e-7)[0]
+    gf = kc(np.array([0.8]), abstol=1e-7)[0]
+    assert np.max(np.abs(gi - gf)) < 1e-10 * max(1.0, gf[0, 0])
+
+
+def test_moments_and_one_shot(setup):
+    """alpha=1 weights the window by beta(w-mu) (sign-indefinite), and the
+    one-shot optical_conductivity helper matches the solver path."""
+    h, bz, kc = setup
+    kc1 = KineticCoefficientSolver(h, bz, 16, eta=0.3, beta=4.0, alpha=1)
+    a1 = kc1(np.array([0.5]), abstol=1e-7)[0]
+    assert np.isfinite(a1).all()
+    sig = optical_conductivity(h, bz, 16, eta=0.3, beta=4.0, Omegas=[0.8],
+                               abstol=1e-7)
+    ref = kc(np.array([0.8]), abstol=1e-7)
+    assert np.max(np.abs(sig - ref)) < 1e-8
+
+
+def test_mu_shifts_the_window(setup):
+    """A chemical-potential shift moves the window: at mu far below the band
+    the DC coefficient collapses toward zero."""
+    h, bz, kc = setup
+    kc_mu = KineticCoefficientSolver(h, bz, 16, eta=0.3, beta=4.0, mu=-30.0)
+    g0 = kc(np.array([0.0]), abstol=1e-7)[0][0, 0]
+    gmu = kc_mu(np.array([0.0]), abstol=1e-7)[0][0, 0]
+    assert gmu < 1e-3 * g0

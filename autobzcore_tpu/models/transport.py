@@ -207,6 +207,34 @@ class KineticCoefficientSolver:
         return out
 
 
+    def sweep(self, Omegas, abstol=1e-6, reltol=None, chunk=8, mesh=None):
+        """Scan-swept variant: ONE device program advances ``chunk`` photon
+        frequencies at a time (each keeping its own adaptive pool and early
+        exit via ``lax.map``), over the shared superset window interval
+        ``[mu - max(Omega) - t, mu + t]``.  Amortizes dispatch the same way
+        ``SweepSolver(scan=True)`` does for omega sweeps (BASELINE.md); pass
+        ``mesh`` to shard chunks over devices.  Returns ``(W, d, d)``.
+        """
+        from ..algorithms.gk import QuadGKJL
+        from ..interfaces import IntegralProblem
+        from ..parallel.sweep import SweepSolver
+
+        Omegas = np.atleast_1d(np.asarray(Omegas, np.float64))
+        if np.any(Omegas < 0):
+            raise ValueError("photon frequencies must be >= 0")
+        lo, _ = fermi_window_limits(float(Omegas.max()), self.beta, self.mu,
+                                    self.wtol)
+        _, hi = fermi_window_limits(0.0, self.beta, self.mu, self.wtol)
+        prob = IntegralProblem(self._integrand, lo, hi)
+        alg = QuadGKJL(order=self.order, cap=self.cap)
+        solver = SweepSolver(prob, alg, abstol=abstol, reltol=reltol,
+                             chunk=min(chunk, max(1, len(Omegas))),
+                             scan=True, mesh=mesh)
+        out = solver(Omegas)
+        self.numevals += int(solver.numevals)
+        return np.asarray(out)
+
+
 def optical_conductivity(h, bz, npt, eta, beta, Omegas, mu=0.0, abstol=1e-6):
     """One-shot optical-conductivity kernel sweep ``sigma_ab(Omega)`` —
     :class:`KineticCoefficientSolver` with ``alpha=0``.  Build the solver

@@ -109,3 +109,14 @@ def test_mu_shifts_the_window(setup):
     g0 = kc(np.array([0.0]), abstol=1e-7)[0][0, 0]
     gmu = kc_mu(np.array([0.0]), abstol=1e-7)[0][0, 0]
     assert gmu < 1e-3 * g0
+
+
+def test_sweep_matches_per_omega(setup):
+    """The scan-swept path (one device program per chunk, shared superset
+    window) matches the per-Omega adaptive solves."""
+    h, bz, kc = setup
+    Oms = np.array([0.0, 0.4, 0.8])
+    ref = kc(Oms, abstol=1e-7)
+    got = kc.sweep(Oms, abstol=1e-7, chunk=2)
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-6

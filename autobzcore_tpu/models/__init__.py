@@ -1,9 +1,9 @@
 from .tight_binding import integer_lattice, synthetic_wannier, tb_graphene, tb_integer
-from .transport import (KineticCoefficientSolver, fermi, fermi_window,
-                        fermi_window_limits, optical_conductivity)
+from .transport import (ElectronCountSolver, KineticCoefficientSolver, fermi,
+                        fermi_window, fermi_window_limits, optical_conductivity)
 
 __all__ = [
     "integer_lattice", "synthetic_wannier", "tb_graphene", "tb_integer",
-    "KineticCoefficientSolver", "fermi", "fermi_window",
+    "ElectronCountSolver", "KineticCoefficientSolver", "fermi", "fermi_window",
     "fermi_window_limits", "optical_conductivity",
 ]

@@ -242,3 +242,68 @@ def optical_conductivity(h, bz, npt, eta, beta, Omegas, mu=0.0, abstol=1e-6):
     """
     return KineticCoefficientSolver(h, bz, npt, eta, beta, alpha=0, mu=mu)(
         Omegas, abstol=abstol)
+
+
+class ElectronCountSolver:
+    """``ElectronCountSolver(h, bz, npt)``: band filling vs chemical potential.
+
+    ``n(mu, beta) = (1/V_frac) sum_k w_k sum_b f(beta (e_kb - mu))`` on the
+    (symmetry-reduced) npt^d grid — electrons per unit cell in
+    ``[0, nbands]``.  The eigenvalue grid builds once; every ``(mu, beta)``
+    query is one masked reduction, so the inverse problem (``find_mu``) costs
+    ~60 bisection dispatches on the cached grid.  ``beta=inf`` gives the
+    zero-temperature step filling.
+
+    The sum over the zone is normalized by the zone volume, so the count is
+    intensive (matches the DOS normalization of ``dos/``: each band carries
+    unit weight).  Use with :class:`KineticCoefficientSolver` to run
+    transport at fixed filling instead of fixed ``mu``.
+    """
+
+    def __init__(self, h, bz, npt):
+        e, _, _, _ = _spectral_pack(h, bz, npt)
+        self._e = e
+        # _spectral_pack folds the symmetry weights into Wmat, not into e;
+        # recompute the plain orbit weights for the plain eigenvalue sum
+        from ..ops.symptr import symptr_rule
+
+        d = bz.ndim
+        if bz.syms is None:
+            weights = np.ones(e.shape[0])
+        else:
+            _, weights = symptr_rule(npt, d, bz.syms)
+        self._weights = jnp.asarray(weights / float(npt**d), jnp.real(e).dtype)
+        self.nbands = int(e.shape[-1])
+
+        @jax.jit
+        def count(mu, beta):
+            x = (self._e - mu)
+            occ = jnp.where(jnp.isinf(beta), (x < 0).astype(x.dtype),
+                            fermi(beta * x))
+            return jnp.sum(self._weights[:, None] * occ)
+
+        self._count = count
+
+    def __call__(self, mu, beta):
+        return float(self._count(jnp.asarray(float(mu)),
+                                 jnp.asarray(float(beta))))
+
+    def find_mu(self, nu, beta, tol=1e-10, maxiter=200):
+        """Chemical potential with filling ``nu`` electrons/cell (monotone
+        bisection on the cached eigenvalue grid; raises if ``nu`` is outside
+        ``(0, nbands)``)."""
+        if not 0.0 < nu < self.nbands:
+            raise ValueError(f"filling must lie in (0, {self.nbands})")
+        emin = float(jnp.min(self._e))
+        emax = float(jnp.max(self._e))
+        pad = 1.0 if np.isinf(beta) else max(1.0, 40.0 / beta)
+        lo, hi = emin - pad, emax + pad
+        for _ in range(maxiter):
+            mid = 0.5 * (lo + hi)
+            if self(mid, beta) < nu:
+                lo = mid
+            else:
+                hi = mid
+            if hi - lo < tol:
+                break
+        return 0.5 * (lo + hi)

@@ -120,3 +120,29 @@ def test_sweep_matches_per_omega(setup):
     got = kc.sweep(Oms, abstol=1e-7, chunk=2)
     assert got.shape == ref.shape
     assert np.max(np.abs(got - ref)) < 1e-6
+
+
+def test_electron_count_and_find_mu():
+    """Filling is monotone in mu, hits half filling at the particle-hole
+    symmetric point of the integer lattice, matches the zero-T step count,
+    agrees between IBZ and FBZ grids, and find_mu inverts it."""
+    from autobzcore_tpu.models.transport import ElectronCountSolver
+
+    h = tb_integer(2)
+    bz = load_bz(FBZ(), np.eye(2))
+    ec = ElectronCountSolver(h, bz, 32)
+    assert ec.nbands == 1
+    # particle-hole symmetry of cos(kx)+cos(ky): n(0) = 1/2 at any beta
+    assert ec(0.0, 5.0) == pytest.approx(0.5, abs=1e-12)
+    assert ec(0.0, np.inf) == pytest.approx(0.5, abs=0.02)
+    # monotone and saturating
+    assert ec(-10.0, 5.0) < 1e-6
+    assert ec(10.0, 5.0) > 1 - 1e-6
+    # IBZ grid gives the same count
+    eci = ElectronCountSolver(h, load_bz(InversionSymIBZ(), np.eye(2)), 32)
+    assert eci(0.7, 5.0) == pytest.approx(ec(0.7, 5.0), abs=1e-12)
+    # inverse: recover mu for a target filling
+    mu = ec.find_mu(0.3, 5.0)
+    assert ec(mu, 5.0) == pytest.approx(0.3, abs=1e-8)
+    with pytest.raises(ValueError):
+        ec.find_mu(1.5, 5.0)

@@ -43,6 +43,8 @@ def main():
     if args.cpu:
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
     from autobzcore_tpu import FBZ, load_bz
     from autobzcore_tpu.io.wannier90 import (hamiltonian_fourier_series,
                                               read_w90_hrdat)
@@ -51,6 +53,10 @@ def main():
     from autobzcore_tpu.utils.profiling import enable_compile_cache
 
     enable_compile_cache()
+    if not args.cpu:
+        # TPU has no f64/c128: run the spectral grid and sweeps in c64/f32
+        # (the package import force-enables x64 for CPU parity)
+        jax.config.update("jax_enable_x64", False)
     hr = read_w90_hrdat(args.hr)
     h = hamiltonian_fourier_series(hr)
     bz = load_bz(FBZ(), args.wout)

@@ -149,10 +149,15 @@ class KineticCoefficientSolver:
     runs one adaptive Gauss-Kronrod frequency integral per ``Omega`` (the
     d x d tensor integrand controlled in a single pool, all GK nodes of a
     refinement round batched into one GEMM).  Returns ``(W, d, d)``.
+
+    ``self_energy``: optional scalar (local) self-energy ``Sigma(w)``
+    returning a complex value with ``Im Sigma < 0``; replaces the constant
+    Lorentzian broadening with ``A_n(w) = -Im[1/(w - Sigma(w) - e_n)]/pi``
+    (Fermi-liquid transport; ``Sigma = -i eta`` recovers the default).
     """
 
     def __init__(self, h, bz, npt, eta, beta, alpha=0, mu=0.0, order=7,
-                 cap=256, wtol=1e-10):
+                 cap=256, wtol=1e-10, self_energy=None):
         if alpha not in (0, 1, 2) and not isinstance(alpha, int):
             raise ValueError("alpha must be a small non-negative integer")
         self.eta = float(eta)
@@ -170,10 +175,24 @@ class KineticCoefficientSolver:
         eta_, beta_, alpha_, mu_, d_ = self.eta, self.beta, self.alpha, self.mu, self.d
         K, m = e.shape
 
+        if self_energy is not None:
+            # scalar (local, band-diagonal) self-energy Sigma(w): the band
+            # spectral function becomes A_n(w) = -Im[1/(w - Sigma(w) - e_n)]
+            # / pi — the Fermi-liquid workload of the cited application
+            # paper (eta remains the limits padding scale below)
+            def spectral_w(w):
+                sig = self_energy(w)
+                x = w - jnp.real(sig) - e
+                g = -jnp.imag(sig)
+                return g / (x * x + g * g) / np.pi
+        else:
+            def spectral_w(w):
+                return eta_ / ((w - e) ** 2 + eta_**2) / np.pi
+
         def integrand(w, Omega):
             # scalar w (vmapped into node batches by the GK pool)
-            A1 = eta_ / ((w - e) ** 2 + eta_**2) / np.pi          # (K, m)
-            A2 = eta_ / ((w + Omega - e) ** 2 + eta_**2) / np.pi  # (K, m)
+            A1 = spectral_w(w)           # (K, m)
+            A2 = spectral_w(w + Omega)   # (K, m)
             pairs = (A1[:, :, None] * A2[:, None, :]).reshape(K * m * m)
             G = scale * (pairs @ Wmat)                            # (d^2,)
             G = G.reshape(d_, d_)

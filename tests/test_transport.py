@@ -146,3 +146,23 @@ def test_electron_count_and_find_mu():
     assert ec(mu, 5.0) == pytest.approx(0.3, abs=1e-8)
     with pytest.raises(ValueError):
         ec.find_mu(1.5, 5.0)
+
+
+def test_scalar_self_energy(setup):
+    """A frequency-dependent scalar self-energy replaces the constant-eta
+    spectral function; Sigma = -i eta reproduces the eta path exactly, and a
+    Fermi-liquid-like Sigma(w) = -i(eta + c w^2) stays certified and differs."""
+    h, bz, kc = setup
+    kc_const = KineticCoefficientSolver(
+        h, bz, 16, eta=0.3, beta=4.0,
+        self_energy=lambda w: jnp.asarray(-0.3j))
+    ref = kc(np.array([0.5]), abstol=1e-7)
+    got = kc_const(np.array([0.5]), abstol=1e-7)
+    assert np.max(np.abs(got - ref)) < 1e-9
+    kc_fl = KineticCoefficientSolver(
+        h, bz, 16, eta=0.3, beta=4.0,
+        self_energy=lambda w: 0.05 * w - 1j * (0.3 + 0.2 * w**2))
+    fl = kc_fl(np.array([0.5]), abstol=1e-7)
+    assert kc_fl.retcode
+    assert np.isfinite(fl).all()
+    assert np.max(np.abs(fl - ref)) > 1e-3

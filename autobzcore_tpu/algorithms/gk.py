@@ -111,12 +111,13 @@ class QuadGKJL(IntegralAlgorithm):
         return IntegralSolution(val, err, bool(conv), int(ne))
 
     def solve_fn(self, cacheval):
-        """Pure jittable/vmappable solve: fn(p, atol, rtol) -> (u, resid)."""
+        """Pure jittable/vmappable solve:
+        fn(p, atol, rtol) -> (u, resid, converged, numevals)."""
         run = cacheval["run"]
 
         def fn(p, atol, rtol):
-            val, err, _, _ = run(p, atol, rtol, _budget(None))
-            return val, err
+            val, err, ne, conv = run(p, atol, rtol, _budget(None))
+            return val, err, conv, ne
 
         return fn
 

@@ -86,7 +86,7 @@ class HCubatureJL(IntegralAlgorithm):
         run = cacheval["run"]
 
         def fn(p, atol, rtol):
-            val, err, _, _ = run(p, atol, rtol, _budget(None))
-            return val, err
+            val, err, ne, conv = run(p, atol, rtol, _budget(None))
+            return val, err, conv, ne
 
         return fn

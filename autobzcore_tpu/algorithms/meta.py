@@ -74,7 +74,7 @@ class AbsoluteEstimate(IntegralAlgorithm):
 
         def fn(consts, p, atol, rtol):
             ec, ac = consts
-            u_est, _ = est_fn(ec, p, est_atol, est_rtol)
+            u_est, _, _, ne_est = est_fn(ec, p, est_atol, est_rtol)
             # match do_solve (and the reference, src/algorithms.jl:649-650):
             # an unset reltol defaults to sqrt(eps), not zero.  Sweep drivers
             # collapse None -> 0.0 before tracing, so rtol == 0 here means
@@ -82,7 +82,10 @@ class AbsoluteEstimate(IntegralAlgorithm):
             # the traced path cannot tell the two apart).
             rtol_eff = jnp.where(rtol > 0, rtol, sqrt_eps)
             atol2 = jnp.maximum(atol, rtol_eff * norm(u_est))
-            return abs_fn(ac, p, atol2, jnp.zeros(()))
+            u, e, conv, ne = abs_fn(ac, p, atol2, jnp.zeros(()))
+            # both phases evaluate the integrand — count both (the same
+            # total the eager do_solve path reports)
+            return u, e, conv, ne + ne_est
 
         return fn, (est_consts, abs_consts)
 

@@ -742,7 +742,7 @@ class NestedQuad(IntegralAlgorithm):
         run = cacheval["run"]
 
         def fn(p, atol, rtol):
-            val, err, _, _ = run(p, atol, rtol, _budget(None))
-            return val, err
+            val, err, ne, conv = run(p, atol, rtol, _budget(None))
+            return val, err, conv, ne
 
         return fn

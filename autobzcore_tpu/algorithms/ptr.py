@@ -123,20 +123,23 @@ class MonkhorstPack(IntegralAlgorithm):
 
     def solve_fn(self, cacheval):
         run = cacheval["run"]
+        ne = cacheval["numevals"]
 
         def fn(p, atol, rtol):
-            return run(p), jnp.zeros(())
+            return run(p), jnp.zeros(()), jnp.asarray(True), jnp.asarray(ne)
 
         return fn
 
     def solve_fn_consts(self, cacheval):
-        """(fn(consts, p, atol, rtol) -> (u, resid), consts): rule data as
-        runtime arguments so enclosing jits (sweep batches) don't capture
-        MB-scale constants — see build_ptr_run."""
+        """(fn(consts, p, atol, rtol) -> (u, resid, converged, numevals),
+        consts): rule data as runtime arguments so enclosing jits (sweep
+        batches) don't capture MB-scale constants — see build_ptr_run."""
         run_c = cacheval["run_c"]
+        ne = cacheval["numevals"]
 
         def fn(consts, p, atol, rtol):
-            return run_c(consts, p), jnp.zeros(())
+            return (run_c(consts, p), jnp.zeros(()), jnp.asarray(True),
+                    jnp.asarray(ne))
 
         return fn, cacheval["consts"]
 

@@ -44,8 +44,9 @@ class QuadratureFunction(IntegralAlgorithm):
 
     def solve_fn(self, cacheval):
         run = cacheval["run"]
+        ne = cacheval["numevals"]
 
         def fn(p, atol, rtol):
-            return run(p), jnp.zeros(())
+            return run(p), jnp.zeros(()), jnp.asarray(True), jnp.asarray(ne)
 
         return fn

@@ -262,7 +262,8 @@ class AutoBZAlgorithm(IntegralAlgorithm):
         }
 
     def solve_fn(self, cacheval):
-        """Pure vmappable solve over the BZ: fn(p, atol, rtol) -> (u, resid).
+        """Pure vmappable solve over the BZ:
+        fn(p, atol, rtol) -> (u, resid, converged, numevals).
 
         Symmetrization must be static here (no warn-and-recompute inside jit),
         so the integrand's symmetry rep must be Trivial, declared, or the
@@ -301,7 +302,8 @@ class AutoBZAlgorithm(IntegralAlgorithm):
             check_unknown = not bz_.is_full and isinstance(rep, UnknownRep)
 
             def fn(p, atol, rtol):
-                u, e = inner(p, None if atol is None else atol / (j * ns), rtol)
+                u, e, conv, ne = inner(
+                    p, None if atol is None else atol / (j * ns), rtol)
                 if check_unknown and any(
                     getattr(leaf, "ndim", 0) > 0 for leaf in jax.tree_util.tree_leaves(u)
                 ):
@@ -314,15 +316,16 @@ class AutoBZAlgorithm(IntegralAlgorithm):
                     )
                 scale = lambda v: factor * v
                 return (jax.tree_util.tree_map(scale, u),
-                        jax.tree_util.tree_map(scale, e))
+                        jax.tree_util.tree_map(scale, e), conv, ne)
 
             return fn
 
         def fn(p, atol, rtol):
-            u, e = inner(p, None if atol is None else atol / (j * ns), rtol)
+            u, e, conv, ne = inner(
+                p, None if atol is None else atol / (j * ns), rtol)
             u = jax.tree_util.tree_map(lambda v: j * v, rep.symmetrize(bz_, u))
             e = jax.tree_util.tree_map(lambda v: j * v, rep.symmetrize(bz_, e))
-            return u, e
+            return u, e, conv, ne
 
         return fn
 

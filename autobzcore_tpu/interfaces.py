@@ -186,7 +186,7 @@ def batchsolve(solver: IntegralSolver, ps, T=None, callback=None):
     matching ``ps`` shape) of ``u`` values.
 
     For device-parallel sweeps over numeric parameter arrays see
-    :func:`autobzcore_tpu.parallel.sweep.batchsolve_vmap`.
+    :func:`autobzcore_tpu.parallel.sweep.sweep_solve`.
     """
     arr = isinstance(ps, np.ndarray) and ps.dtype == object
     items = ps.reshape(-1) if arr else list(ps)

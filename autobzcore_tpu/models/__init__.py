@@ -1,3 +1,4 @@
+from .observables import SpectralPack, TransportSolver, spectral_velocity_pack
 from .tight_binding import integer_lattice, synthetic_wannier, tb_graphene, tb_integer
 from .transport import (ElectronCountSolver, KineticCoefficientSolver, fermi,
                         fermi_window, fermi_window_limits, optical_conductivity)
@@ -6,4 +7,5 @@ __all__ = [
     "integer_lattice", "synthetic_wannier", "tb_graphene", "tb_integer",
     "ElectronCountSolver", "KineticCoefficientSolver", "fermi", "fermi_window",
     "fermi_window_limits", "optical_conductivity",
+    "SpectralPack", "TransportSolver", "spectral_velocity_pack",
 ]

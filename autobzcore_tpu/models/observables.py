@@ -12,6 +12,8 @@ the k-grid serves every omega (the reference re-solves per (k, omega)).
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
 from ..brillouin import TrivialRep
@@ -135,27 +137,31 @@ def transport_sweep(h: FourierSeries, bz, npt, omegas, eta):
     return TransportSolver(h, bz, npt, eta)(omegas)
 
 
-class TransportSolver:
-    """Reusable Kubo-Greenwood transport sweep.
+class SpectralPack(NamedTuple):
+    """Weight-packed (H, dH) spectral grid — the shared GEMM operand behind
+    :class:`TransportSolver` and the kinetic-coefficient solvers
+    (``models/transport.py``).  Built once per (h, bz, npt); pass the same
+    pack to several solvers to share the grid.
 
-    The (H, dH) grid is evaluated and eigendecomposed ONCE at construction;
-    each call costs one MXU GEMM over (omega, k, band-pair) (the reference
-    would re-solve the BZ integral per frequency).  Returns (W, d, d).
+    ``Gamma_ab(w1, w2) = scale * sum_{knm} A1[k, n] A2[k, m] Wmat[(k, n, m),
+    (a, b)]`` with diagonal band-basis spectral functions ``A``; ``Savg``
+    group-averages an IBZ rank-2 tensor back to the full zone; ``weights``
+    are the plain orbit multiplicities (sum = npt^ndim) for scalar band sums
+    (electron counting)."""
 
-    Gamma_ab(w) = sum_k w_k sum_{nm} Re[(v_a)_nm (v_b)_mn] A_n(w) A_m(w),
-    with A_n = eta/((w - e_n)^2 + eta^2)/pi and v the band-basis velocities.
-    """
-
-    def __init__(self, h: FourierSeries, bz, npt, eta):
-        self._data = _transport_build(h, bz, npt, eta)
-
-    def __call__(self, omegas):
-        import jax.numpy as jnp
-
-        return self._data(jnp.asarray(omegas))
+    e: object        # (K, m) band energies on the reduced grid
+    Wmat: object     # (K m^2, d^2) weight-absorbed velocity pairs
+    scale: object    # |det B| / npt^ndim
+    Savg: object     # (S^-T stack, S^-1 stack, |G|) or None (full zone)
+    weights: object  # (K,) orbit multiplicities
+    ndim: int
+    npt: int
 
 
-def _transport_build(h, bz, npt, eta):
+def spectral_velocity_pack(h: FourierSeries, bz, npt) -> SpectralPack:
+    """Evaluate (H, dH) on the (symmetry-reduced) npt^d grid, eigendecompose,
+    and pack the weighted band-pair velocity products as one GEMM operand
+    (see :class:`SpectralPack`)."""
     import jax
     import numpy as np
 
@@ -164,7 +170,6 @@ def _transport_build(h, bz, npt, eta):
 
     d = bz.ndim
     if bz.syms is None:
-        strides = npt ** np.arange(d - 1, -1, -1)
         lin = None
         weights = np.ones(npt**d)
     else:
@@ -172,7 +177,6 @@ def _transport_build(h, bz, npt, eta):
         lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
     u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
     vol = abs(np.linalg.det(bz.B))
-    nsyms = 1 if bz.syms is None else len(bz.syms)
     scale = vol / (npt**d)  # full-zone normalization (sum of all weights)
 
     @jax.jit
@@ -190,15 +194,16 @@ def _transport_build(h, bz, npt, eta):
             vk = vk[lin]
         e, U = jnp.linalg.eigh(hk)
         vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
-        # band-pair velocity products, real part: (K, d, d, m, m)
-        P = jnp.real(jnp.einsum("kamn,kbnm->kabmn", vband, vband))
+        # band-pair velocity products, real part: P[k, a, b, n, m] =
+        # Re[(v_a)_nm (v_b)_mn] — contracting with A1[k, n] A2[k, m] gives
+        # Tr[v_a A(w1) v_b A(w2)] (diagonal spectral functions, band basis)
+        P = jnp.real(jnp.einsum("kanm,kbmn->kabnm", vband, vband))
         return e, P
 
     e, P = spectral()
     w = jnp.asarray(weights, jnp.real(P).dtype)
-    m = e.shape[-1]
-    K = e.shape[0]
-    # weight-absorbed GEMM operand: W[(k,n,m), (a,b)] — the whole omega sweep
+    K, m = e.shape
+    # weight-absorbed GEMM operand: W[(k,n,m), (a,b)] — a whole omega sweep
     # becomes ONE (Omega, K m^2) x (K m^2, d^2) matmul on the MXU instead of
     # per-omega tiny einsums
     Wmat = (w[:, None, None, None, None] * P).transpose(0, 3, 4, 1, 2).reshape(K * m * m, d * d)
@@ -209,6 +214,40 @@ def _transport_build(h, bz, npt, eta):
     else:
         Sinv = np.linalg.inv(np.asarray(bz.syms, dtype=np.float64))
         Savg = (np.swapaxes(Sinv, 1, 2), Sinv, len(Sinv))
+    return SpectralPack(e, Wmat, scale, Savg, weights, d, npt)
+
+
+class TransportSolver:
+    """Reusable Kubo-Greenwood transport sweep.
+
+    The (H, dH) grid is evaluated and eigendecomposed ONCE at construction
+    (or shared via ``pack=``); each call costs one MXU GEMM over (omega, k,
+    band-pair) (the reference would re-solve the BZ integral per frequency).
+    Returns (W, d, d).
+
+    Gamma_ab(w) = sum_k w_k sum_{nm} Re[(v_a)_nm (v_b)_mn] A_n(w) A_m(w),
+    with A_n = eta/((w - e_n)^2 + eta^2)/pi and v the band-basis velocities.
+    """
+
+    def __init__(self, h: FourierSeries, bz, npt, eta, pack=None):
+        if pack is None:
+            pack = spectral_velocity_pack(h, bz, npt)
+        self.pack = pack
+        self._data = _transport_build(pack, eta)
+
+    def __call__(self, omegas):
+        import jax.numpy as jnp
+
+        return self._data(jnp.asarray(omegas))
+
+
+def _transport_build(pack: SpectralPack, eta):
+    import jax
+    import numpy as np
+
+    e, Wmat, scale, Savg = pack.e, pack.Wmat, pack.scale, pack.Savg
+    d = pack.ndim
+    K, m = e.shape
 
     @jax.jit
     def sweep(om_all):

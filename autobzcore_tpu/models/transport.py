@@ -43,15 +43,22 @@ def fermi_window(w, Omega, beta, mu=0.0):
 
     Positive, symmetric under ``w -> 2 mu - Omega - w``, and integrates to 1
     over the real line for every ``Omega`` (which fixes the normalization of
-    kinetic coefficients).  Stable at large ``beta |w - mu|``.
+    kinetic coefficients).
+
+    Evaluated in product form, ``beta * [-expm1(-a)/a] * sigmoid(-x) *
+    sigmoid(x + a)`` with ``x = beta (w - mu)``, ``a = beta Omega`` — no
+    ``f(x) - f(x + a)`` difference, so there is no catastrophic cancellation
+    for small nonzero ``beta Omega`` (a near-DC sweep in f32 would otherwise
+    see percent-level noise) and the ``Omega -> 0`` limit is the same
+    expression, not a separate branch.
     """
     w = jnp.asarray(w)
     x = beta * (w - mu)
-    dc = beta / (4.0 * jnp.cosh(jnp.clip(x / 2.0, -250.0, 250.0)) ** 2)
-    Om = jnp.asarray(Omega)
-    safe = jnp.where(Om == 0, 1.0, Om)
-    ac = (fermi(x) - fermi(x + beta * Om)) / safe
-    return jnp.where(Om == 0, dc, ac)
+    a = beta * jnp.asarray(Omega)
+    # f(x) - f(x+a) = -expm1(-a) * sigmoid(-x) * sigmoid(x + a), exactly
+    safe = jnp.where(a == 0, 1.0, a)
+    prefac = jnp.where(a == 0, 1.0, -jnp.expm1(-safe) / safe)
+    return beta * prefac * jax.nn.sigmoid(-x) * jax.nn.sigmoid(x + a)
 
 
 def fermi_window_limits(Omega, beta, mu=0.0, wtol=1e-10):
@@ -62,24 +69,22 @@ def fermi_window_limits(Omega, beta, mu=0.0, wtol=1e-10):
     ``[mu - Omega, mu]``; ``t = log(1/wtol)/beta`` of padding bounds the
     discarded tail mass by ``~2 wtol / beta`` (window <= beta/4 everywhere).
     """
-    if beta <= 0:
-        raise ValueError("beta must be positive (use a finite temperature)")
+    if beta <= 0 or not np.isfinite(beta):
+        raise ValueError(
+            "beta must be positive and finite: the fermi window degenerates "
+            "to a zero-width interval at zero temperature (use a large finite "
+            "beta; ElectronCountSolver alone supports beta=inf)")
     t = float(np.log(1.0 / wtol)) / float(beta)
     Om = float(Omega)
     lo, hi = min(mu - Om, mu), max(mu - Om, mu)
     return lo - t, hi + t
 
 
-def _spectral_pack(h, bz, npt):
-    """Evaluate (H, dH) on the (symmetry-reduced) npt^d grid, eigendecompose,
-    and pack the weighted band-pair velocity products as a GEMM operand.
-
-    Returns ``(e, Wmat, scale, Savg)``: eigenvalues ``(K, m)``, the weight-
-    absorbed operand ``W[(k, n, m), (a, b)]`` such that ``Gamma_ab(w1, w2) =
-    scale * sum_{knm} A1[k, n] A2[k, m] W[(k, n, m), (a, b)]`` (i.e.
-    ``Tr[v_a A(w1) v_b A(w2)]`` summed over the zone), and the group-average
-    maps for un-reducing an IBZ rank-2 tensor.
-    """
+def _eigenvalue_grid(h, bz, npt):
+    """Eigenvalues + orbit weights on the (symmetry-reduced) npt^d grid —
+    the cheap build for scalar band sums (no gradients, no eigenvectors,
+    no velocity packing; roughly a quarter of the full
+    :func:`~.observables.spectral_velocity_pack` cost)."""
     from ..ops.fourier_eval import evaluate_grid
     from ..ops.symptr import symptr_rule
 
@@ -91,42 +96,16 @@ def _spectral_pack(h, bz, npt):
         reps, weights = symptr_rule(npt, d, bz.syms)
         lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
     u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
-    vol = abs(np.linalg.det(bz.B))
-    scale = vol / (npt**d)
 
     @jax.jit
-    def spectral():
+    def eigs():
         hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
-        grads = []
-        for j in range(d):
-            derivs = tuple(1 if i == j else 0 for i in range(d))
-            grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
-        vk = jnp.stack(grads, axis=d)
         hk = hk.reshape((npt**d,) + hk.shape[d:])
-        vk = vk.reshape((npt**d, d) + vk.shape[d + 1:])
         if lin is not None:
             hk = hk[lin]
-            vk = vk[lin]
-        e, U = jnp.linalg.eigh(hk)
-        vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
-        # P[k, a, b, n, m] = Re[(v_a)_nm (v_b)_mn]: contracting with
-        # A1[k, n] A2[k, m] gives Tr[v_a A(w1) v_b A(w2)] (diagonal spectral
-        # functions in the band basis)
-        P = jnp.real(jnp.einsum("kanm,kbmn->kabnm", vband, vband))
-        return e, P
+        return jnp.linalg.eigvalsh(hk)
 
-    e, P = spectral()
-    w = jnp.asarray(weights, P.dtype)
-    K, m = e.shape
-    d2 = d * d
-    Wmat = (w[:, None, None, None, None] * P).transpose(0, 3, 4, 1, 2).reshape(K * m * m, d2)
-
-    if bz.syms is None:
-        Savg = None
-    else:
-        Sinv = np.linalg.inv(np.asarray(bz.syms, dtype=np.float64))
-        Savg = (np.swapaxes(Sinv, 1, 2), Sinv, len(Sinv))
-    return e, Wmat, scale, Savg
+    return eigs(), weights
 
 
 class KineticCoefficientSolver:
@@ -154,11 +133,17 @@ class KineticCoefficientSolver:
     returning a complex value with ``Im Sigma < 0``; replaces the constant
     Lorentzian broadening with ``A_n(w) = -Im[1/(w - Sigma(w) - e_n)]/pi``
     (Fermi-liquid transport; ``Sigma = -i eta`` recovers the default).
+
+    ``pack``: a :class:`~.observables.SpectralPack` to reuse — solvers with
+    different ``alpha``/``mu``/``beta``/``self_energy`` over the same
+    (h, bz, npt) share one spectral grid (``solver.pack`` exposes it).
     """
 
     def __init__(self, h, bz, npt, eta, beta, alpha=0, mu=0.0, order=7,
-                 cap=256, wtol=1e-10, self_energy=None):
-        if alpha not in (0, 1, 2) and not isinstance(alpha, int):
+                 cap=256, wtol=1e-10, self_energy=None, pack=None):
+        from .observables import spectral_velocity_pack
+
+        if not isinstance(alpha, (int, np.integer)) or alpha < 0:
             raise ValueError("alpha must be a small non-negative integer")
         self.eta = float(eta)
         self.beta = float(beta)
@@ -169,8 +154,11 @@ class KineticCoefficientSolver:
         self.wtol = float(wtol)
         self.d = bz.ndim
         self.numevals = 0
-        e, Wmat, scale, Savg = _spectral_pack(h, bz, npt)
-        self._e, self._Wmat, self._scale, self._Savg = e, Wmat, scale, Savg
+        self.retcode = None  # set by __call__/sweep
+        if pack is None:
+            pack = spectral_velocity_pack(h, bz, npt)
+        self.pack = pack
+        e, Wmat, scale, Savg = pack.e, pack.Wmat, pack.scale, pack.Savg
 
         eta_, beta_, alpha_, mu_, d_ = self.eta, self.beta, self.alpha, self.mu, self.d
         K, m = e.shape
@@ -251,6 +239,7 @@ class KineticCoefficientSolver:
                              scan=True, mesh=mesh)
         out = solver(Omegas)
         self.numevals += int(solver.numevals)
+        self.retcode = solver.retcode
         return np.asarray(out)
 
 
@@ -276,22 +265,20 @@ class ElectronCountSolver:
     The sum over the zone is normalized by the zone volume, so the count is
     intensive (matches the DOS normalization of ``dos/``: each band carries
     unit weight).  Use with :class:`KineticCoefficientSolver` to run
-    transport at fixed filling instead of fixed ``mu``.
+    transport at fixed filling instead of fixed ``mu`` — pass that solver's
+    ``pack`` here to reuse its grid; without one the constructor runs a
+    cheap eigenvalues-only build (no gradients, no eigenvectors, no
+    velocity packing).
     """
 
-    def __init__(self, h, bz, npt):
-        e, _, _, _ = _spectral_pack(h, bz, npt)
-        self._e = e
-        # _spectral_pack folds the symmetry weights into Wmat, not into e;
-        # recompute the plain orbit weights for the plain eigenvalue sum
-        from ..ops.symptr import symptr_rule
-
-        d = bz.ndim
-        if bz.syms is None:
-            weights = np.ones(e.shape[0])
+    def __init__(self, h, bz, npt, pack=None):
+        if pack is None:
+            e, weights = _eigenvalue_grid(h, bz, npt)
         else:
-            _, weights = symptr_rule(npt, d, bz.syms)
-        self._weights = jnp.asarray(weights / float(npt**d), jnp.real(e).dtype)
+            e, weights = pack.e, pack.weights
+        self._e = e
+        self._weights = jnp.asarray(np.asarray(weights) / float(npt**bz.ndim),
+                                    jnp.real(e).dtype)
         self.nbands = int(e.shape[-1])
 
         @jax.jit

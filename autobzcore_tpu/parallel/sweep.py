@@ -21,7 +21,9 @@ def sweep_solve(prob: IntegralProblem, alg, ps, abstol=None, reltol=None, mesh=N
     """Solve ``prob`` at every parameter in the stacked pytree ``ps`` (leading
     axis = sweep axis) in one batched program.
 
-    Returns ``(us, resids)`` with the sweep axis leading.  With ``mesh``, the
+    Returns ``(us, resids, converged, numevals)`` with the sweep axis
+    leading (each parameter's convergence flag and integrand-evaluation
+    count ride along with its value).  With ``mesh``, the
     parameter axis is sharded over ``mesh.axis_names[0]`` and results are
     gathered (data-parallel over omega/temperature/chemical-potential grids).
 
@@ -208,21 +210,29 @@ def _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh):
     window = []  # last `keepmost` symmetrized iterates (shared across the batch)
     val = None
     err = None
+    converged = False
+    nev = 0
     keepmost = max(2, int(getattr(inner, "keepmost", 2)))
     for npt in inner.npt_ladder():
-        run, _, _, _ = build_ptr_run(f, dom, npt, inner.syms)
+        run, ne_rung, _, _ = build_ptr_run(f, dom, npt, inner.syms)
+        nev += int(ne_rung)
         val = sym(wrap(run)(ps))
         if window:
             err = tree_batched_norm(tree_sub(val, window[0])) * j
             tol = jnp.maximum(atol, rtol * tree_batched_norm(val) * j)
             if bool(jnp.all(err <= tol)):
+                converged = True
                 break
         window.append(val)
         if len(window) >= keepmost:
             window.pop(0)
     us = jax.tree_util.tree_map(lambda v: j * v, val)
     errs = None if err is None else err
-    return us, errs
+    # the ladder's convergence test is shared across the batch (worst
+    # parameter gates refinement), so every lane carries the same flag;
+    # numevals is the per-parameter rule-evaluation total
+    n = jax.tree_util.tree_leaves(ps)[0].shape[0]
+    return us, errs, np.full(n, converged), np.full(n, nev)
 
 
 class SweepSolver:
@@ -233,6 +243,12 @@ class SweepSolver:
     varying size (e.g. hchebinterp refinement frontiers).  Parameters are
     single numeric arrays; for FourierIntegrand/ParameterIntegrand problems
     each value is merged as the next positional argument.
+
+    After each call, ``self.retcode`` is True iff every (non-pad) parameter's
+    solve converged, and ``self.numevals`` has accumulated the actual
+    integrand evaluations (adaptive algorithms report their pool totals;
+    fixed rules their point counts) — the same certificate/cost contract as
+    a scalar ``solve``.
 
     ``scan=True`` sequences the chunk's solves inside ONE device program
     (``lax.map``) instead of vmapping them in lockstep: each parameter keeps
@@ -264,7 +280,8 @@ class SweepSolver:
         wrap = MixedParameters if _takes_mixed_parameters(prob.f) else (lambda x: x)
 
         def one(consts, x):
-            return fn2(consts, wrap(x), atol, rtol)[0]
+            u, _, conv, ne = fn2(consts, wrap(x), atol, rtol)
+            return u, conv, ne
 
         self.chunk = chunk
         self.mesh = mesh
@@ -310,6 +327,7 @@ class SweepSolver:
         else:
             self._batched = jax.jit(jax.vmap(one, in_axes=(None, 0)))
         self.numevals = 0
+        self.retcode = None  # set by __call__
 
     def __call__(self, xs):
         xs = jnp.asarray(xs)
@@ -320,7 +338,8 @@ class SweepSolver:
             # dtype/trailing shape the real solve would produce
             spec = jax.eval_shape(
                 self._batched, self._consts,
-                jax.ShapeDtypeStruct((self.chunk,), xs.dtype))
+                jax.ShapeDtypeStruct((self.chunk,), xs.dtype))[0]
+            self.retcode = True
             return np.zeros((0,) + spec.shape[1:], spec.dtype)
         c = self.chunk
         npad = -(-n // c) * c
@@ -331,5 +350,11 @@ class SweepSolver:
             sharding = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
             xp = jax.device_put(xp, sharding)
         outs = [self._batched(self._consts, xp[i: i + c]) for i in range(0, npad, c)]
-        self.numevals += npad
-        return np.concatenate([np.asarray(o) for o in outs])[:n]
+        us = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
+        convs = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
+        nes = np.concatenate([np.asarray(o[2]) for o in outs])[:n]
+        # pad lanes duplicate the last real parameter — exclude them from
+        # both the certificate and the evaluation count
+        self.retcode = bool(np.all(convs))
+        self.numevals += int(np.sum(nes))
+        return us

@@ -40,14 +40,18 @@ def main():
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
-    if args.cpu:
-        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+
+    if args.cpu:
+        # env mutation is too late here: with PALLAS_AXON_POOL_IPS set,
+        # sitecustomize registered the axon backend at interpreter startup —
+        # the post-import config update is the only effective pin
+        jax.config.update("jax_platforms", "cpu")
 
     from autobzcore_tpu import FBZ, load_bz
     from autobzcore_tpu.io.wannier90 import (hamiltonian_fourier_series,
                                               read_w90_hrdat)
+    from autobzcore_tpu.models.observables import spectral_velocity_pack
     from autobzcore_tpu.models.transport import (ElectronCountSolver,
                                                  KineticCoefficientSolver)
     from autobzcore_tpu.utils.profiling import enable_compile_cache
@@ -62,7 +66,8 @@ def main():
     bz = load_bz(FBZ(), args.wout)
 
     t0 = time.time()
-    ec = ElectronCountSolver(h, bz, args.npt)
+    pack = spectral_velocity_pack(h, bz, args.npt)  # built ONCE, shared below
+    ec = ElectronCountSolver(h, bz, args.npt, pack=pack)
     mu = ec.find_mu(args.filling, args.beta)
     t_mu = time.time() - t0
     print(f"mu(n={args.filling}, beta={args.beta}) = {mu:.6f} eV "
@@ -70,17 +75,18 @@ def main():
 
     t0 = time.time()
     kc = KineticCoefficientSolver(h, bz, args.npt, eta=args.eta,
-                                  beta=args.beta, alpha=0, mu=mu)
+                                  beta=args.beta, alpha=0, mu=mu, pack=pack)
     omegas = np.linspace(0.0, args.omega_max, args.nomega)
     sigma = kc.sweep(omegas, abstol=args.abstol)
     t_sig = time.time() - t0
     print(f"sigma(Omega) sweep: {args.nomega} frequencies in {t_sig:.1f} s "
-          f"({kc.numevals} adaptive frequency solves, scan-chunked)")
+          f"({kc.numevals} GK integrand evals, scan-chunked, "
+          f"certified={kc.retcode})")
     print(f"  sigma_xx(0)   = {sigma[0, 0, 0]:.6f}")
     print(f"  sigma_xx(max) = {sigma[-1, 0, 0]:.6f}")
 
     kc1 = KineticCoefficientSolver(h, bz, args.npt, eta=args.eta,
-                                   beta=args.beta, alpha=1, mu=mu)
+                                   beta=args.beta, alpha=1, mu=mu, pack=pack)
     a1 = kc1(np.array([0.0]), abstol=args.abstol)[0]
     print(f"  alpha=1 numerator A1_xx(0) = {a1[0, 0]:.6f} (thermopower ~ A1/A0)")
 

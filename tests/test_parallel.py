@@ -22,11 +22,14 @@ from autobzcore_tpu.parallel.sweep import make_mesh, sweep_solve
 def test_sweep_solve_quadgk():
     prob = IntegralProblem(lambda x, p: jnp.exp(-p * x**2), 0.0, 1.0)
     ps = jnp.linspace(0.5, 2.0, 16)
-    us, errs = sweep_solve(prob, QuadGKJL(), ps, abstol=1e-10)
+    us, errs, convs, nes = sweep_solve(prob, QuadGKJL(), ps, abstol=1e-10)
     from scipy.special import erf
 
     exact = np.sqrt(np.pi / (4 * np.asarray(ps))) * erf(np.sqrt(np.asarray(ps)))
     assert np.allclose(np.asarray(us), exact, atol=1e-8)
+    # the per-parameter certificate and cost ride along with the values
+    assert np.asarray(convs).all()
+    assert np.asarray(nes).min() > 0
 
 
 def test_sweep_solve_bz_with_mesh():
@@ -42,7 +45,7 @@ def test_sweep_solve_bz_with_mesh():
     from autobzcore_tpu.parameters import MixedParameters
 
     ps = MixedParameters(omegas)  # stacked positional parameter
-    us, _ = sweep_solve(IntegralProblem(fi, bz), PTR(npt=40), ps, mesh=mesh)
+    us, *_ = sweep_solve(IntegralProblem(fi, bz), PTR(npt=40), ps, mesh=mesh)
     assert us.shape == (16,)
     # Lorentzian-broadened DOS integrates to ~ #bands * vol over omega
     integral = np.trapezoid(np.asarray(us), np.asarray(omegas))
@@ -79,14 +82,15 @@ def test_sweep_autoptr_ladder():
     bz = load_bz(InversionSymIBZ(), np.eye(2))
     fi = dos_integrand(tb_integer(2), eta=0.5)
     omegas = jnp.linspace(-5.0, 5.0, 21)
-    us, errs = sweep_solve(
+    us, errs, convs, nes = sweep_solve(
         IntegralProblem(fi, bz), AutoPTR(nmin=20, nmax=160),
         MixedParameters(omegas), abstol=1e-6,
     )
     assert us.shape == (21,)
     assert errs is not None and float(jnp.max(errs)) <= 1e-6
+    assert np.asarray(convs).all() and np.asarray(nes).min() > 0
     # matches per-omega PTR at high npt
-    ref, _ = sweep_solve(IntegralProblem(fi, bz), PTR(npt=160), MixedParameters(omegas))
+    ref, *_ = sweep_solve(IntegralProblem(fi, bz), PTR(npt=160), MixedParameters(omegas))
     assert np.allclose(np.asarray(us), np.asarray(ref), atol=1e-8)
 
 
@@ -146,7 +150,7 @@ def test_sweep_unknown_rep_scalar_ok():
     bz = load_bz(InversionSymIBZ(), np.eye(2))
     from autobzcore_tpu.parameters import MixedParameters
 
-    us, _ = sweep_solve(IntegralProblem(lambda x, p: p, bz), PTR(npt=10),
+    us, *_ = sweep_solve(IntegralProblem(lambda x, p: p, bz), PTR(npt=10),
                         MixedParameters(jnp.asarray([1.0, 2.0])))
     assert np.allclose(np.asarray(us), [(2 * np.pi) ** 2, 2 * (2 * np.pi) ** 2])
 
@@ -163,7 +167,7 @@ def test_sweep_ptr_iai_two_phase():
     fi = dos_integrand(tb_integer(2), eta=0.5)
     alg = PTR_IAI(PTR(npt=20), IAI(inner_cap=64, inner_nbisect=2), reltol=1e-3)
     omegas = jnp.asarray([-1.0, 0.0, 1.5])
-    us, _ = sweep_solve(IntegralProblem(fi, bz), alg, MixedParameters(omegas))
+    us, *_ = sweep_solve(IntegralProblem(fi, bz), alg, MixedParameters(omegas))
     assert us.shape == (3,)
     for i, om in enumerate(np.asarray(omegas)):
         ref = solve(IntegralProblem(fi, bz, om), alg)
@@ -324,7 +328,8 @@ def test_absolute_estimate_sweep_matches_pointwise_tolerance():
         def solve_fn(self, cacheval):
             def fn(p, atol, rtol):
                 captured["sweep_atol"] = atol
-                return jnp.asarray(100.0), jnp.asarray(0.0)
+                return (jnp.asarray(100.0), jnp.asarray(0.0),
+                        jnp.asarray(True), jnp.asarray(1))
             return fn
 
     alg = AbsoluteEstimate(StubAlg(), StubAlg(), norm=lambda u: jnp.abs(u))
@@ -332,11 +337,13 @@ def test_absolute_estimate_sweep_matches_pointwise_tolerance():
     cv = alg.init_cacheval(prob.f, (0.0, 1.0), None)
     alg.do_solve(prob.f, (0.0, 1.0), None, cv, abstol=1e-10)
     fn, consts = alg.solve_fn_consts(cv)
-    fn(consts, 0.0, jnp.asarray(1e-10), jnp.asarray(0.0))
+    _, _, _, ne = fn(consts, 0.0, jnp.asarray(1e-10), jnp.asarray(0.0))
     # both paths: atol = max(1e-10, sqrt(eps) * 100) = 1.49e-6
     expect = float(np.sqrt(np.finfo(np.float64).eps)) * 100.0
     assert captured["pointwise_atol"] == pytest.approx(expect, rel=1e-12)
     assert float(captured["sweep_atol"]) == pytest.approx(expect, rel=1e-6)
+    # the sweep cost certificate counts BOTH phases (1 est + 1 abs here)
+    assert int(ne) == 2
 
 
 def test_sweep_solver_empty_input_keeps_output_dtype():

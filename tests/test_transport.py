@@ -148,6 +148,56 @@ def test_electron_count_and_find_mu():
         ec.find_mu(1.5, 5.0)
 
 
+def test_validation_and_pack_sharing(setup):
+    """Negative alpha and zero-temperature windows raise; a shared
+    SpectralPack gives bit-identical results across solvers (the grid builds
+    once), and the eigenvalues-only ElectronCountSolver build matches the
+    full pack's eigenvalues."""
+    from autobzcore_tpu.models.observables import spectral_velocity_pack
+    from autobzcore_tpu.models.transport import ElectronCountSolver
+
+    h, bz, kc = setup
+    with pytest.raises(ValueError, match="non-negative"):
+        KineticCoefficientSolver(h, bz, 16, eta=0.3, beta=4.0, alpha=-1)
+    with pytest.raises(ValueError, match="finite"):
+        fermi_window_limits(0.0, np.inf)
+
+    pack = spectral_velocity_pack(h, bz, 16)
+    kc_shared = KineticCoefficientSolver(h, bz, 16, eta=0.3, beta=4.0,
+                                         pack=pack)
+    got = kc_shared(np.array([0.8]), abstol=1e-7)
+    ref = kc(np.array([0.8]), abstol=1e-7)
+    assert np.array_equal(got, ref)
+    assert kc_shared.pack is pack
+    ec_cheap = ElectronCountSolver(h, bz, 16)
+    ec_pack = ElectronCountSolver(h, bz, 16, pack=pack)
+    assert ec_cheap(0.4, 5.0) == pytest.approx(ec_pack(0.4, 5.0), abs=1e-12)
+
+
+def test_fermi_window_no_cancellation_near_dc():
+    """The product form must be smooth through Omega -> 0: a window at
+    Omega = 1e-12 agrees with the analytic DC limit to near machine
+    precision (the naive f(x) - f(x+a) difference loses ~12 digits here)."""
+    beta = 40.0
+    ws = np.linspace(-0.5, 0.5, 101)
+    w_dc = np.asarray(fermi_window(ws, 0.0, beta))
+    w_eps = np.asarray(fermi_window(ws, 1e-12, beta))
+    assert np.max(np.abs(w_eps - w_dc) / w_dc.max()) < 1e-10
+
+
+def test_sweep_sets_retcode(setup):
+    """sweep() must certify like __call__: retcode True on a converged
+    sweep, False when the budget cannot be met."""
+    h, bz, kc = setup
+    kc_ok = KineticCoefficientSolver(h, bz, 16, eta=0.3, beta=4.0)
+    kc_ok.sweep(np.array([0.0, 0.4]), abstol=1e-6, chunk=2)
+    assert kc_ok.retcode is True
+    assert kc_ok.numevals > 100  # true GK integrand evals, not solve counts
+    kc_bad = KineticCoefficientSolver(h, bz, 16, eta=0.3, beta=4.0, cap=8)
+    kc_bad.sweep(np.array([0.0, 0.4]), abstol=1e-14, chunk=2)
+    assert kc_bad.retcode is False
+
+
 def test_scalar_self_energy(setup):
     """A frequency-dependent scalar self-energy replaces the constant-eta
     spectral function; Sigma = -i eta reproduces the eta path exactly, and a

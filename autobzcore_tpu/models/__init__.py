@@ -1,10 +1,13 @@
+from .berry import BerryCurvatureSolver, BerryPack, berry_pack
 from .observables import SpectralPack, TransportSolver, spectral_velocity_pack
-from .tight_binding import integer_lattice, synthetic_wannier, tb_graphene, tb_integer
+from .tight_binding import (integer_lattice, synthetic_wannier, tb_graphene,
+                            tb_haldane, tb_integer)
 from .transport import (ElectronCountSolver, KineticCoefficientSolver, fermi,
                         fermi_window, fermi_window_limits, optical_conductivity)
 
 __all__ = [
-    "integer_lattice", "synthetic_wannier", "tb_graphene", "tb_integer",
+    "integer_lattice", "synthetic_wannier", "tb_graphene", "tb_haldane",
+    "tb_integer", "BerryCurvatureSolver", "BerryPack", "berry_pack",
     "ElectronCountSolver", "KineticCoefficientSolver", "fermi", "fermi_window",
     "fermi_window_limits", "optical_conductivity",
     "SpectralPack", "TransportSolver", "spectral_velocity_pack",

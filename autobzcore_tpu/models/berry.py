@@ -1,0 +1,144 @@
+"""Berry curvature, Chern numbers, and the intrinsic anomalous Hall
+conductivity on the cached spectral grid.
+
+Beyond the reference's surface (AutoBZCore.jl ships the integration
+machinery; its companion application packages compute transport responses
+with it — cf. the kinetic-coefficient solvers in ``models/transport.py``).
+Formulated TPU-first like :class:`~.observables.TransportSolver`: the
+(H, dH) grid is evaluated and eigendecomposed ONCE (one batched program on
+the MXU), and every (mu, beta) query is a masked reduction over the cached
+band-resolved curvature.
+
+Physics: the band Berry curvature from Kubo perturbation theory,
+
+    Omega_n,ab(k) = -2 Im  sum_{m != n}  v_a,nm v_b,mn / (e_n - e_m)^2 ,
+
+with ``v_a = dH/du_a`` the band-basis velocity in FRACTIONAL coordinates
+``u`` (``k = B u``; the series evaluates as ``H(u) = sum_R c_R e^{2 pi i
+R.u}``, derivative convention ``ops/fourier_eval.py`` module docstring).
+Cartesian curvature follows by the rank-2 tensor transformation
+``Omega^cart_ab = (B^-T Omega^frac B^-1)_ab``.
+
+Observables:
+
+- Chern numbers (2D): ``C_n = (1/2pi) int_{[0,1)^2} Omega^frac_n,12 du`` —
+  basis-independent integers on gapped bands.
+- Intrinsic anomalous Hall conductivity:
+  ``sigma_ab = -(e^2/hbar) I_ab`` with
+  ``I_ab = int d^dk/(2pi)^d  sum_n f(e_n) Omega^cart_n,ab``
+  (this module returns the dimensionless ``I_ab``; in 2D with the chemical
+  potential in a gap, ``I_xy = sign(det B) C_occ / (2pi)``, i.e.
+  ``sigma_xy = -C_occ e^2/h`` for ``det B > 0``).
+
+Symmetry: Berry curvature is odd under time reversal, and the lattice point
+group stored on an IBZ need not commute with a TRS-broken Hamiltonian (the
+IBZ reduction was derived from the lattice alone, reference
+``src/brillouin.jl:260-307``), so this solver requires a full-zone
+``load_bz(FBZ, ...)`` and raises otherwise — the same conservative stance
+the reference takes when a representation is unknown
+(``src/brillouin.jl:346-351``), except made an error because silent
+symmetrization would zero the answer.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..fourier import FourierSeries
+from .transport import fermi
+
+
+class BerryPack(NamedTuple):
+    """Band energies and band-resolved fractional-coordinate Berry curvature
+    on the full ``npt^d`` zone grid (built once, queried per (mu, beta))."""
+
+    e: object        # (K, m) band energies
+    Om: object       # (K, m, d, d) Omega^frac_n,ab per grid point and band
+    ndim: int
+    npt: int
+
+
+def berry_pack(h: FourierSeries, bz, npt, degtol=1e-8) -> BerryPack:
+    """Evaluate (H, dH) on the full npt^d grid, eigendecompose, and build the
+    band Berry curvature.  ``degtol``: band pairs closer than this are
+    dropped from the Kubo sum (the n = m term is excluded analytically; at an
+    exact crossing the band curvature is undefined — only the total over the
+    degenerate subspace is meaningful, and that total is what any filled-band
+    sum here reproduces because the pair's +/- contributions cancel)."""
+    from ..ops.fourier_eval import evaluate_grid
+
+    if getattr(bz, "syms", None) is not None:
+        raise ValueError(
+            "BerryCurvatureSolver requires a full-zone BZ (load_bz(FBZ, ...)): "
+            "Berry curvature is time-reversal-odd and the stored lattice point "
+            "group need not be a symmetry of a TRS-broken Hamiltonian"
+        )
+    d = bz.ndim
+    u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
+
+    @jax.jit
+    def build():
+        hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
+        grads = []
+        for j in range(d):
+            derivs = tuple(1 if i == j else 0 for i in range(d))
+            grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
+        vk = jnp.stack(grads, axis=d)
+        hk = hk.reshape((npt**d,) + hk.shape[d:])
+        vk = vk.reshape((npt**d, d) + vk.shape[d + 1:])
+        e, U = jnp.linalg.eigh(hk)
+        vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
+        # Im[v_a,nm v_b,mn] band-pair products; (K, d, d, m, m) with [.., n, m]
+        Q = jnp.imag(jnp.einsum("kanm,kbmn->kabnm", vband, vband))
+        de = e[:, :, None] - e[:, None, :]            # (K, n, m)
+        inv2 = jnp.where(jnp.abs(de) > degtol, 1.0 / jnp.where(de == 0, 1.0, de) ** 2, 0.0)
+        # Omega_n,ab = -2 sum_m Q[a,b,n,m] / (e_n - e_m)^2
+        Om = -2.0 * jnp.einsum("kabnm,knm->knab", Q, inv2)
+        return e, Om
+
+    e, Om = build()
+    return BerryPack(e, Om, d, npt)
+
+
+class BerryCurvatureSolver:
+    """Reusable Berry-curvature observables over one cached (H, dH) grid.
+
+    >>> slv = BerryCurvatureSolver(h, load_bz(FBZ(), np.eye(2)), npt=120)
+    >>> slv.chern()                  # per-band Chern numbers (2D)
+    >>> slv.ahc(mu=0.0, beta=None)   # I_ab; sigma_ab = -(e^2/hbar) I_ab
+    """
+
+    def __init__(self, h: FourierSeries, bz, npt, degtol=1e-8, pack=None):
+        if pack is None:
+            pack = berry_pack(h, bz, npt, degtol=degtol)
+        self.pack = pack
+        self.bz = bz
+        Binv = np.linalg.inv(np.asarray(bz.B, dtype=np.float64))
+        self._Binv = jnp.asarray(Binv)
+        self._detB = float(np.linalg.det(np.asarray(bz.B, dtype=np.float64)))
+
+    def chern(self):
+        """Per-band Chern numbers (2D only): ``(1/2pi) mean_u Omega^frac_12``.
+        Integers (to grid accuracy) whenever the band is isolated."""
+        p = self.pack
+        if p.ndim != 2:
+            raise ValueError("chern() is defined for 2D zones")
+        return jnp.mean(p.Om[:, :, 0, 1], axis=0) / (2 * np.pi)
+
+    def ahc(self, mu=0.0, beta=None):
+        """Dimensionless intrinsic anomalous Hall integral
+        ``I_ab = int d^dk/(2pi)^d sum_n f(e_n) Omega^cart_n,ab``
+        (``sigma_ab = -(e^2/hbar) I_ab``).  ``beta=None`` means zero
+        temperature (step occupation)."""
+        p = self.pack
+        if beta is None:
+            occ = (p.e < mu).astype(p.Om.dtype)
+        else:
+            occ = fermi(beta * (p.e - mu)).astype(p.Om.dtype)
+        Ofrac = jnp.mean(jnp.einsum("km,kmab->kab", occ, p.Om), axis=0)
+        Ocart = self._Binv.T @ Ofrac @ self._Binv
+        return abs(self._detB) / (2 * np.pi) ** p.ndim * Ocart

@@ -54,6 +54,42 @@ def tb_graphene(t=1.0, period=1.0, dtype=None):
                          dtype=dtype or jnp.complex128)
 
 
+def tb_haldane(t1=1.0, t2=0.2, phi=np.pi / 2, M=0.0, period=1.0, dtype=None):
+    """Haldane model on the honeycomb lattice in fractional coordinates —
+    the canonical Chern insulator (TRS-broken 2-band model; Haldane, PRL 61,
+    2015 (1988)).  Topological (|C| = 1) for ``|M| < 3 sqrt(3) |t2 sin phi|``,
+    trivial otherwise — the fixture for the Berry/Chern acceptance tests.
+
+    Blocks: ``H_AB(u) = t1 (1 + e^{-2 pi i u1} + e^{-2 pi i u2})``;
+    ``H_AA = M + 2 t2 sum_i cos(2 pi b_i . u + phi)`` and
+    ``H_BB = -M + 2 t2 sum_i cos(2 pi b_i . u - phi)`` over the cyclic NNN
+    triple ``b = (1,0), (-1,1), (0,-1)``.
+    """
+    import jax.numpy as jnp
+
+    C = np.zeros((3, 3, 2, 2), dtype=np.complex128)  # offsets -1..1
+    o = 1
+
+    def add(i, j, a, b, val):
+        C[i + o, j + o, a, b] += val
+
+    # nearest-neighbor A->B (and hermitian transpose entries)
+    for (i, j) in ((0, 0), (-1, 0), (0, -1)):
+        add(i, j, 0, 1, t1)
+        add(-i, -j, 1, 0, t1)
+    # on-site mass
+    add(0, 0, 0, 0, M)
+    add(0, 0, 1, 1, -M)
+    # NNN with Haldane phase: +phi on A, -phi on B
+    for (i, j) in ((1, 0), (-1, 1), (0, -1)):
+        add(i, j, 0, 0, t2 * np.exp(1j * phi))
+        add(-i, -j, 0, 0, t2 * np.exp(-1j * phi))
+        add(i, j, 1, 1, t2 * np.exp(-1j * phi))
+        add(-i, -j, 1, 1, t2 * np.exp(1j * phi))
+    return FourierSeries(C, period=period, offset=(-1, -1), ndim=2,
+                         dtype=dtype or jnp.complex128)
+
+
 def synthetic_wannier(nbands, nr=5, ndim=3, decay=1.0, seed=0, period=1.0, dtype=None):
     """Random Hermitian-symmetric Wannier-like model: ``nbands`` bands with
     exponentially decaying real-space hoppings on an ``nr^ndim`` R-box.

@@ -1,0 +1,101 @@
+"""Berry curvature / Chern / anomalous Hall acceptance tests.
+
+Anchors: the Haldane model's exactly known phase diagram — Chern number
++-1 for |M| < 3 sqrt(3) |t2 sin phi|, 0 otherwise (Haldane, PRL 61, 2015
+(1988)) — and the gapped-band identity sigma_xy = -C e^2/h, i.e.
+I_xy = sign(det B) C / (2 pi) for mu in the gap.
+"""
+import numpy as np
+import pytest
+
+from autobzcore_tpu.brillouin import FBZ, InversionSymIBZ, load_bz
+from autobzcore_tpu.models.berry import BerryCurvatureSolver
+from autobzcore_tpu.models.tight_binding import tb_haldane
+
+
+def _fbz2(A=None):
+    if A is None:
+        A = np.eye(2)
+    return load_bz(FBZ(), A)
+
+
+def test_haldane_chern_topological():
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    slv = BerryCurvatureSolver(h, _fbz2(), npt=72)
+    C = np.asarray(slv.chern())
+    # bands carry opposite unit Chern numbers; total is zero
+    assert abs(abs(C[0]) - 1) < 1e-6
+    assert abs(C[0] + C[1]) < 1e-9
+
+
+def test_haldane_chern_sign_flips_with_phi():
+    hp = tb_haldane(t2=0.1, phi=np.pi / 2)
+    hm = tb_haldane(t2=0.1, phi=-np.pi / 2)
+    Cp = np.asarray(BerryCurvatureSolver(hp, _fbz2(), npt=54).chern())
+    Cm = np.asarray(BerryCurvatureSolver(hm, _fbz2(), npt=54).chern())
+    assert np.allclose(Cp, -Cm, atol=1e-6)
+    assert abs(abs(Cp[0]) - 1) < 1e-5
+
+
+def test_haldane_chern_trivial_phase():
+    # |M| = 1.0 > 3 sqrt(3) * 0.1 ~ 0.52: trivial insulator
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=1.0)
+    C = np.asarray(BerryCurvatureSolver(h, _fbz2(), npt=54).chern())
+    assert np.allclose(C, 0.0, atol=1e-6)
+
+
+def test_ahc_gap_quantization():
+    # mu in the gap at zero temperature: I_xy = sign(det B) C_lower / (2 pi)
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    bz = _fbz2()
+    slv = BerryCurvatureSolver(h, bz, npt=72)
+    C = np.asarray(slv.chern())
+    lower = C[0] if True else None  # eigh sorts ascending: band 0 is lower
+    I = np.asarray(slv.ahc(mu=0.0, beta=None))
+    detB = np.linalg.det(np.asarray(bz.B))
+    assert abs(I[0, 1] - np.sign(detB) * lower / (2 * np.pi)) < 1e-6
+    # antisymmetric response
+    assert abs(I[0, 1] + I[1, 0]) < 1e-9
+    assert abs(I[0, 0]) < 1e-9 and abs(I[1, 1]) < 1e-9
+
+
+def test_ahc_basis_invariance():
+    # I_ab is a Cartesian tensor: a non-trivial lattice basis must give the
+    # same zone-integral invariant pattern (here: the 2D antisymmetric part
+    # scales as the Chern number regardless of A)
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    A = np.array([[1.0, 0.5], [0.0, 2.0]])
+    bz = _fbz2(A)
+    slv = BerryCurvatureSolver(h, bz, npt=54)
+    I = np.asarray(slv.ahc(mu=0.0, beta=None))
+    C = np.asarray(slv.chern())
+    detB = np.linalg.det(np.asarray(bz.B))
+    assert abs(I[0, 1] - np.sign(detB) * C[0] / (2 * np.pi)) < 1e-6
+
+
+def test_ahc_finite_temperature_interpolates():
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    slv = BerryCurvatureSolver(h, _fbz2(), npt=54)
+    I0 = np.asarray(slv.ahc(mu=0.0, beta=None))[0, 1]
+    # low T ~ zero T; high T washes the response out toward zero
+    Ilow = np.asarray(slv.ahc(mu=0.0, beta=200.0))[0, 1]
+    Ihigh = np.asarray(slv.ahc(mu=0.0, beta=0.5))[0, 1]
+    assert abs(Ilow - I0) < 1e-3 * abs(I0) + 1e-8
+    assert abs(Ihigh) < abs(I0)
+
+
+def test_requires_full_zone():
+    h = tb_haldane(t2=0.1)
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    with pytest.raises(ValueError, match="full-zone"):
+        BerryCurvatureSolver(h, bz, npt=12)
+
+
+def test_chern_grid_convergence():
+    # exponential PTR convergence on the smooth gapped curvature: a coarse
+    # grid is already integer to ~1e-4, a moderate one to ~1e-8
+    h = tb_haldane(t1=1.0, t2=0.2, phi=np.pi / 3, M=0.3)
+    coarse = np.asarray(BerryCurvatureSolver(h, _fbz2(), npt=24).chern())
+    fine = np.asarray(BerryCurvatureSolver(h, _fbz2(), npt=96).chern())
+    assert abs(coarse[0] - round(fine[0])) < 1e-3
+    assert abs(fine[0] - round(fine[0])) < 1e-8

@@ -1,4 +1,5 @@
-from .berry import BerryCurvatureSolver, BerryPack, berry_pack
+from .berry import (BerryCurvatureSolver, BerryPack, berry_pack,
+                    lattice_chern)
 from .observables import SpectralPack, TransportSolver, spectral_velocity_pack
 from .tight_binding import (integer_lattice, synthetic_wannier, tb_graphene,
                             tb_haldane, tb_integer)
@@ -7,7 +8,7 @@ from .transport import (ElectronCountSolver, KineticCoefficientSolver, fermi,
 
 __all__ = [
     "integer_lattice", "synthetic_wannier", "tb_graphene", "tb_haldane",
-    "tb_integer", "BerryCurvatureSolver", "BerryPack", "berry_pack",
+    "tb_integer", "BerryCurvatureSolver", "BerryPack", "berry_pack", "lattice_chern",
     "ElectronCountSolver", "KineticCoefficientSolver", "fermi", "fermi_window",
     "fermi_window_limits", "optical_conductivity",
     "SpectralPack", "TransportSolver", "spectral_velocity_pack",

@@ -99,3 +99,29 @@ def test_chern_grid_convergence():
     fine = np.asarray(BerryCurvatureSolver(h, _fbz2(), npt=96).chern())
     assert abs(coarse[0] - round(fine[0])) < 1e-3
     assert abs(fine[0] - round(fine[0])) < 1e-8
+
+
+def test_lattice_chern_exact_on_coarse_grid():
+    from autobzcore_tpu.models.berry import lattice_chern
+
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    bz = _fbz2()
+    # FHS plaquette Chern is exactly integer even at npt=12
+    C = lattice_chern(h, bz, 12, bands=[0])
+    assert abs(C - round(C)) < 1e-12
+    assert round(C) in (-1, 1)
+    # agrees with the Kubo-curvature route
+    CK = np.asarray(BerryCurvatureSolver(h, bz, npt=72).chern())
+    assert round(C) == round(float(CK[0]))
+    # default band set = lower half
+    assert lattice_chern(h, bz, 12) == C
+    # upper band carries the opposite charge; total zero
+    assert round(lattice_chern(h, bz, 12, bands=[1])) == -round(C)
+    assert round(lattice_chern(h, bz, 12, bands=[0, 1])) == 0
+
+
+def test_lattice_chern_trivial():
+    from autobzcore_tpu.models.berry import lattice_chern
+
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=1.0)
+    assert round(lattice_chern(h, _fbz2(), 16, bands=[0])) == 0

@@ -1,5 +1,6 @@
 from .berry import (BerryCurvatureSolver, BerryPack, berry_pack,
                     lattice_chern)
+from .kpath import KPath, band_structure, kpath, spectral_path
 from .observables import SpectralPack, TransportSolver, spectral_velocity_pack
 from .tight_binding import (integer_lattice, synthetic_wannier, tb_graphene,
                             tb_haldane, tb_integer)
@@ -12,4 +13,5 @@ __all__ = [
     "ElectronCountSolver", "KineticCoefficientSolver", "fermi", "fermi_window",
     "fermi_window_limits", "optical_conductivity",
     "SpectralPack", "TransportSolver", "spectral_velocity_pack",
+    "KPath", "band_structure", "kpath", "spectral_path",
 ]

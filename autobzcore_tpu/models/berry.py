@@ -54,10 +54,14 @@ from .transport import fermi
 
 class BerryPack(NamedTuple):
     """Band energies and band-resolved fractional-coordinate Berry curvature
-    on the full ``npt^d`` zone grid (built once, queried per (mu, beta))."""
+    on the full ``npt^d`` zone grid (built once, queried per (mu, beta)).
+    ``Mm`` is the band self-rotation moment entering the modern theory of
+    orbital magnetization (same Kubo pair sum with a ``1/(e_n - e_m)``
+    weight instead of ``1/(e_n - e_m)^2``)."""
 
     e: object        # (K, m) band energies
     Om: object       # (K, m, d, d) Omega^frac_n,ab per grid point and band
+    Mm: object       # (K, m, d, d) m^frac_n,ab = sum_m Q_ab,nm / (e_n - e_m)
     ndim: int
     npt: int
 
@@ -95,13 +99,19 @@ def berry_pack(h: FourierSeries, bz, npt, degtol=1e-8) -> BerryPack:
         # Im[v_a,nm v_b,mn] band-pair products; (K, d, d, m, m) with [.., n, m]
         Q = jnp.imag(jnp.einsum("kanm,kbmn->kabnm", vband, vband))
         de = e[:, :, None] - e[:, None, :]            # (K, n, m)
-        inv2 = jnp.where(jnp.abs(de) > degtol, 1.0 / jnp.where(de == 0, 1.0, de) ** 2, 0.0)
+        safe = jnp.where(de == 0, 1.0, de)
+        ok = jnp.abs(de) > degtol
+        inv1 = jnp.where(ok, 1.0 / safe, 0.0)
+        inv2 = jnp.where(ok, 1.0 / safe**2, 0.0)
         # Omega_n,ab = -2 sum_m Q[a,b,n,m] / (e_n - e_m)^2
         Om = -2.0 * jnp.einsum("kabnm,knm->knab", Q, inv2)
-        return e, Om
+        # self-rotation moment m_n,ab = sum_m Q[a,b,n,m] / (e_n - e_m)
+        # (= -(1/2) Im <d_a u_n| x (H - e_n) |d_b u_n> antisymmetrized)
+        Mm = jnp.einsum("kabnm,knm->knab", Q, inv1)
+        return e, Om, Mm
 
-    e, Om = build()
-    return BerryPack(e, Om, d, npt)
+    e, Om, Mm = build()
+    return BerryPack(e, Om, Mm, d, npt)
 
 
 def lattice_chern(h: FourierSeries, bz, npt, bands=None):
@@ -191,3 +201,30 @@ class BerryCurvatureSolver:
         Ofrac = jnp.mean(jnp.einsum("km,kmab->kab", occ, p.Om), axis=0)
         Ocart = self._Binv.T @ Ofrac @ self._Binv
         return abs(self._detB) / (2 * np.pi) ** p.ndim * Ocart
+
+    def orbital_magnetization(self, mu=0.0, beta=None):
+        """Intrinsic orbital magnetization tensor ``M_ab`` (antisymmetric;
+        in 2D the scalar magnetization is ``M[0, 1]``), in units ``e/hbar``,
+        from the modern k-space theory (Shi–Vignale–Xiao–Niu, PRL 99,
+        197202 (2007); Ceresoli et al., PRB 74, 024408 (2006)):
+
+            M = int d^dk/(2pi)^d sum_n [ f_n m_n
+                  + (1/beta) ln(1 + e^{-beta (e_n - mu)}) Omega_n ]
+
+        with ``m_n`` the band self-rotation moment and the grand-potential
+        Berry-curvature term reducing to ``(mu - e_n) theta(mu - e_n)`` at
+        ``beta=None`` (zero temperature).  Inside a Chern gap,
+        ``dM_xy/dmu = sign(det B) C_occ / (2 pi)`` — the quantized Streda
+        slope (the acceptance anchor in ``tests/test_berry.py``)."""
+        p = self.pack
+        x = None if beta is None else beta * (p.e - mu)
+        if beta is None:
+            occ = (p.e < mu).astype(p.Om.dtype)
+            gp = jnp.maximum(mu - p.e, 0.0).astype(p.Om.dtype)
+        else:
+            occ = fermi(x).astype(p.Om.dtype)
+            gp = (jax.nn.softplus(-x) / beta).astype(p.Om.dtype)
+        Xfrac = jnp.mean(jnp.einsum("km,kmab->kab", occ, p.Mm)
+                         + jnp.einsum("km,kmab->kab", gp, p.Om), axis=0)
+        Xcart = self._Binv.T @ Xfrac @ self._Binv
+        return abs(self._detB) / (2 * np.pi) ** p.ndim * Xcart

@@ -125,3 +125,40 @@ def test_lattice_chern_trivial():
 
     h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=1.0)
     assert round(lattice_chern(h, _fbz2(), 16, bands=[0])) == 0
+
+
+def test_orbital_magnetization_streda_slope():
+    # inside a Chern gap dM/dmu = sign(det B) C_occ / (2 pi) exactly
+    # (Streda / Shi-Vignale-Xiao-Niu); the slope is linear so two in-gap
+    # points pin it
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    bz = _fbz2()
+    slv = BerryCurvatureSolver(h, bz, npt=72)
+    e = np.asarray(slv.pack.e)
+    lo, hi = e[:, 0].max(), e[:, 1].min()
+    assert hi - lo > 0.3  # sanity: actually gapped
+    C = float(np.asarray(slv.chern())[0])
+    mus = lo + np.array([0.2, 0.8]) * (hi - lo)
+    M = [float(np.asarray(slv.orbital_magnetization(mu=m))[0, 1]) for m in mus]
+    slope = (M[1] - M[0]) / (mus[1] - mus[0])
+    detB = np.linalg.det(np.asarray(bz.B))
+    assert abs(slope - np.sign(detB) * C / (2 * np.pi)) < 1e-9
+    # antisymmetric tensor
+    Mt = np.asarray(slv.orbital_magnetization(mu=mus[0]))
+    assert abs(Mt[0, 1] + Mt[1, 0]) < 1e-12
+
+
+def test_orbital_magnetization_finite_temperature():
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    slv = BerryCurvatureSolver(h, _fbz2(), npt=54)
+    m0 = float(np.asarray(slv.orbital_magnetization(mu=0.0))[0, 1])
+    mlow = float(np.asarray(slv.orbital_magnetization(mu=0.0, beta=500.0))[0, 1])
+    assert abs(mlow - m0) < 1e-6 + 1e-6 * abs(m0)
+
+
+def test_orbital_magnetization_trs_zero():
+    # a real (time-reversal-symmetric) model carries no orbital moment
+    from autobzcore_tpu.models.tight_binding import tb_graphene
+
+    slv = BerryCurvatureSolver(tb_graphene(), _fbz2(), npt=36)
+    assert abs(float(np.asarray(slv.orbital_magnetization(mu=0.5))[0, 1])) < 1e-12

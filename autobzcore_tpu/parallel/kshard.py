@@ -92,6 +92,80 @@ def spectral_sum_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int,
     return dos * scale
 
 
+def transport_sweep_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int,
+                            omegas, eta: float, mesh: Mesh,
+                            k_axis: str = "k", w_axis: str = "w"):
+    """Kubo-Greenwood transport sweep ``Gamma_ab(omega)`` with the
+    (symmetry-reduced) k-grid sharded over ``k_axis`` (psum-combined) and the
+    frequency grid data-parallel over ``w_axis`` — the pod layout for the
+    transport family (single-chip fast path:
+    :class:`~..models.observables.TransportSolver`).
+
+    Returns (len(omegas), d, d), group-averaged back to the full zone for
+    IBZ inputs (rank-2 tensor symmetrization, reference
+    ``src/brillouin.jl:96-108`` semantics for matrix-valued results).
+    """
+    from ..ops.fourier_eval import evaluate_points
+
+    d = bz.ndim
+    reps, weights = _rule_data(series, bz, npt)
+    nk_dev = mesh.shape[k_axis]
+    nw_dev = mesh.shape[w_axis]
+    K = reps.shape[0]
+    Kpad = -(-K // nk_dev) * nk_dev
+    frac = np.zeros((Kpad, d))
+    wgt = np.zeros(Kpad)  # padded rows carry zero weight -> no contribution
+    frac[:K] = reps.astype(np.float64) / npt * np.asarray(series.period)
+    wgt[:K] = weights
+    omegas = jnp.asarray(omegas)
+    W = omegas.shape[0]
+    if W % nw_dev:
+        raise ValueError(f"omega count {W} must divide over {nw_dev} devices")
+    vol = abs(np.linalg.det(bz.B))
+    scale = vol / (npt**d)
+
+    frac_sh = jax.device_put(jnp.asarray(frac), NamedSharding(mesh, P(k_axis, None)))
+    w_sh = jax.device_put(jnp.asarray(wgt), NamedSharding(mesh, P(k_axis)))
+    om_sh = jax.device_put(omegas, NamedSharding(mesh, P(w_axis)))
+    c = series.c
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(k_axis, None), P(k_axis), P(w_axis)),
+        out_specs=P(w_axis),
+    )
+    def block(frac_blk, w_blk, om_blk):
+        hk = evaluate_points(c, series.sndim, frac_blk, series.offset,
+                             series.period, None, series.dtype)
+        grads = []
+        for j in range(d):
+            derivs = tuple(1 if i == j else 0 for i in range(d))
+            grads.append(evaluate_points(c, series.sndim, frac_blk, series.offset,
+                                         series.period, derivs, series.dtype))
+        vk = jnp.stack(grads, axis=1)  # (Kloc, d, m, m)
+        if hk.ndim == 1:
+            hk = hk[:, None, None]
+            vk = vk[:, :, None, None]
+        e, U = jnp.linalg.eigh(hk)
+        vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
+        Pk = jnp.real(jnp.einsum("kanm,kbmn->kabnm", vband, vband))
+        Pw = Pk * w_blk[:, None, None, None, None]
+
+        def gamma_at(om):
+            A = eta / ((om - e) ** 2 + eta**2) / jnp.pi  # (Kloc, m)
+            return jnp.einsum("kabnm,kn,km->ab", Pw, A, A)
+
+        local = jax.vmap(gamma_at)(om_blk)
+        return jax.lax.psum(local, k_axis)
+
+    G = block(frac_sh, w_sh, om_sh) * scale
+    if bz.syms is not None:
+        Sinv = np.linalg.inv(np.asarray(bz.syms, dtype=np.float64))
+        G = jnp.einsum("sab,wbc,scd->wad", jnp.asarray(Sinv.swapaxes(1, 2), G.dtype),
+                       G, jnp.asarray(Sinv, G.dtype)) / len(Sinv)
+    return G
+
+
 def ggr_dos_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int, Es,
                     mesh: Mesh, k_axis: str = "k", w_axis: str = "w"):
     """Sharded Gilat-Raubenheimer DOS sweep: the eigensolve grid shards over

@@ -360,3 +360,20 @@ def test_sweep_solver_empty_input_keeps_output_dtype():
     assert empty.dtype == full.dtype
     assert np.iscomplexobj(empty)
     np.concatenate([empty, full])
+
+
+def test_transport_sweep_sharded_matches_single_device():
+    from autobzcore_tpu.models.observables import TransportSolver
+    from autobzcore_tpu.parallel.kshard import transport_sweep_sharded
+    from autobzcore_tpu.models.tight_binding import tb_graphene
+
+    devs = jax.devices("cpu")
+    mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("k", "w"))
+    omegas = jnp.linspace(-4, 4, 8)
+    eta = 0.1
+    s = tb_graphene()
+    for bz in (load_bz(FBZ(), np.eye(2)), load_bz(InversionSymIBZ(), np.eye(2))):
+        G_sh = np.asarray(transport_sweep_sharded(s, bz, 24, omegas, eta, mesh))
+        G_ref = np.asarray(TransportSolver(s, bz, 24, eta)(omegas))
+        assert G_sh.shape == G_ref.shape == (8, 2, 2)
+        np.testing.assert_allclose(G_sh, G_ref, rtol=1e-9, atol=1e-12)

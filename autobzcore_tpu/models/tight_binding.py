@@ -90,6 +90,25 @@ def tb_haldane(t1=1.0, t2=0.2, phi=np.pi / 2, M=0.0, period=1.0, dtype=None):
                          dtype=dtype or jnp.complex128)
 
 
+def tb_kane_mele_sz(t1=1.0, lam_so=0.1, M=0.0, period=1.0, dtype=None):
+    """S_z-conserving Kane–Mele model (quantum spin Hall; Kane & Mele, PRL
+    95, 226801 (2005)) as a 4-band block-diagonal series: spin-up = Haldane
+    with ``phi = +pi/2, t2 = lam_so``, spin-down its time reverse
+    (``phi = -pi/2``).  Basis order (A-up, B-up, A-dn, B-dn); use
+    ``O = diag(1, 1, -1, -1)/2`` as the spin operator.  Spin Chern number
+    ``(C_up - C_dn)/2 = -1`` in the topological phase
+    (``|M| < 3 sqrt(3) lam_so``); total charge Chern is zero (TRS)."""
+    import jax.numpy as jnp
+
+    up = np.asarray(tb_haldane(t1=t1, t2=lam_so, phi=np.pi / 2, M=M).c)
+    dn = np.asarray(tb_haldane(t1=t1, t2=lam_so, phi=-np.pi / 2, M=M).c)
+    C = np.zeros(up.shape[:2] + (4, 4), dtype=np.complex128)
+    C[..., :2, :2] = up
+    C[..., 2:, 2:] = dn
+    return FourierSeries(C, period=period, offset=(-1, -1), ndim=2,
+                         dtype=dtype or jnp.complex128)
+
+
 def synthetic_wannier(nbands, nr=5, ndim=3, decay=1.0, seed=0, period=1.0, dtype=None):
     """Random Hermitian-symmetric Wannier-like model: ``nbands`` bands with
     exponentially decaying real-space hoppings on an ``nr^ndim`` R-box.

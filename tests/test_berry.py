@@ -162,3 +162,41 @@ def test_orbital_magnetization_trs_zero():
 
     slv = BerryCurvatureSolver(tb_graphene(), _fbz2(), npt=36)
     assert abs(float(np.asarray(slv.orbital_magnetization(mu=0.5))[0, 1])) < 1e-12
+
+
+def test_kane_mele_spin_hall_quantized():
+    # Sz-conserving QSH: charge Hall exactly zero (TRS), spin Hall
+    # I^sz_xy = sign(det B) (C_up - C_dn)/2 / (2 pi) = -1/(2 pi)
+    from autobzcore_tpu.models.tight_binding import tb_kane_mele_sz
+
+    h = tb_kane_mele_sz(lam_so=0.1, M=0.0)
+    bz = _fbz2()
+    slv = BerryCurvatureSolver(h, bz, npt=72)
+    Sz = np.diag([0.5, 0.5, -0.5, -0.5])
+    I_c = float(np.asarray(slv.ahc(mu=0.0))[0, 1])
+    I_s = float(np.asarray(slv.operator_hall(Sz, mu=0.0))[0, 1])
+    detB = np.linalg.det(np.asarray(bz.B))
+    assert abs(I_c) < 1e-12
+    assert abs(I_s - np.sign(detB) * (-1.0) / (2 * np.pi)) < 1e-6
+    # operator cache: second query is a pure reduction, same answer
+    assert float(np.asarray(slv.operator_hall(Sz, mu=0.0))[0, 1]) == I_s
+
+
+def test_kane_mele_spin_hall_trivial_phase():
+    from autobzcore_tpu.models.tight_binding import tb_kane_mele_sz
+
+    # |M| = 1.0 > 3 sqrt(3) * 0.1: both spin blocks trivial
+    h = tb_kane_mele_sz(lam_so=0.1, M=1.0)
+    slv = BerryCurvatureSolver(h, _fbz2(), npt=54)
+    Sz = np.diag([0.5, 0.5, -0.5, -0.5])
+    assert abs(float(np.asarray(slv.operator_hall(Sz, mu=0.0))[0, 1])) < 1e-6
+
+
+def test_operator_hall_identity_reduces_to_ahc():
+    # O = identity: the operator current is the charge current, so the
+    # operator Hall response must equal ahc exactly
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    slv = BerryCurvatureSolver(h, _fbz2(), npt=36)
+    I1 = np.asarray(slv.operator_hall(np.eye(2), mu=0.0))
+    I0 = np.asarray(slv.ahc(mu=0.0))
+    np.testing.assert_allclose(I1, I0, atol=1e-12)

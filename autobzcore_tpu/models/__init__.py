@@ -3,13 +3,13 @@ from .berry import (BerryCurvatureSolver, BerryPack, berry_pack,
 from .kpath import KPath, band_structure, kpath, spectral_path
 from .observables import SpectralPack, TransportSolver, spectral_velocity_pack
 from .tight_binding import (integer_lattice, synthetic_wannier, tb_graphene,
-                            tb_haldane, tb_integer, tb_kane_mele_sz)
+                            tb_haldane, tb_integer, tb_kane_mele_sz, tb_weyl)
 from .transport import (ElectronCountSolver, KineticCoefficientSolver, fermi,
                         fermi_window, fermi_window_limits, optical_conductivity)
 
 __all__ = [
     "integer_lattice", "synthetic_wannier", "tb_graphene", "tb_haldane",
-    "tb_integer", "tb_kane_mele_sz", "BerryCurvatureSolver", "BerryPack", "berry_pack", "lattice_chern",
+    "tb_integer", "tb_kane_mele_sz", "tb_weyl", "BerryCurvatureSolver", "BerryPack", "berry_pack", "lattice_chern",
     "ElectronCountSolver", "KineticCoefficientSolver", "fermi", "fermi_window",
     "fermi_window_limits", "optical_conductivity",
     "SpectralPack", "TransportSolver", "spectral_velocity_pack",

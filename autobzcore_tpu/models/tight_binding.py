@@ -109,6 +109,34 @@ def tb_kane_mele_sz(t1=1.0, lam_so=0.1, M=0.0, period=1.0, dtype=None):
                          dtype=dtype or jnp.complex128)
 
 
+def tb_weyl(m=2.0, period=1.0, dtype=None):
+    """Minimal two-band Weyl semimetal on the cubic lattice:
+    ``H = sin(2 pi k1) sx + sin(2 pi k2) sy + (m - sum_i cos(2 pi k_i)) sz``.
+    For ``1 < m < 3`` a single pair of Weyl nodes sits on the k3 axis at
+    ``cos(2 pi k3) = m - 2``; the k3-slice Chern number is -1 between the
+    nodes and 0 outside — the fixture for the 3D topology-scan tests."""
+    import jax.numpy as jnp
+
+    C = np.zeros((3, 3, 3, 2, 2), dtype=np.complex128)
+    o = 1
+    sx = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+    sy = np.array([[0, -1j], [1j, 0]])
+    sz = np.array([[1, 0], [0, -1]], dtype=np.complex128)
+    # sin(2 pi k1) sx = (e^{i} - e^{-i})/(2i): C[+e1] = sx/(2i), C[-e1] = -sx/(2i)
+    C[o + 1, o, o] += sx / 2j
+    C[o - 1, o, o] += -sx / 2j
+    C[o, o + 1, o] += sy / 2j
+    C[o, o - 1, o] += -sy / 2j
+    C[o, o, o] += m * sz
+    for ax in range(3):
+        for s in (+1, -1):
+            idx = [o, o, o]
+            idx[ax] += s
+            C[tuple(idx)] += -sz / 2
+    return FourierSeries(C, period=period, offset=(-1, -1, -1), ndim=3,
+                         dtype=dtype or jnp.complex128)
+
+
 def synthetic_wannier(nbands, nr=5, ndim=3, decay=1.0, seed=0, period=1.0, dtype=None):
     """Random Hermitian-symmetric Wannier-like model: ``nbands`` bands with
     exponentially decaying real-space hoppings on an ``nr^ndim`` R-box.

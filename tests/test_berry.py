@@ -200,3 +200,20 @@ def test_operator_hall_identity_reduces_to_ahc():
     I1 = np.asarray(slv.operator_hall(np.eye(2), mu=0.0))
     I0 = np.asarray(slv.ahc(mu=0.0))
     np.testing.assert_allclose(I1, I0, atol=1e-12)
+
+
+def test_weyl_slice_chern_scan():
+    # 3D topology scan with the 2D machinery: contract k3, Wilson-loop the
+    # slice.  tb_weyl(m=2) has Weyl nodes at k3 = +-1/4; the slice Chern
+    # jumps -1 -> 0 across them
+    from autobzcore_tpu.models.berry import lattice_chern
+    from autobzcore_tpu.models.tight_binding import tb_weyl
+
+    h = tb_weyl(m=2.0)
+    bz2 = _fbz2()
+    inside = [lattice_chern(h.contract(np.float64(kz)), bz2, 24, bands=[0])
+              for kz in (0.0, 0.2)]
+    outside = [lattice_chern(h.contract(np.float64(kz)), bz2, 24, bands=[0])
+               for kz in (0.3, 0.5)]
+    assert all(abs(c + 1) < 1e-12 for c in inside), inside
+    assert all(abs(c) < 1e-12 for c in outside), outside

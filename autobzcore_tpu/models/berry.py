@@ -114,6 +114,38 @@ def berry_pack(h: FourierSeries, bz, npt, degtol=1e-8) -> BerryPack:
     return BerryPack(e, Om, Mm, d, npt)
 
 
+def berry_flux_integrand(h: FourierSeries, degtol=1e-8):
+    """The occupied-band Berry flux ``sum_{e_n < mu} Omega^frac_n,12(k)`` as a
+    standard :class:`~..fourier.FourierIntegrand` over a
+    :class:`~..fourier.JacobianSeries` — so Chern numbers and anomalous Hall
+    integrals flow through the framework's OWN solve pipeline (PTR, AutoPTR,
+    IAI, EvalCounter, sweeps...) like any other physics integrand.
+
+    ``mu`` is a solve-time parameter.  Over a full-zone 2D BZ,
+    ``solve(IntegralProblem(fi, bz, mu), alg).u = |det B| * 2 pi * C_occ``
+    (the gapped-band identity tested in ``tests/test_berry.py``).  Use a
+    full-zone ``load_bz(FBZ(), ...)``: curvature is TRS-odd (see module
+    docstring).
+    """
+    from ..fourier import FourierIntegrand, JacobianSeries
+
+    def flux(v, mu=None):
+        H, V = v.s
+        e, U = jnp.linalg.eigh(H)
+        Ud = jnp.conj(jnp.swapaxes(U, -1, -2))
+        vband = jnp.einsum("...mi,...dij,...jn->...dmn", Ud, V, U)
+        Q = jnp.imag(jnp.einsum("...nm,...mn->...nm", vband[..., 0, :, :],
+                                vband[..., 1, :, :]))
+        de = e[..., :, None] - e[..., None, :]
+        safe = jnp.where(de == 0, 1.0, de)
+        inv2 = jnp.where(jnp.abs(de) > degtol, 1.0 / safe**2, 0.0)
+        Om = -2.0 * jnp.sum(Q * inv2, axis=-1)        # (..., n)
+        occ = (e < mu).astype(Om.dtype)
+        return jnp.sum(occ * Om, axis=-1)
+
+    return FourierIntegrand(flux, JacobianSeries(h))
+
+
 def lattice_chern(h: FourierSeries, bz, npt, bands=None):
     """Gauge-invariant lattice Chern number via plaquette Wilson loops
     (Fukui–Hatsuda–Suzuki, J. Phys. Soc. Jpn. 74, 1674 (2005)) — EXACTLY

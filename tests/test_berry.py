@@ -217,3 +217,27 @@ def test_weyl_slice_chern_scan():
                for kz in (0.3, 0.5)]
     assert all(abs(c + 1) < 1e-12 for c in inside), inside
     assert all(abs(c) < 1e-12 for c in outside), outside
+
+
+def test_berry_flux_through_solve_pipeline():
+    # the Berry flux as a standard FourierIntegrand: Chern numbers flow
+    # through the framework's own PTR / AutoPTR solve machinery,
+    # u = |det B| * 2 pi * C_occ
+    from autobzcore_tpu import AutoPTR, EvalCounter, IntegralProblem, IntegralSolver, PTR
+    from autobzcore_tpu.models.berry import berry_flux_integrand
+
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    bz = _fbz2()
+    fi = berry_flux_integrand(h)
+    detB = np.linalg.det(np.asarray(bz.B))
+    prob = IntegralProblem(fi, bz)
+    C_ptr = float(IntegralSolver(prob, PTR(npt=48))(mu=0.0)) / (detB * 2 * np.pi)
+    assert abs(C_ptr + 1) < 1e-10
+    C_auto = float(IntegralSolver(prob, AutoPTR(), abstol=1e-6)(mu=0.0)) / (detB * 2 * np.pi)
+    assert abs(C_auto + 1) < 1e-10
+    # cost observability composes too
+    from autobzcore_tpu import solve
+    from autobzcore_tpu.parameters import MixedParameters
+
+    sol = solve(IntegralProblem(fi, bz, MixedParameters(mu=0.0)), EvalCounter(PTR(npt=10)))
+    assert sol.numevals == 100

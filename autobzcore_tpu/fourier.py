@@ -310,33 +310,80 @@ class FourierIntegrand:
     # --- nested quadrature support ----------------------------------------
     def nest_carrier(self, split=False, downcast=False):
         if isinstance(self.s, JacobianSeries):
-            raise TypeError("nested quadrature over a JacobianSeries is not supported")
-        if downcast:
-            # guide tier for the f32-search/split-evaluate nest: the same
-            # series downcast to complex64 so search-phase evaluations stay in
-            # single precision even under x64 tracing (phase_matrix computes
-            # in the real counterpart of the series dtype)
-            s = self.s
-            c64 = np.asarray(s.c).astype(np.complex64)
-            return FourierCarrier(self.pf, FourierSeries(
-                c64, period=s.period, offset=s.offset, ndim=s.sndim,
-                dtype=jnp.complex64))
-        if split:
-            if not jax.config.jax_enable_x64:
-                raise RuntimeError(
-                    "split-complex f64 carriers require jax_enable_x64=True "
-                    "(with x64 off the f64 pairs silently downcast to f32, "
-                    "defeating the double-precision tier)"
-                )
-            s = self.s
-            c = np.asarray(s.c)  # host coefficients -> f64 literal pairs
-            return SplitFourierCarrier(
-                self.pf,
-                jnp.asarray(c.real, jnp.float64),
-                jnp.asarray(c.imag, jnp.float64),
-                s.offset, s.period, s.sndim,
+            # Carry (H, dH) through the nest by AUGMENTATION: the derivative
+            # series' coefficients are static tensors c * (2 pi i f_j), so
+            # stacking them as a leading value channel makes every contraction
+            # level jacobian-aware for free (the reference's FourierWorkspace
+            # is series-type-generic the same way, src/fourier.jl:478).  The
+            # user kernel still receives the (H, V) tuple via an unpacker.
+            base = self.s.s
+            c = np.asarray(base.c)
+            d = base.sndim
+            chans = [c]
+            for j in range(d):
+                f = np.arange(c.shape[j]) + base.offset[j]
+                shape = [1] * c.ndim
+                shape[j] = -1
+                chans.append(c * (2j * np.pi * f).reshape(shape))
+            c_aug = np.stack(chans, axis=d)  # (*spatial, d+1, *value)
+            aug = FourierSeries(c_aug, period=base.period, offset=base.offset,
+                                ndim=d, dtype=base.dtype)
+            return _build_nest_carrier(_JacobianUnpack(self.pf), aug, split, downcast)
+        return _build_nest_carrier(self.pf, self.s, split, downcast)
+
+
+def _build_nest_carrier(pf, s, split, downcast):
+    if downcast:
+        # guide tier for the f32-search/split-evaluate nest: the same
+        # series downcast to complex64 so search-phase evaluations stay in
+        # single precision even under x64 tracing (phase_matrix computes
+        # in the real counterpart of the series dtype)
+        c64 = np.asarray(s.c).astype(np.complex64)
+        return FourierCarrier(pf, FourierSeries(
+            c64, period=s.period, offset=s.offset, ndim=s.sndim,
+            dtype=jnp.complex64))
+    if split:
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "split-complex f64 carriers require jax_enable_x64=True "
+                "(with x64 off the f64 pairs silently downcast to f32, "
+                "defeating the double-precision tier)"
             )
-        return FourierCarrier(self.pf, self.s)
+        c = np.asarray(s.c)  # host coefficients -> f64 literal pairs
+        return SplitFourierCarrier(
+            pf,
+            jnp.asarray(c.real, jnp.float64),
+            jnp.asarray(c.imag, jnp.float64),
+            s.offset, s.period, s.sndim,
+        )
+    return FourierCarrier(pf, s)
+
+
+class _JacobianUnpack:
+    """Adapter handing the user kernel the (H, V) tuple from an augmented
+    (channel-stacked) series value: channel 0 is H, channels 1..d are dH/dz_j
+    (see the JacobianSeries branch of ``FourierIntegrand.nest_carrier``)."""
+
+    def __init__(self, pf):
+        self.pf = pf
+
+    @property
+    def p(self):
+        return self.pf.p
+
+    def with_parameters(self, p):
+        return _JacobianUnpack(self.pf.with_parameters(p))
+
+    def __call__(self, v, p):
+        sv = v.s
+        if isinstance(sv, tuple) or hasattr(sv, "re"):
+            # split-complex carrier: SplitComplex with leading channel axis
+            h = sv[0]
+            vv = sv[1:]
+        else:
+            h = sv[0]
+            vv = sv[1:]
+        return self.pf(FourierValue(v.x, (h, vv)), p)
 
 
 class FourierCarrier:

@@ -241,3 +241,19 @@ def test_berry_flux_through_solve_pipeline():
 
     sol = solve(IntegralProblem(fi, bz, MixedParameters(mu=0.0)), EvalCounter(PTR(npt=10)))
     assert sol.numevals == 100
+
+
+def test_berry_flux_iai_adaptive():
+    # JacobianSeries now carries through the nest (channel-stacked
+    # derivative coefficients): the adaptive IAI path integrates the Berry
+    # flux too
+    from autobzcore_tpu import IAI, IntegralProblem, IntegralSolver
+    from autobzcore_tpu.models.berry import berry_flux_integrand
+
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    bz = _fbz2()
+    fi = berry_flux_integrand(h)
+    detB = np.linalg.det(np.asarray(bz.B))
+    f = IntegralSolver(IntegralProblem(fi, bz), IAI(inner_cap=128), abstol=1e-5)
+    C = float(f(mu=0.0)) / (detB * 2 * np.pi)
+    assert abs(C + 1) < 1e-6

@@ -66,15 +66,67 @@ class BerryPack(NamedTuple):
     npt: int
 
 
-def berry_pack(h: FourierSeries, bz, npt, degtol=1e-8) -> BerryPack:
-    """Evaluate (H, dH) on the full npt^d grid, eigendecompose, and build the
-    band Berry curvature.  ``degtol``: band pairs closer than this are
-    dropped from the Kubo sum (the n = m term is excluded analytically; at an
-    exact crossing the band curvature is undefined — only the total over the
-    degenerate subspace is meaningful, and that total is what any filled-band
-    sum here reproduces because the pair's +/- contributions cancel)."""
+def _slab_rows(h, npt, d, max_pts=1 << 18):
+    """Row slabs along the first grid dim: (S, L) first-coordinate table plus
+    the fixed inner nodes.  Per-slab temps (K_loc, d, d, m, m) stay bounded —
+    the unchunked build at npt >= ~2048 hit XLA's small-matmul tile padding
+    (64x expansion, 32 G HBM for a 128 M tensor) on TPU."""
+    L = npt
+    while L > 1 and L * npt ** (d - 1) > max_pts:
+        L //= 2
+    while npt % L:
+        L -= 1
+    u1 = np.arange(npt) / npt * h.period[0]
+    inner = [np.arange(npt) / npt * h.period[j] for j in range(1, d)]
+    return u1.reshape(-1, L), inner
+
+
+def _band_pair_terms(hk, vk, degtol, with_moment=True):
+    """(e, Om, Mm) for a flat (K, ...) batch of H and dH values."""
+    e, U = jnp.linalg.eigh(hk)
+    vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
+    # Im[v_a,nm v_b,mn] band-pair products; (K, d, d, m, m) with [.., n, m]
+    Q = jnp.imag(jnp.einsum("kanm,kbmn->kabnm", vband, vband))
+    de = e[:, :, None] - e[:, None, :]            # (K, n, m)
+    safe = jnp.where(de == 0, 1.0, de)
+    ok = jnp.abs(de) > degtol
+    inv2 = jnp.where(ok, 1.0 / safe**2, 0.0)
+    # Omega_n,ab = -2 sum_m Q[a,b,n,m] / (e_n - e_m)^2
+    Om = -2.0 * jnp.einsum("kabnm,knm->knab", Q, inv2)
+    if not with_moment:
+        return e, Om, None
+    inv1 = jnp.where(ok, 1.0 / safe, 0.0)
+    # self-rotation moment m_n,ab = sum_m Q[a,b,n,m] / (e_n - e_m)
+    # (= -(1/2) Im <d_a u_n| x (H - e_n) |d_b u_n> antisymmetrized)
+    Mm = jnp.einsum("kabnm,knm->knab", Q, inv1)
+    return e, Om, Mm
+
+
+def _eval_slab(h, d, u1_blk, inner):
+    """(H, dH) on one row slab, flattened to (L * npt^(d-1), ...)."""
     from ..ops.fourier_eval import evaluate_grid
 
+    nodes = [u1_blk] + inner
+    hk = evaluate_grid(h.c, d, nodes, h.offset, h.period, None, h.dtype)
+    grads = []
+    for j in range(d):
+        derivs = tuple(1 if i == j else 0 for i in range(d))
+        grads.append(evaluate_grid(h.c, d, nodes, h.offset, h.period, derivs, h.dtype))
+    vk = jnp.stack(grads, axis=d)
+    hk = hk.reshape((-1,) + hk.shape[d:])
+    vk = vk.reshape((-1, d) + vk.shape[d + 1:])
+    return hk, vk
+
+
+def berry_pack(h: FourierSeries, bz, npt, degtol=1e-8) -> BerryPack:
+    """Evaluate (H, dH) on the full npt^d grid, eigendecompose, and build the
+    band Berry curvature.  Streams the grid in row slabs (``lax.map``) so
+    peak device memory stays O(slab) at any npt.  ``degtol``: band pairs
+    closer than this are dropped from the Kubo sum (the n = m term is
+    excluded analytically; at an exact crossing the band curvature is
+    undefined — only the total over the degenerate subspace is meaningful,
+    and that total is what any filled-band sum here reproduces because the
+    pair's +/- contributions cancel)."""
     if getattr(bz, "syms", None) is not None:
         raise ValueError(
             "BerryCurvatureSolver requires a full-zone BZ (load_bz(FBZ, ...)): "
@@ -82,33 +134,17 @@ def berry_pack(h: FourierSeries, bz, npt, degtol=1e-8) -> BerryPack:
             "group need not be a symmetry of a TRS-broken Hamiltonian"
         )
     d = bz.ndim
-    u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
+    u1_slabs, inner = _slab_rows(h, npt, d)
 
     @jax.jit
     def build():
-        hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
-        grads = []
-        for j in range(d):
-            derivs = tuple(1 if i == j else 0 for i in range(d))
-            grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
-        vk = jnp.stack(grads, axis=d)
-        hk = hk.reshape((npt**d,) + hk.shape[d:])
-        vk = vk.reshape((npt**d, d) + vk.shape[d + 1:])
-        e, U = jnp.linalg.eigh(hk)
-        vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
-        # Im[v_a,nm v_b,mn] band-pair products; (K, d, d, m, m) with [.., n, m]
-        Q = jnp.imag(jnp.einsum("kanm,kbmn->kabnm", vband, vband))
-        de = e[:, :, None] - e[:, None, :]            # (K, n, m)
-        safe = jnp.where(de == 0, 1.0, de)
-        ok = jnp.abs(de) > degtol
-        inv1 = jnp.where(ok, 1.0 / safe, 0.0)
-        inv2 = jnp.where(ok, 1.0 / safe**2, 0.0)
-        # Omega_n,ab = -2 sum_m Q[a,b,n,m] / (e_n - e_m)^2
-        Om = -2.0 * jnp.einsum("kabnm,knm->knab", Q, inv2)
-        # self-rotation moment m_n,ab = sum_m Q[a,b,n,m] / (e_n - e_m)
-        # (= -(1/2) Im <d_a u_n| x (H - e_n) |d_b u_n> antisymmetrized)
-        Mm = jnp.einsum("kabnm,knm->knab", Q, inv1)
-        return e, Om, Mm
+        def slab(u1_blk):
+            hk, vk = _eval_slab(h, d, u1_blk, inner)
+            return _band_pair_terms(hk, vk, degtol)[:3]
+
+        e, Om, Mm = jax.lax.map(slab, jnp.asarray(u1_slabs))
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])
+        return flat(e), flat(Om), flat(Mm)
 
     e, Om, Mm = build()
     return BerryPack(e, Om, Mm, d, npt)
@@ -254,39 +290,35 @@ class BerryCurvatureSolver:
         (cached on the operator's bytes); charge transport reuses the
         cheaper :meth:`ahc`.
         """
-        from ..ops.fourier_eval import evaluate_grid
-
         key = np.asarray(O).tobytes()
         cacheattr = getattr(self, "_op_cache", None)
         if cacheattr is None:
             cacheattr = self._op_cache = {}
         if key not in cacheattr:
             h, bz, npt, d = self._h, self.bz, self.pack.npt, self.pack.ndim
-            u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
+            u1_slabs, inner = _slab_rows(h, npt, d)
             Oj = jnp.asarray(O)
 
             @jax.jit
             def build():
-                hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
-                grads = []
-                for j in range(d):
-                    derivs = tuple(1 if i == j else 0 for i in range(d))
-                    grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
-                vk = jnp.stack(grads, axis=d)
-                hk = hk.reshape((npt**d,) + hk.shape[d:])
-                vk = vk.reshape((npt**d, d) + vk.shape[d + 1:])
-                e, U = jnp.linalg.eigh(hk)
-                Ud = jnp.conj(jnp.swapaxes(U, 1, 2))
-                vband = jnp.einsum("kmi,kdij,kjn->kdmn", Ud, vk, U)
-                Ob = jnp.einsum("kmi,ij,kjn->kmn", Ud, Oj.astype(U.dtype), U)
-                J = 0.5 * (jnp.einsum("knp,kdpm->kdnm", Ob, vband)
-                           + jnp.einsum("kdnp,kpm->kdnm", vband, Ob))
-                Q = jnp.imag(jnp.einsum("kanm,kbmn->kabnm", J, vband))
-                de = e[:, :, None] - e[:, None, :]
-                safe = jnp.where(de == 0, 1.0, de)
-                inv2 = jnp.where(jnp.abs(de) > degtol, 1.0 / safe**2, 0.0)
-                OmO = -2.0 * jnp.einsum("kabnm,knm->knab", Q, inv2)
-                return e, OmO
+                def slab(u1_blk):
+                    hk, vk = _eval_slab(h, d, u1_blk, inner)
+                    e, U = jnp.linalg.eigh(hk)
+                    Ud = jnp.conj(jnp.swapaxes(U, 1, 2))
+                    vband = jnp.einsum("kmi,kdij,kjn->kdmn", Ud, vk, U)
+                    Ob = jnp.einsum("kmi,ij,kjn->kmn", Ud, Oj.astype(U.dtype), U)
+                    J = 0.5 * (jnp.einsum("knp,kdpm->kdnm", Ob, vband)
+                               + jnp.einsum("kdnp,kpm->kdnm", vband, Ob))
+                    Q = jnp.imag(jnp.einsum("kanm,kbmn->kabnm", J, vband))
+                    de = e[:, :, None] - e[:, None, :]
+                    safe = jnp.where(de == 0, 1.0, de)
+                    inv2 = jnp.where(jnp.abs(de) > degtol, 1.0 / safe**2, 0.0)
+                    OmO = -2.0 * jnp.einsum("kabnm,knm->knab", Q, inv2)
+                    return e, OmO
+
+                e, OmO = jax.lax.map(slab, jnp.asarray(u1_slabs))
+                flat = lambda a: a.reshape((-1,) + a.shape[2:])
+                return flat(e), flat(OmO)
 
             cacheattr[key] = build()
         e, OmO = cacheattr[key]

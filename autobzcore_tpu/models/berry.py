@@ -202,11 +202,26 @@ def lattice_chern(h: FourierSeries, bz, npt, bands=None):
         )
     if bz.ndim != 2:
         raise ValueError("lattice_chern is defined for 2D zones")
-    u = [np.arange(npt) / npt * h.period[j] for j in range(2)]
+    bands_t = None if bands is None else tuple(int(b) for b in bands)
+    fn = _lattice_chern_fn(npt, h.period, h.offset, h.dtype, bands_t)
+    return float(fn(jnp.asarray(h.c))) / (2 * np.pi)
+
+
+def _lattice_chern_fn(npt, period, offset, dtype, bands):
+    """Compiled FHS plaquette-sum, coefficients as a runtime ARGUMENT so
+    parameter scans (phase diagrams, Weyl kz slices) reuse ONE executable
+    per (npt, shape) instead of recompiling every model instance."""
+    from ..ops.fourier_eval import evaluate_grid
+
+    key = (npt, period, offset, str(dtype), bands)
+    fn = _LATTICE_CHERN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    u = [np.arange(npt) / npt * period[j] for j in range(2)]
 
     @jax.jit
-    def field_sum():
-        hk = evaluate_grid(h.c, 2, u, h.offset, h.period, None, h.dtype)
+    def field_sum(c):
+        hk = evaluate_grid(c, 2, u, offset, period, None, dtype)
         _, U = jnp.linalg.eigh(hk)                     # (npt, npt, m, m)
         m = U.shape[-1]
         idx = jnp.arange(m // 2) if bands is None else jnp.asarray(bands)
@@ -228,7 +243,11 @@ def lattice_chern(h: FourierSeries, bz, npt, bands=None):
                        * jnp.conj(jnp.roll(Lx, -1, axis=1)) * jnp.conj(Ly))
         return jnp.sum(F)
 
-    return float(field_sum()) / (2 * np.pi)
+    _LATTICE_CHERN_CACHE[key] = field_sum
+    return field_sum
+
+
+_LATTICE_CHERN_CACHE = {}
 
 
 class BerryCurvatureSolver:

@@ -134,20 +134,44 @@ def berry_pack(h: FourierSeries, bz, npt, degtol=1e-8) -> BerryPack:
             "group need not be a symmetry of a TRS-broken Hamiltonian"
         )
     d = bz.ndim
-    u1_slabs, inner = _slab_rows(h, npt, d)
+    build = _berry_build_fn(npt, d, np.shape(h.c), h.period, h.offset,
+                            h.dtype, degtol)
+    e, Om, Mm = build(jnp.asarray(h.c))
+    return BerryPack(e, Om, Mm, d, npt)
+
+
+def _berry_build_fn(npt, d, cshape, period, offset, dtype, degtol):
+    """Compiled slab-streamed curvature build, coefficients as a runtime
+    argument — model scans (phase diagrams) reuse one executable per
+    (npt, coefficient shape)."""
+    key = ("berry", npt, d, cshape, period, offset, dtype, degtol)
+    fn = _LATTICE_CHERN_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    class _S:  # light series view for _eval_slab (period/offset/dtype + c)
+        pass
+
+    proto = _S()
+    proto.period, proto.offset, proto.dtype = period, offset, dtype
+    u1_slabs_np, inner = _slab_rows(proto, npt, d)
+    u1_slabs_np = np.asarray(u1_slabs_np)
 
     @jax.jit
-    def build():
+    def build(c):
+        s = _S()
+        s.c, s.period, s.offset, s.dtype = c, period, offset, dtype
+
         def slab(u1_blk):
-            hk, vk = _eval_slab(h, d, u1_blk, inner)
+            hk, vk = _eval_slab(s, d, u1_blk, inner)
             return _band_pair_terms(hk, vk, degtol)[:3]
 
-        e, Om, Mm = jax.lax.map(slab, jnp.asarray(u1_slabs))
+        e, Om, Mm = jax.lax.map(slab, jnp.asarray(u1_slabs_np))
         flat = lambda a: a.reshape((-1,) + a.shape[2:])
         return flat(e), flat(Om), flat(Mm)
 
-    e, Om, Mm = build()
-    return BerryPack(e, Om, Mm, d, npt)
+    _LATTICE_CHERN_CACHE[key] = build
+    return build
 
 
 def berry_flux_integrand(h: FourierSeries, degtol=1e-8):

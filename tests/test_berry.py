@@ -257,3 +257,19 @@ def test_berry_flux_iai_adaptive():
     f = IntegralSolver(IntegralProblem(fi, bz), IAI(inner_cap=128), abstol=1e-5)
     C = float(f(mu=0.0)) / (detB * 2 * np.pi)
     assert abs(C + 1) < 1e-6
+
+
+def test_weyl_3d_ahc_node_separation():
+    # the hallmark Weyl-semimetal result: the 3D AHC is set by the node
+    # separation.  tb_weyl(m=2) has nodes at k3 = +-1/4, so the k3-average
+    # of the slice Chern is -1/2 and I_xy -> -1/(4 pi).  Convergence is
+    # algebraic (gapless nodes), ~1/npt^2: err 8.6e-5 at npt=64
+    from autobzcore_tpu.models.berry import BerryCurvatureSolver
+    from autobzcore_tpu.models.tight_binding import tb_weyl
+
+    bz3 = load_bz(FBZ(), np.eye(3))
+    I = np.asarray(BerryCurvatureSolver(tb_weyl(m=2.0), bz3, npt=64).ahc(mu=0.0))
+    assert abs(I[0, 1] + 1 / (4 * np.pi)) < 2e-4
+    # only the xy component survives (nodes on the z axis)
+    assert abs(I[0, 2]) < 1e-12 and abs(I[1, 2]) < 1e-12
+    assert abs(I[0, 1] + I[1, 0]) < 1e-12

@@ -26,7 +26,7 @@ def _trace_inv_small(M):
     m = M.shape[-1]
     if m == 1:
         return 1.0 / M[..., 0, 0]
-    tr = jnp.trace(M)
+    tr = jnp.trace(M, axis1=-2, axis2=-1)  # trailing axes: batch-safe
     det = jnp.linalg.det(M)  # explicit cofactor formula for m <= 3 in XLA
     if m == 2:
         return tr / det

@@ -1,0 +1,202 @@
+"""Matrix-valued local self-energies: DMFT-grade Green's functions.
+
+The reference's BZ machinery exists to serve exactly this workload (its
+companion application paper computes DMFT spectral functions and transport
+with frequency-dependent self-energies; the constant-``eta`` DOS of
+``aps_example`` is the ``Sigma = -i eta`` special case).  Here the general
+case ships as a library:
+
+    G(k, omega) = [ (omega + mu) I - Sigma(omega) - H(k) ]^{-1}
+
+with ``Sigma(omega)`` an arbitrary matrix-valued (orbital-resolved) local
+self-energy, supplied either as a callable or as data on a frequency grid
+(:class:`SigmaInterpolant`).  ``Sigma`` breaks the Hermitian
+eigendecomposition trick (``z - H`` no longer shares eigenvectors across
+omega unless ``Sigma`` is scalar), so the engines invert per (k, omega) —
+on TPU via the closed-form adjugate trace for m <= 3 (no LU) and batched
+``solve`` otherwise.
+
+Two execution shapes, same pattern as the DOS family:
+
+- :func:`dos_integrand_sigma` — a standard ``FourierIntegrand`` for the
+  adaptive pipeline (IAI / PTR / AutoPTR / sweeps).
+- :class:`SigmaDOSSolver` — the grid engine: evaluate H on the
+  (symmetry-reduced) grid ONCE, then every omega sweep is a chunked batched
+  trace-inverse (``lax.map`` bounds memory).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..brillouin import TrivialRep
+from ..fourier import FourierIntegrand, FourierSeries
+from .observables import _trace_inv_small
+
+
+@jax.tree_util.register_pytree_node_class
+class SigmaInterpolant:
+    """Piecewise-linear matrix-valued ``Sigma(omega)`` on a frequency grid —
+    callable inside jit/vmap (the standard carrier for numerically tabulated
+    DMFT self-energies).  ``values``: (W,) scalar or (W, m, m) matrices;
+    evaluation clamps to the end intervals outside the grid."""
+
+    def __init__(self, omegas, values):
+        om = jnp.asarray(omegas)
+        if om.ndim != 1 or om.shape[0] < 2:
+            raise ValueError("SigmaInterpolant needs >= 2 grid frequencies")
+        self.omegas = om
+        self.values = jnp.asarray(values)
+
+    def tree_flatten(self):
+        return (self.omegas, self.values), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.omegas, obj.values = children
+        return obj
+
+    def __call__(self, om):
+        om = jnp.asarray(om)
+        i = jnp.clip(jnp.searchsorted(self.omegas, om, side="right") - 1,
+                     0, self.omegas.shape[0] - 2)
+        t = (om - self.omegas[i]) / (self.omegas[i + 1] - self.omegas[i])
+        t = jnp.clip(t, 0.0, 1.0)
+        tb = t.reshape(t.shape + (1,) * (self.values.ndim - 1))
+        return (1 - tb) * self.values[i] + tb * self.values[i + 1]
+
+
+@jax.tree_util.register_pytree_node_class
+class SigmaCallable:
+    """Static pytree wrapper for a plain-Python ``Sigma(omega)`` callable so
+    it can ride through jitted parameter paths (sweeps, PTR runners) as
+    auxiliary data.  Closed-form self-energies (Fermi liquid
+    ``-i(eta + a omega^2)``, atomic-limit poles...) go through here;
+    tabulated data uses :class:`SigmaInterpolant`."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def tree_flatten(self):
+        return (), self.fn
+
+    @classmethod
+    def tree_unflatten(cls, fn, children):
+        return cls(fn)
+
+    def __call__(self, om):
+        return self.fn(om)
+
+
+def _as_sigma(Sigma):
+    if isinstance(Sigma, (SigmaInterpolant, SigmaCallable)):
+        return Sigma
+    return SigmaCallable(Sigma)
+
+
+def _zmat(om, Sigma, m, dtype, mu=0.0):
+    """(om + mu) I - Sigma(om) broadcast to (m, m)."""
+    z = (jnp.asarray(om) + mu).astype(dtype)
+    S = Sigma(om)
+    S = jnp.asarray(S).astype(dtype)
+    if S.ndim == 0:
+        S = S * jnp.eye(m, dtype=dtype)
+    return z * jnp.eye(m, dtype=dtype) - S
+
+
+def greens_trace_sigma(hv, om, Sigma=None, mu=0.0):
+    """``Tr G(k, om)`` with a matrix self-energy — FourierValue kernel for
+    the adaptive pipeline."""
+    H = hv.s
+    m = H.shape[-1]
+    M = _zmat(om, Sigma, m, H.dtype, mu) - H
+    if m <= 3:
+        return _trace_inv_small(M)
+    return jnp.trace(jnp.linalg.solve(M, jnp.eye(m, dtype=M.dtype)))
+
+
+def dos_trace_sigma(hv, om, Sigma=None, mu=0.0):
+    """Spectral weight ``-Im Tr G / pi`` with a matrix self-energy."""
+    return -jnp.imag(greens_trace_sigma(hv, om, Sigma=Sigma, mu=mu)) / jnp.pi
+
+
+def dos_integrand_sigma(h: FourierSeries, Sigma, mu=0.0):
+    """``FourierIntegrand`` for the self-energy DOS (TrivialRep: the trace is
+    group-invariant, so IBZ solves symmetrize by pure weight)."""
+    fi = FourierIntegrand(dos_trace_sigma, h, Sigma=_as_sigma(Sigma), mu=mu)
+    fi.rep = TrivialRep()
+    return fi
+
+
+class SigmaDOSSolver:
+    """Grid engine for self-energy spectral sweeps: H on the
+    (symmetry-reduced) ``npt^d`` grid is evaluated ONCE; each call inverts
+    ``z(omega) - H_k`` in chunked batches.
+
+    >>> slv = SigmaDOSSolver(h, bz, npt=100, Sigma=SigmaInterpolant(w, S))
+    >>> D = slv(omegas)              # (W,) DOS curve
+    """
+
+    def __init__(self, h: FourierSeries, bz, npt, Sigma, mu=0.0, omega_chunk=8):
+        from ..ops.fourier_eval import evaluate_grid
+        from ..ops.symptr import symptr_rule
+
+        d = bz.ndim
+        if bz.syms is None:
+            lin = None
+            weights = np.ones(npt**d)
+        else:
+            reps, weights = symptr_rule(npt, d, bz.syms)
+            lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
+        u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
+        vol = abs(np.linalg.det(bz.B))
+        self._scale = vol / (npt**d)
+        self._mu = float(mu)
+        self._Sigma = _as_sigma(Sigma)
+        self._chunk = int(omega_chunk)
+        self._dtype = h.dtype
+
+        @jax.jit
+        def grid(c):
+            hk = evaluate_grid(c, d, u, h.offset, h.period, None, h.dtype)
+            hk = hk.reshape((-1,) + hk.shape[d:])
+            if lin is not None:
+                hk = hk[lin]
+            return hk
+
+        self._hk = grid(jnp.asarray(h.c))          # (K, m, m) device-resident
+        self._w = jnp.asarray(weights, jnp.float64 if
+                              jnp.asarray(0.0).dtype == jnp.float64 else jnp.float32)
+        self._m = int(self._hk.shape[-1])
+        self._sweep = self._build()
+
+    def _build(self):
+        hk, w, m = self._hk, self._w, self._m
+        Sigma, mu, dtype = self._Sigma, self._mu, self._dtype
+        scale, C = self._scale, self._chunk
+
+        def one(om):
+            M = _zmat(om, Sigma, m, dtype, mu)[None] - hk      # (K, m, m)
+            if m <= 3:
+                tr = _trace_inv_small(M)
+            else:
+                tr = jnp.trace(jnp.linalg.solve(
+                    M, jnp.broadcast_to(jnp.eye(m, dtype=M.dtype), M.shape)),
+                    axis1=-2, axis2=-1)
+            return -jnp.sum(w * jnp.imag(tr)) / jnp.pi * scale
+
+        @jax.jit
+        def sweep(om_all):
+            nw = om_all.shape[0]
+            pad = -(-nw // C) * C
+            omp = jnp.zeros((pad,), om_all.dtype).at[:nw].set(om_all)
+            D = jax.lax.map(jax.vmap(one), omp.reshape(-1, C))
+            return D.reshape(pad)[:nw]
+
+        return sweep
+
+    def __call__(self, omegas):
+        return self._sweep(jnp.asarray(omegas))

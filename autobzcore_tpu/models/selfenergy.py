@@ -44,29 +44,37 @@ class SigmaInterpolant:
     evaluation clamps to the end intervals outside the grid."""
 
     def __init__(self, omegas, values):
-        om = jnp.asarray(omegas)
+        om = np.asarray(omegas)
         if om.ndim != 1 or om.shape[0] < 2:
             raise ValueError("SigmaInterpolant needs >= 2 grid frequencies")
-        self.omegas = om
-        self.values = jnp.asarray(values)
+        # HOST-resident (numpy) storage, split into (re, im): as closure
+        # constants these embed as HLO literals for free, while complex or
+        # device-resident arrays cannot cross jit boundaries on all TPU
+        # backends (see StoredSeriesValues / FourierSeries coefficients)
+        self.omegas = om if isinstance(om, np.ndarray) else np.asarray(om)
+        v = values if isinstance(values, np.ndarray) else np.asarray(values)
+        self.values_re = np.real(v)
+        self.values_im = np.imag(v)
 
     def tree_flatten(self):
-        return (self.omegas, self.values), None
+        return (self.omegas, self.values_re, self.values_im), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        obj.omegas, obj.values = children
+        obj.omegas, obj.values_re, obj.values_im = children
         return obj
 
     def __call__(self, om):
         om = jnp.asarray(om)
-        i = jnp.clip(jnp.searchsorted(self.omegas, om, side="right") - 1,
-                     0, self.omegas.shape[0] - 2)
-        t = (om - self.omegas[i]) / (self.omegas[i + 1] - self.omegas[i])
+        og = jnp.asarray(self.omegas)  # numpy constants -> literals at trace
+        i = jnp.clip(jnp.searchsorted(og, om, side="right") - 1,
+                     0, og.shape[0] - 2)
+        t = (om - og[i]) / (og[i + 1] - og[i])
         t = jnp.clip(t, 0.0, 1.0)
-        tb = t.reshape(t.shape + (1,) * (self.values.ndim - 1))
-        return (1 - tb) * self.values[i] + tb * self.values[i + 1]
+        tb = t.reshape(t.shape + (1,) * (self.values_re.ndim - 1))
+        lerp = lambda v: (1 - tb) * jnp.asarray(v)[i] + tb * jnp.asarray(v)[i + 1]
+        return lerp(self.values_re) + 1j * lerp(self.values_im)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -160,25 +168,31 @@ class SigmaDOSSolver:
         self._dtype = h.dtype
 
         @jax.jit
-        def grid(c):
-            hk = evaluate_grid(c, d, u, h.offset, h.period, None, h.dtype)
+        def grid():
+            # coefficients embed as HLO literals (host numpy) — complex
+            # runtime ARGUMENTS are rejected by some TPU backends
+            hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
             hk = hk.reshape((-1,) + hk.shape[d:])
             if lin is not None:
                 hk = hk[lin]
-            return hk
+            return jnp.real(hk), jnp.imag(hk)
 
-        self._hk = grid(jnp.asarray(h.c))          # (K, m, m) device-resident
-        self._w = jnp.asarray(weights, jnp.float64 if
-                              jnp.asarray(0.0).dtype == jnp.float64 else jnp.float32)
-        self._m = int(self._hk.shape[-1])
+        hk_re, hk_im = grid()                      # (K, m, m) device-resident
+        hk = None
+        # (re, im) pairs: complex device arrays cannot be jit arguments or
+        # fetched through all TPU backends (tunnel); rejoin inside the sweep
+        self._hk_re = hk_re
+        self._hk_im = hk_im
+        self._w = jnp.asarray(weights, hk_re.dtype)
+        self._m = int(hk_re.shape[-1])
         self._sweep = self._build()
 
     def _build(self):
-        hk, w, m = self._hk, self._w, self._m
+        m = self._m
         Sigma, mu, dtype = self._Sigma, self._mu, self._dtype
         scale, C = self._scale, self._chunk
 
-        def one(om):
+        def one(om, hk, w):
             M = _zmat(om, Sigma, m, dtype, mu)[None] - hk      # (K, m, m)
             if m <= 3:
                 tr = _trace_inv_small(M)
@@ -189,14 +203,15 @@ class SigmaDOSSolver:
             return -jnp.sum(w * jnp.imag(tr)) / jnp.pi * scale
 
         @jax.jit
-        def sweep(om_all):
+        def sweep(om_all, hk_re, hk_im, w):
+            hk = hk_re + 1j * hk_im
             nw = om_all.shape[0]
             pad = -(-nw // C) * C
             omp = jnp.zeros((pad,), om_all.dtype).at[:nw].set(om_all)
-            D = jax.lax.map(jax.vmap(one), omp.reshape(-1, C))
+            D = jax.lax.map(jax.vmap(lambda om: one(om, hk, w)), omp.reshape(-1, C))
             return D.reshape(pad)[:nw]
 
         return sweep
 
     def __call__(self, omegas):
-        return self._sweep(jnp.asarray(omegas))
+        return self._sweep(jnp.asarray(omegas), self._hk_re, self._hk_im, self._w)

@@ -3,7 +3,7 @@ from .berry import (BerryCurvatureSolver, BerryPack, berry_pack,
 from .kpath import KPath, band_structure, kpath, spectral_path
 from .selfenergy import (SigmaCallable, SigmaDOSSolver, SigmaInterpolant,
                          dos_integrand_sigma, dos_trace_sigma,
-                         greens_trace_sigma)
+                         greens_trace_sigma, transport_distribution_sigma)
 from .observables import SpectralPack, TransportSolver, spectral_velocity_pack
 from .tight_binding import (integer_lattice, synthetic_wannier, tb_graphene,
                             tb_haldane, tb_integer, tb_kane_mele_sz, tb_weyl)
@@ -18,5 +18,5 @@ __all__ = [
     "SpectralPack", "TransportSolver", "spectral_velocity_pack",
     "KPath", "band_structure", "kpath", "spectral_path",
     "SigmaCallable", "SigmaDOSSolver", "SigmaInterpolant", "dos_integrand_sigma",
-    "dos_trace_sigma", "greens_trace_sigma",
+    "dos_trace_sigma", "greens_trace_sigma", "transport_distribution_sigma",
 ]

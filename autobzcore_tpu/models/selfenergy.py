@@ -131,6 +131,43 @@ def dos_trace_sigma(hv, om, Sigma=None, mu=0.0):
     return -jnp.imag(greens_trace_sigma(hv, om, Sigma=Sigma, mu=mu)) / jnp.pi
 
 
+def _inv_small(M):
+    """Closed-form inverse for m <= 3 (adjugate / det — no LU on TPU)."""
+    m = M.shape[-1]
+    if m == 1:
+        return 1.0 / M
+    det = jnp.linalg.det(M)[..., None, None]
+    if m == 2:
+        a, b = M[..., 0, 0], M[..., 0, 1]
+        c, d = M[..., 1, 0], M[..., 1, 1]
+        adj = jnp.stack([jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2)
+        return adj / det
+    if m == 3:
+        # adjugate rows = cross products of column pairs
+        c0, c1, c2 = M[..., :, 0], M[..., :, 1], M[..., :, 2]
+        adj = jnp.stack([jnp.cross(c1, c2), jnp.cross(c2, c0), jnp.cross(c0, c1)], -2)
+        return adj / det
+    return jnp.linalg.solve(M, jnp.broadcast_to(jnp.eye(m, dtype=M.dtype), M.shape))
+
+
+def transport_distribution_sigma(hv, om, Sigma=None, mu=0.0):
+    """Kubo-Greenwood transport distribution with a MATRIX self-energy:
+    ``Gamma_ab(om) = Tr[v_a A(om) v_b A(om)]`` with the full matrix spectral
+    function ``A = (G - G^dagger) / (-2 pi i)``, ``G = [(om + mu) I -
+    Sigma(om) - H]^{-1}`` — the general (non-band-diagonal) form the
+    constant-``eta`` :func:`~.observables.transport_distribution` reduces to.
+    Kernel over a ``JacobianSeries`` value ``(H, dH)``; runs in the adaptive
+    pipeline (the nest carries JacobianSeries) and under vmap for grids."""
+    H, V = hv.s
+    m = H.shape[-1]
+    M = _zmat(om, Sigma, m, H.dtype, mu) - H
+    G = _inv_small(M)
+    A = (G - jnp.conj(jnp.swapaxes(G, -1, -2))) / (-2j * jnp.pi)
+    # Gamma_ab = Tr[v_a A v_b A]; real by construction (A, v Hermitian)
+    vA = jnp.einsum("...aij,...jk->...aik", V, A)
+    return jnp.real(jnp.einsum("...aij,...bji->...ab", vA, vA))
+
+
 def dos_integrand_sigma(h: FourierSeries, Sigma, mu=0.0):
     """``FourierIntegrand`` for the self-energy DOS (TrivialRep: the trace is
     group-invariant, so IBZ solves symmetrize by pure weight)."""

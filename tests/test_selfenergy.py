@@ -124,3 +124,32 @@ def test_sum_rule():
     D = np.asarray(SigmaDOSSolver(h, bz, 24, S)(om))
     vol = np.linalg.det(np.asarray(bz.B))
     assert np.trapezoid(D, om) == pytest.approx(2 * vol, rel=2e-2)
+
+
+def test_transport_distribution_sigma_reduces_to_eta():
+    # constant Sigma = -i eta I: the full-matrix-A transport kernel equals
+    # the band-diagonal constant-broadening form, for 2- and 3-band models
+    from autobzcore_tpu.fourier import FourierValue, JacobianSeries
+    from autobzcore_tpu.models.observables import transport_distribution
+    from autobzcore_tpu.models.selfenergy import transport_distribution_sigma
+    from autobzcore_tpu.models.tight_binding import synthetic_wannier
+
+    eta = 0.15
+    for h in (tb_graphene(), synthetic_wannier(3, nr=3, ndim=2, seed=3)):
+        js = JacobianSeries(h)
+        k = np.array([0.13, 0.41])
+        hv = FourierValue(k, js(k))
+        ref = np.asarray(transport_distribution(hv, 0.37, eta=eta))
+        got = np.asarray(transport_distribution_sigma(
+            hv, 0.37, Sigma=_const_sigma(-1j * eta)))
+        np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_inv_small_matches_linalg():
+    from autobzcore_tpu.models.selfenergy import _inv_small
+
+    rng = np.random.default_rng(5)
+    for m in (1, 2, 3):
+        M = rng.normal(size=(4, m, m)) + 1j * rng.normal(size=(4, m, m))
+        np.testing.assert_allclose(np.asarray(_inv_small(jnp.asarray(M))),
+                                   np.linalg.inv(M), rtol=1e-10)

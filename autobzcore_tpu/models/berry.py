@@ -81,9 +81,19 @@ def _slab_rows(h, npt, d, max_pts=1 << 18):
     return u1.reshape(-1, L), inner
 
 
+def _eigh_batch(hk):
+    """Closed-form 2x2 eigendecomposition when applicable (TPU's batched QR
+    eigh dominates the topology builds for tiny m), general eigh otherwise."""
+    if hk.shape[-1] == 2:
+        from ..ops.eigh3 import eigh2
+
+        return eigh2(hk)
+    return jnp.linalg.eigh(hk)
+
+
 def _band_pair_terms(hk, vk, degtol, with_moment=True):
     """(e, Om, Mm) for a flat (K, ...) batch of H and dH values."""
-    e, U = jnp.linalg.eigh(hk)
+    e, U = _eigh_batch(hk)
     vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
     # Im[v_a,nm v_b,mn] band-pair products; (K, d, d, m, m) with [.., n, m]
     Q = jnp.imag(jnp.einsum("kanm,kbmn->kabnm", vband, vband))
@@ -136,7 +146,10 @@ def berry_pack(h: FourierSeries, bz, npt, degtol=1e-8) -> BerryPack:
     d = bz.ndim
     build = _berry_build_fn(npt, d, np.shape(h.c), h.period, h.offset,
                             h.dtype, degtol)
-    e, Om, Mm = build(jnp.asarray(h.c))
+    c = np.asarray(h.c)
+    # (re, im) real argument pair: complex jit arguments are rejected by
+    # some TPU backends (see StoredSeriesValues)
+    e, Om, Mm = build(jnp.asarray(c.real), jnp.asarray(c.imag))
     return BerryPack(e, Om, Mm, d, npt)
 
 
@@ -158,9 +171,10 @@ def _berry_build_fn(npt, d, cshape, period, offset, dtype, degtol):
     u1_slabs_np = np.asarray(u1_slabs_np)
 
     @jax.jit
-    def build(c):
+    def build(cre, cim):
         s = _S()
-        s.c, s.period, s.offset, s.dtype = c, period, offset, dtype
+        s.c = (cre + 1j * cim).astype(dtype)
+        s.period, s.offset, s.dtype = period, offset, dtype
 
         def slab(u1_blk):
             hk, vk = _eval_slab(s, d, u1_blk, inner)
@@ -228,7 +242,8 @@ def lattice_chern(h: FourierSeries, bz, npt, bands=None):
         raise ValueError("lattice_chern is defined for 2D zones")
     bands_t = None if bands is None else tuple(int(b) for b in bands)
     fn = _lattice_chern_fn(npt, h.period, h.offset, h.dtype, bands_t)
-    return float(fn(jnp.asarray(h.c))) / (2 * np.pi)
+    c = np.asarray(h.c)
+    return float(fn(jnp.asarray(c.real), jnp.asarray(c.imag))) / (2 * np.pi)
 
 
 def _lattice_chern_fn(npt, period, offset, dtype, bands):
@@ -244,7 +259,8 @@ def _lattice_chern_fn(npt, period, offset, dtype, bands):
     u = [np.arange(npt) / npt * period[j] for j in range(2)]
 
     @jax.jit
-    def field_sum(c):
+    def field_sum(cre, cim):
+        c = (cre + 1j * cim).astype(dtype)
         hk = evaluate_grid(c, 2, u, offset, period, None, dtype)
         _, U = jnp.linalg.eigh(hk)                     # (npt, npt, m, m)
         m = U.shape[-1]
@@ -346,7 +362,7 @@ class BerryCurvatureSolver:
             def build():
                 def slab(u1_blk):
                     hk, vk = _eval_slab(h, d, u1_blk, inner)
-                    e, U = jnp.linalg.eigh(hk)
+                    e, U = _eigh_batch(hk)
                     Ud = jnp.conj(jnp.swapaxes(U, 1, 2))
                     vband = jnp.einsum("kmi,kdij,kjn->kdmn", Ud, vk, U)
                     Ob = jnp.einsum("kmi,ij,kjn->kmn", Ud, Oj.astype(U.dtype), U)

@@ -183,9 +183,17 @@ class SigmaDOSSolver:
 
     >>> slv = SigmaDOSSolver(h, bz, npt=100, Sigma=SigmaInterpolant(w, S))
     >>> D = slv(omegas)              # (W,) DOS curve
+    >>> P = SigmaDOSSolver(h, bz, npt, Sigma, project=True)(omegas)  # (W, m)
+
+    ``project=True`` returns the ORBITAL-PROJECTED DOS ``-Im G_ii / pi``
+    per orbital (rows sum to the total); note orbital weights are only
+    meaningful over an IBZ whose group leaves the orbitals fixed (sign
+    flips do; axis permutations permute symmetry-related orbitals).
     """
 
-    def __init__(self, h: FourierSeries, bz, npt, Sigma, mu=0.0, omega_chunk=8):
+    def __init__(self, h: FourierSeries, bz, npt, Sigma, mu=0.0, omega_chunk=8,
+                 project=False):
+        self._project = bool(project)
         from ..ops.fourier_eval import evaluate_grid
         from ..ops.symptr import symptr_rule
 
@@ -229,8 +237,13 @@ class SigmaDOSSolver:
         Sigma, mu, dtype = self._Sigma, self._mu, self._dtype
         scale, C = self._scale, self._chunk
 
+        project = self._project
+
         def one(om, hk, w):
             M = _zmat(om, Sigma, m, dtype, mu)[None] - hk      # (K, m, m)
+            if project:
+                Gd = jnp.diagonal(_inv_small(M), axis1=-2, axis2=-1)  # (K, m)
+                return -jnp.sum(w[:, None] * jnp.imag(Gd), axis=0) / jnp.pi * scale
             if m <= 3:
                 tr = _trace_inv_small(M)
             else:
@@ -246,7 +259,7 @@ class SigmaDOSSolver:
             pad = -(-nw // C) * C
             omp = jnp.zeros((pad,), om_all.dtype).at[:nw].set(om_all)
             D = jax.lax.map(jax.vmap(lambda om: one(om, hk, w)), omp.reshape(-1, C))
-            return D.reshape(pad)[:nw]
+            return D.reshape((pad,) + D.shape[2:])[:nw]
 
         return sweep
 

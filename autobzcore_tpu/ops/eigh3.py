@@ -24,6 +24,42 @@ def eigvalsh2(h):
     return jnp.stack([mean - rad, mean + rad], axis=-1)
 
 
+def eigh2(h):
+    """Closed-form eigendecomposition of batched Hermitian 2x2 ``h``:
+    ``(e, U)`` with ascending eigenvalues and unitary ``U`` (columns are
+    eigenvectors) — no QR iteration, so huge tiny-matrix batches stay on the
+    vector units instead of TPU's slow batched eigh path.
+
+    Branch-stable: the upper-band eigenvector uses ``[d + r, conj(b)]`` for
+    ``d >= 0`` and ``[b, r - d]`` otherwise (each degenerates only on the
+    opposite sign), with an identity fallback at exact degeneracy r = 0.
+    """
+    a = jnp.real(h[..., 0, 0])
+    c = jnp.real(h[..., 1, 1])
+    b = h[..., 0, 1]
+    d = (a - c) / 2
+    r = jnp.sqrt(d**2 + jnp.abs(b) ** 2)
+    mean = (a + c) / 2
+    e = jnp.stack([mean - r, mean + r], axis=-1)
+
+    pos = d >= 0
+    v0 = jnp.where(pos, (d + r).astype(h.dtype), b)
+    v1 = jnp.where(pos, jnp.conj(b), (r - d).astype(h.dtype))
+    n = jnp.sqrt(jnp.abs(v0) ** 2 + jnp.abs(v1) ** 2)
+    ok = n > 0
+    nsafe = jnp.where(ok, n, 1.0)
+    up0 = jnp.where(ok, v0 / nsafe, jnp.zeros_like(v0))
+    up1 = jnp.where(ok, v1 / nsafe, jnp.ones_like(v1))
+    # degenerate (r = 0): any orthonormal pair works; use the identity
+    up0 = jnp.where(ok, up0, 0.0 * up0)
+    up1 = jnp.where(ok, up1, jnp.ones_like(up1))
+    lo0 = -jnp.conj(up1)
+    lo1 = jnp.conj(up0)
+    U = jnp.stack([jnp.stack([lo0, up0], axis=-1),
+                   jnp.stack([lo1, up1], axis=-1)], axis=-2)
+    return e, U
+
+
 def eigvalsh3(h):
     """Eigenvalues of batched Hermitian 3x3 ``h`` (..., 3, 3), ascending.
 

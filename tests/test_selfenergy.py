@@ -153,3 +153,25 @@ def test_inv_small_matches_linalg():
         M = rng.normal(size=(4, m, m)) + 1j * rng.normal(size=(4, m, m))
         np.testing.assert_allclose(np.asarray(_inv_small(jnp.asarray(M))),
                                    np.linalg.inv(M), rtol=1e-10)
+
+
+def test_projected_dos_sums_to_total():
+    # orbital-projected DOS: rows sum to the trace DOS; in a block-diagonal
+    # model each orbital's curve is its own scalar band's DOS
+    from autobzcore_tpu.fourier import FourierSeries
+
+    C1 = np.zeros((3,), dtype=complex); C1[0] = C1[2] = 0.5
+    C2 = np.zeros((3,), dtype=complex); C2[0] = C2[2] = 1.0
+    Cb = np.zeros((3, 2, 2), dtype=complex)
+    Cb[:, 0, 0], Cb[:, 1, 1] = C1, C2
+    hb = FourierSeries(Cb, period=1.0, offset=(-1,), ndim=1)
+    bz = load_bz(FBZ(), np.eye(1))
+    S = _const_sigma(np.diag([-0.1j, -0.3j]))
+    om = np.linspace(-2.5, 2.5, 9)
+    P = np.asarray(SigmaDOSSolver(hb, bz, 128, S, project=True)(om))
+    D = np.asarray(SigmaDOSSolver(hb, bz, 128, S)(om))
+    assert P.shape == (9, 2)
+    np.testing.assert_allclose(P.sum(axis=1), D, rtol=1e-12)
+    h1 = FourierSeries(C1[:, None, None], period=1.0, offset=(-1,), ndim=1)
+    D1 = np.asarray(SigmaDOSSolver(h1, bz, 128, _const_sigma(-0.1j))(om))
+    np.testing.assert_allclose(P[:, 0], D1, rtol=1e-10)

@@ -2,6 +2,7 @@ from .berry import (BerryCurvatureSolver, BerryPack, berry_pack,
                     lattice_chern)
 from .kpath import KPath, band_structure, kpath, spectral_path
 from .selfenergy import (SigmaCallable, SigmaDOSSolver, SigmaInterpolant,
+                         SigmaTransportSolver,
                          dos_integrand_sigma, dos_trace_sigma,
                          greens_trace_sigma, transport_distribution_sigma)
 from .observables import SpectralPack, TransportSolver, spectral_velocity_pack
@@ -17,6 +18,7 @@ __all__ = [
     "fermi_window_limits", "optical_conductivity",
     "SpectralPack", "TransportSolver", "spectral_velocity_pack",
     "KPath", "band_structure", "kpath", "spectral_path",
-    "SigmaCallable", "SigmaDOSSolver", "SigmaInterpolant", "dos_integrand_sigma",
+    "SigmaCallable", "SigmaDOSSolver", "SigmaInterpolant",
+    "SigmaTransportSolver", "dos_integrand_sigma",
     "dos_trace_sigma", "greens_trace_sigma", "transport_distribution_sigma",
 ]

@@ -265,3 +265,91 @@ class SigmaDOSSolver:
 
     def __call__(self, omegas):
         return self._sweep(jnp.asarray(omegas), self._hk_re, self._hk_im, self._w)
+
+
+class SigmaTransportSolver:
+    """Kubo-Greenwood transport with a MATRIX self-energy on a cached grid:
+    (H, dH) evaluated once on the (symmetry-reduced) ``npt^d`` grid, each
+    omega computes ``Gamma_ab = sum_k w_k Tr[v_a A v_b A]`` with the full
+    matrix spectral function (see :func:`transport_distribution_sigma`).
+    IBZ results are group-averaged back to the full zone (rank-2 tensor,
+    reference ``src/brillouin.jl:96-108`` semantics).  The constant-``eta``
+    special case has a much cheaper band-diagonal GEMM engine
+    (:class:`~.observables.TransportSolver`); use this one when ``Sigma``
+    actually has structure."""
+
+    def __init__(self, h: FourierSeries, bz, npt, Sigma, mu=0.0, omega_chunk=4):
+        from ..ops.fourier_eval import evaluate_grid
+        from ..ops.symptr import symptr_rule
+
+        d = bz.ndim
+        if bz.syms is None:
+            lin = None
+            weights = np.ones(npt**d)
+            self._Savg = None
+        else:
+            reps, weights = symptr_rule(npt, d, bz.syms)
+            lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
+            Sinv = np.linalg.inv(np.asarray(bz.syms, dtype=np.float64))
+            self._Savg = (Sinv.swapaxes(1, 2), Sinv, len(Sinv))
+        u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
+        self._scale = abs(np.linalg.det(bz.B)) / (npt**d)
+        self._mu = float(mu)
+        self._Sigma = _as_sigma(Sigma)
+        self._chunk = int(omega_chunk)
+        self._dtype = h.dtype
+        self._d = d
+
+        @jax.jit
+        def grid():
+            hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
+            grads = []
+            for j in range(d):
+                derivs = tuple(1 if i == j else 0 for i in range(d))
+                grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
+            vk = jnp.stack(grads, axis=d)
+            hk = hk.reshape((-1,) + hk.shape[d:])
+            vk = vk.reshape((-1, d) + vk.shape[d + 1:])
+            if lin is not None:
+                hk = hk[lin]
+                vk = vk[lin]
+            return (jnp.real(hk), jnp.imag(hk), jnp.real(vk), jnp.imag(vk))
+
+        self._parts = grid()
+        self._w = jnp.asarray(weights, self._parts[0].dtype)
+        self._m = int(self._parts[0].shape[-1])
+        self._sweep = self._build()
+
+    def _build(self):
+        m, d = self._m, self._d
+        Sigma, mu, dtype = self._Sigma, self._mu, self._dtype
+        scale, C, Savg = self._scale, self._chunk, self._Savg
+
+        def one(om, hk, vk, w):
+            M = _zmat(om, Sigma, m, dtype, mu)[None] - hk       # (K, m, m)
+            G = _inv_small(M)
+            A = (G - jnp.conj(jnp.swapaxes(G, -1, -2))) / (-2j * jnp.pi)
+            vA = jnp.einsum("kaij,kjn->kain", vk, A)
+            Gam = jnp.real(jnp.einsum("kaij,kbji->kab", vA, vA))
+            return jnp.einsum("k,kab->ab", w, Gam) * scale
+
+        @jax.jit
+        def sweep(om_all, hk_re, hk_im, vk_re, vk_im, w):
+            hk = hk_re + 1j * hk_im
+            vk = vk_re + 1j * vk_im
+            nw = om_all.shape[0]
+            pad = -(-nw // C) * C
+            omp = jnp.zeros((pad,), om_all.dtype).at[:nw].set(om_all)
+            G = jax.lax.map(jax.vmap(lambda om: one(om, hk, vk, w)),
+                            omp.reshape(-1, C))
+            G = G.reshape(pad, d, d)[:nw]
+            if Savg is not None:
+                SinvT, Sinv_, n = Savg
+                G = jnp.einsum("sab,wbc,scd->wad", jnp.asarray(SinvT, G.dtype),
+                               G, jnp.asarray(Sinv_, G.dtype)) / n
+            return G
+
+        return sweep
+
+    def __call__(self, omegas):
+        return self._sweep(jnp.asarray(omegas), *self._parts, self._w)

@@ -175,3 +175,20 @@ def test_projected_dos_sums_to_total():
     h1 = FourierSeries(C1[:, None, None], period=1.0, offset=(-1,), ndim=1)
     D1 = np.asarray(SigmaDOSSolver(h1, bz, 128, _const_sigma(-0.1j))(om))
     np.testing.assert_allclose(P[:, 0], D1, rtol=1e-10)
+
+
+def test_sigma_transport_solver_matches_eta_engine():
+    # constant Sigma = -i eta: the matrix-Sigma transport grid engine equals
+    # the band-diagonal GEMM TransportSolver on FBZ and IBZ
+    from autobzcore_tpu import InversionSymIBZ
+    from autobzcore_tpu.models.observables import TransportSolver
+    from autobzcore_tpu.models.selfenergy import SigmaTransportSolver
+
+    h = tb_graphene()
+    eta = 0.12
+    om = np.linspace(-3, 3, 5)
+    for bz in (load_bz(FBZ(), np.eye(2)), load_bz(InversionSymIBZ(), np.eye(2))):
+        ref = np.asarray(TransportSolver(h, bz, 24, eta)(om))
+        got = np.asarray(SigmaTransportSolver(h, bz, 24, _const_sigma(-1j * eta))(om))
+        assert got.shape == ref.shape == (5, 2, 2)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)

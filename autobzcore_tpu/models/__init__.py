@@ -1,5 +1,5 @@
 from .berry import (BerryCurvatureSolver, BerryPack, berry_pack,
-                    lattice_chern)
+                    lattice_chern, wilson_loop_spectrum, z2_invariant)
 from .kpath import KPath, band_structure, kpath, spectral_path
 from .selfenergy import (SigmaCallable, SigmaDOSSolver, SigmaInterpolant,
                          SigmaTransportSolver,
@@ -13,7 +13,7 @@ from .transport import (ElectronCountSolver, KineticCoefficientSolver, fermi,
 
 __all__ = [
     "integer_lattice", "synthetic_wannier", "tb_graphene", "tb_haldane",
-    "tb_integer", "tb_kane_mele_sz", "tb_weyl", "BerryCurvatureSolver", "BerryPack", "berry_pack", "lattice_chern",
+    "tb_integer", "tb_kane_mele_sz", "tb_weyl", "BerryCurvatureSolver", "BerryPack", "berry_pack", "lattice_chern", "wilson_loop_spectrum", "z2_invariant",
     "ElectronCountSolver", "KineticCoefficientSolver", "fermi", "fermi_window",
     "fermi_window_limits", "optical_conductivity",
     "SpectralPack", "TransportSolver", "spectral_velocity_pack",

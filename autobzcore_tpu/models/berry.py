@@ -290,6 +290,94 @@ def _lattice_chern_fn(npt, period, offset, dtype, bands):
 _LATTICE_CHERN_CACHE = {}
 
 
+def wilson_loop_spectrum(h: FourierSeries, npt, bands=None, nloop=None):
+    """Hybrid Wannier center flow: eigenphases of the non-Abelian Wilson
+    loop around the k1 circle, as a function of k2.
+
+    Returns centers (nk2, nb) in [-1/2, 1/2) (units of the a1 lattice
+    vector), sorted per row.  The loop at each k2 multiplies the occupied-
+    subspace link overlaps ``V(k1)^dagger V(k1 + dk1)`` around the zone
+    (gauge-invariant spectrum; no smooth-gauge fixing needed).  The center
+    flow winds by ``-C`` over one k2 period for a Chern band and exhibits
+    the partner-switching pattern that defines the Z2 invariant
+    (:func:`z2_invariant`).
+
+    ``npt``: loop discretization along k1; ``nloop``: number of k2 rows
+    (defaults to npt); ``bands``: band indices (default: lower half).
+    """
+    from ..ops.fourier_eval import evaluate_grid
+
+    n2 = npt if nloop is None else int(nloop)
+    u = [np.arange(npt) / npt * h.period[0],
+         np.arange(n2) / n2 * h.period[1]]
+
+    @jax.jit
+    def loops(cre, cim):
+        c = (cre + 1j * cim).astype(h.dtype)
+        hk = evaluate_grid(c, 2, u, h.offset, h.period, None, h.dtype)
+        _, U = _eigh_batch(hk)                        # (npt, n2, m, m)
+        m = U.shape[-1]
+        idx = jnp.arange(m // 2) if bands is None else jnp.asarray(bands)
+        V = U[..., idx]                               # (npt, n2, m, nb)
+        Vn = jnp.roll(V, -1, axis=0)
+        L = jnp.einsum("xyim,xyin->xymn", jnp.conj(V), Vn)  # links along k1
+
+        def step(W, Lx):
+            return jnp.einsum("ymn,ynp->ymp", W, Lx), None
+
+        nb = L.shape[-1]
+        W0 = jnp.broadcast_to(jnp.eye(nb, dtype=L.dtype), (n2, nb, nb))
+        W, _ = jax.lax.scan(step, W0, L)
+        return jnp.real(W), jnp.imag(W)
+
+    c = np.asarray(h.c)
+    wr, wi = loops(jnp.asarray(c.real), jnp.asarray(c.imag))
+    # eigenphases of the tiny per-row loop matrices on HOST: general
+    # (non-Hermitian) eig is CPU-only in jax, and (n2, nb, nb) is trivial
+    lam = np.linalg.eigvals(np.asarray(wr) + 1j * np.asarray(wi))
+    th = np.angle(lam) / (2 * np.pi)
+    return np.sort(th, axis=-1)
+
+
+def z2_invariant(h: FourierSeries, npt=48, bands=None, nloop=None):
+    """Time-reversal Z2 invariant from Wannier-center flow over HALF the
+    zone (Yu–Qi–Bernevig–Dai–Fang largest-gap tracking, PRB 84, 075119
+    (2011)): follow the midpoint of the largest gap between sorted centers
+    from k2 = 0 to k2 = 1/2 and count center crossings mod 2.
+
+    Applies to time-reversal-symmetric models with an even occupied set
+    (Kramers pairs); returns 0 or 1.
+    """
+    n2 = (npt if nloop is None else int(nloop))
+    if n2 % 2:
+        n2 += 1
+    th = np.asarray(wilson_loop_spectrum(h, npt, bands=bands, nloop=n2))
+    half = th[: n2 // 2 + 1]                          # k2 in [0, 1/2]
+    nb = half.shape[1]
+
+    def gap_center(row):
+        ext = np.concatenate([row, [row[0] + 1.0]])
+        gaps = np.diff(ext)
+        j = int(np.argmax(gaps))
+        gc = ext[j] + gaps[j] / 2
+        return (gc + 0.5) % 1.0 - 0.5
+
+    crossings = 0
+    g = gap_center(half[0])
+    for i in range(1, len(half)):
+        g2 = gap_center(half[i])
+        d_end = (g2 - g) % 1.0
+        if d_end <= 0.5:
+            lo, span = g, d_end
+        else:  # moved the short way backwards
+            lo, span = g2, 1.0 - d_end
+        for x in half[i]:
+            if 0 < (x - lo) % 1.0 <= span:
+                crossings += 1
+        g = g2
+    return crossings % 2
+
+
 class BerryCurvatureSolver:
     """Reusable Berry-curvature observables over one cached (H, dH) grid.
 

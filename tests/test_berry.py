@@ -273,3 +273,28 @@ def test_weyl_3d_ahc_node_separation():
     # only the xy component survives (nodes on the z axis)
     assert abs(I[0, 2]) < 1e-12 and abs(I[1, 2]) < 1e-12
     assert abs(I[0, 1] + I[1, 0]) < 1e-12
+
+
+def test_wilson_loop_center_winding_equals_chern():
+    # hybrid Wannier center flow winds by the band Chern number over one
+    # k2 period (sign convention pinned to lattice_chern)
+    from autobzcore_tpu.models.berry import lattice_chern, wilson_loop_spectrum
+
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    th = np.asarray(wilson_loop_spectrum(h, 48, bands=[0]))
+    flow = th[:, 0]
+    d = np.diff(np.concatenate([flow, [flow[0]]]))
+    winding = ((d + 0.5) % 1.0 - 0.5).sum()
+    C = lattice_chern(h, _fbz2(), 24, bands=[0])
+    assert abs(winding - round(C)) < 1e-9
+
+
+def test_z2_invariant_kane_mele_phases():
+    from autobzcore_tpu.models.berry import z2_invariant
+    from autobzcore_tpu.models.tight_binding import tb_kane_mele_sz
+
+    # topological QSH phase (|M| < 3 sqrt(3) lam_so)
+    assert z2_invariant(tb_kane_mele_sz(lam_so=0.1, M=0.0), 48) == 1
+    # trivial phases: large mass, and small spin-orbit vs mass
+    assert z2_invariant(tb_kane_mele_sz(lam_so=0.1, M=1.0), 48) == 0
+    assert z2_invariant(tb_kane_mele_sz(lam_so=0.02, M=0.3), 64) == 0

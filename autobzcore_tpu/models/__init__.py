@@ -7,13 +7,14 @@ from .selfenergy import (SigmaCallable, SigmaDOSSolver, SigmaInterpolant,
                          greens_trace_sigma, transport_distribution_sigma)
 from .observables import SpectralPack, TransportSolver, spectral_velocity_pack
 from .tight_binding import (integer_lattice, synthetic_wannier, tb_graphene,
-                            tb_haldane, tb_integer, tb_kane_mele_sz, tb_weyl)
+                            tb_haldane, tb_integer, tb_kane_mele,
+                            tb_kane_mele_sz, tb_weyl)
 from .transport import (ElectronCountSolver, KineticCoefficientSolver, fermi,
                         fermi_window, fermi_window_limits, optical_conductivity)
 
 __all__ = [
     "integer_lattice", "synthetic_wannier", "tb_graphene", "tb_haldane",
-    "tb_integer", "tb_kane_mele_sz", "tb_weyl", "BerryCurvatureSolver", "BerryPack", "berry_pack", "lattice_chern", "wilson_loop_spectrum", "z2_invariant",
+    "tb_integer", "tb_kane_mele", "tb_kane_mele_sz", "tb_weyl", "BerryCurvatureSolver", "BerryPack", "berry_pack", "lattice_chern", "wilson_loop_spectrum", "z2_invariant",
     "ElectronCountSolver", "KineticCoefficientSolver", "fermi", "fermi_window",
     "fermi_window_limits", "optical_conductivity",
     "SpectralPack", "TransportSolver", "spectral_velocity_pack",

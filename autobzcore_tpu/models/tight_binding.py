@@ -109,6 +109,61 @@ def tb_kane_mele_sz(t1=1.0, lam_so=0.1, M=0.0, period=1.0, dtype=None):
                          dtype=dtype or jnp.complex128)
 
 
+def tb_kane_mele(t1=1.0, lam_so=0.1, lam_r=0.0, M=0.0, period=1.0, dtype=None):
+    """Full Kane–Mele model including the Rashba term (PRL 95, 226801
+    (2005)): basis (A-up, B-up, A-dn, B-dn).  ``lam_r`` breaks S_z
+    conservation, so the spin Hall response dequantizes while the Z2
+    invariant stays 1 until the gap closes (|lam_r| ~ 2 sqrt(3) lam_so at
+    M=0) — the workload :func:`~.berry.z2_invariant` exists for.
+    ``lam_r=0`` reduces exactly to :func:`tb_kane_mele_sz`.
+
+    NN bond unit vectors (Cartesian, for the ``s x d`` Rashba form):
+    ``(0,1)`` for R=(0,0), ``(-s3/2,-1/2)`` for R=(-1,0),
+    ``(s3/2,-1/2)`` for R=(0,-1)`` with ``s3 = sqrt(3)``.
+    """
+    import jax.numpy as jnp
+
+    C = np.zeros((3, 3, 4, 4), dtype=np.complex128)
+    o = 1
+    sx = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+    sy = np.array([[0, -1j], [1j, 0]])
+
+    def add(i, j, blk):
+        # blk: 4x4 in (A-up, B-up, A-dn, B-dn); hermitian pair added
+        C[i + o, j + o] += blk
+        C[-i + o, -j + o] += blk.conj().T
+
+    def ab_spin(spin_mat):
+        """spin_mat (2x2 on spin) acting on the A->B sublattice hop."""
+        blk = np.zeros((4, 4), dtype=np.complex128)
+        for s1 in range(2):
+            for s2 in range(2):
+                blk[2 * s1 + 0, 2 * s2 + 1] = spin_mat[s1, s2]
+        return blk
+
+    # basis map: index = 2*spin + sublattice (A=0, B=1)
+    s3 = np.sqrt(3.0)
+    bonds = (((0, 0), (0.0, 1.0)), ((-1, 0), (-s3 / 2, -0.5)),
+             ((0, -1), (s3 / 2, -0.5)))
+    for (i, j), (dx, dy) in bonds:
+        hop = t1 * np.eye(2) + 1j * lam_r * (sx * dy - sy * dx)
+        add(i, j, ab_spin(hop))
+    # on-site mass +M on A, -M on B (both spins); add half so the hermitian
+    # pair in add() sums to the full value at R = 0
+    mass = np.diag([M, -M, M, -M]).astype(np.complex128)
+    add(0, 0, mass / 2)
+    # NNN spin-orbit: +phi for up, -phi for dn with phi = pi/2 -> i lam_so
+    for (i, j) in ((1, 0), (-1, 1), (0, -1)):
+        blk = np.zeros((4, 4), dtype=np.complex128)
+        for sl in (0, 1):                       # A-A and B-B, opposite sign
+            sgn = 1.0 if sl == 0 else -1.0
+            blk[0 + sl, 0 + sl] += 1j * sgn * lam_so       # spin up
+            blk[2 + sl, 2 + sl] += -1j * sgn * lam_so      # spin down
+        add(i, j, blk)
+    return FourierSeries(C, period=period, offset=(-1, -1), ndim=2,
+                         dtype=dtype or jnp.complex128)
+
+
 def tb_weyl(m=2.0, period=1.0, dtype=None):
     """Minimal two-band Weyl semimetal on the cubic lattice:
     ``H = sin(2 pi k1) sx + sin(2 pi k2) sy + (m - sum_i cos(2 pi k_i)) sz``.

@@ -298,3 +298,27 @@ def test_z2_invariant_kane_mele_phases():
     # trivial phases: large mass, and small spin-orbit vs mass
     assert z2_invariant(tb_kane_mele_sz(lam_so=0.1, M=1.0), 48) == 0
     assert z2_invariant(tb_kane_mele_sz(lam_so=0.02, M=0.3), 64) == 0
+
+
+def test_kane_mele_rashba_z2_and_dequantized_spin_hall():
+    # the full Kane-Mele model with Rashba coupling: S_z is NOT conserved,
+    # so the spin Hall response dequantizes — but the Z2 invariant stays 1
+    # until the gap closes, and charge Hall stays exactly 0 (TRS)
+    from autobzcore_tpu.models.berry import z2_invariant
+    from autobzcore_tpu.models.tight_binding import tb_kane_mele, tb_kane_mele_sz
+
+    # lam_r = 0 reduces exactly to the Sz-conserving builder
+    np.testing.assert_allclose(np.asarray(tb_kane_mele(lam_so=0.1, M=0.2).c),
+                               np.asarray(tb_kane_mele_sz(lam_so=0.1, M=0.2).c),
+                               atol=1e-15)
+    h = tb_kane_mele(lam_so=0.06, lam_r=0.05, M=0.0)
+    assert z2_invariant(h, 48) == 1
+    assert z2_invariant(tb_kane_mele(lam_so=0.06, lam_r=0.05, M=0.8), 48) == 0
+    slv = BerryCurvatureSolver(h, _fbz2(), npt=60)
+    Sz = np.diag([0.5, 0.5, -0.5, -0.5])
+    I_c = float(np.asarray(slv.ahc(mu=0.0))[0, 1])
+    I_s = float(np.asarray(slv.operator_hall(Sz, mu=0.0))[0, 1])
+    assert abs(I_c) < 1e-10
+    q = -1 / (2 * np.pi)
+    assert abs(I_s - q) > 1e-3       # dequantized...
+    assert abs(I_s - q) < 0.2 * abs(q)  # ...but still near the quantum

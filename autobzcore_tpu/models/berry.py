@@ -418,6 +418,47 @@ class BerryCurvatureSolver:
         Ocart = self._Binv.T @ Ofrac @ self._Binv
         return abs(self._detB) / (2 * np.pi) ** p.ndim * Ocart
 
+    def quantum_metric(self, degtol=1e-8):
+        """Band-resolved quantum metric (Fubini–Study / Provost–Vallee)
+        ``g_n,ab(k) = sum_{m != n} Re[v_a,nm v_b,mn] / (e_n - e_m)^2`` in
+        FRACTIONAL coordinates — the real part of the quantum geometric
+        tensor whose imaginary part is ``-Omega/2``.  Returns (K, m, d, d);
+        built once per solver (cached).  For any two-band model the
+        pointwise bound ``det g >= (Omega/2)^2`` holds with equality on
+        bands whose Bloch vector covers the sphere isotropically (the
+        acceptance inequality in ``tests/test_berry.py``)."""
+        g = getattr(self, "_metric", None)
+        if g is not None:
+            return g
+        h, npt, d = self._h, self.pack.npt, self.pack.ndim
+        u1_slabs, inner = _slab_rows(h, npt, d)
+
+        @jax.jit
+        def build(cre, cim):
+            s = type("S", (), {})()
+            s.c = (cre + 1j * cim).astype(h.dtype)
+            s.period, s.offset, s.dtype = h.period, h.offset, h.dtype
+
+            def slab(u1_blk):
+                hk, vk = _eval_slab(s, d, u1_blk, inner)
+                e, U = _eigh_batch(hk)
+                vband = jnp.einsum("kmi,kdij,kjn->kdmn",
+                                   jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
+                R = jnp.real(jnp.einsum("kanm,kbmn->kabnm", vband, vband))
+                de = e[:, :, None] - e[:, None, :]
+                safe = jnp.where(de == 0, 1.0, de)
+                inv2 = jnp.where(jnp.abs(de) > degtol, 1.0 / safe**2, 0.0)
+                # zero the diagonal n = m (Re[v_nn v_nn] != 0 but excluded)
+                eye = jnp.eye(e.shape[-1], dtype=inv2.dtype)
+                return jnp.einsum("kabnm,knm->knab", R, inv2 * (1 - eye))
+
+            g = jax.lax.map(slab, jnp.asarray(u1_slabs))
+            return g.reshape((-1,) + g.shape[2:])
+
+        c = np.asarray(h.c)
+        self._metric = build(jnp.asarray(c.real), jnp.asarray(c.imag))
+        return self._metric
+
     def operator_hall(self, O, mu=0.0, beta=None, degtol=1e-8):
         """Operator-resolved intrinsic Hall integral (e.g. the SPIN Hall
         conductivity for ``O = s_z``):

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=("phase", "point", "spin-hall", "weyl"),
+    p.add_argument("mode", choices=("phase", "point", "spin-hall", "weyl", "z2"),
                    nargs="?", default="phase")
     p.add_argument("--n", type=int, default=13, help="phase-diagram grid per axis")
     p.add_argument("--npt", type=int, default=24)
@@ -91,6 +91,20 @@ def main():
         print(f"Kane-Mele lam_so={args.t2}: charge I_xy = {I_c:.2e} (TRS -> 0), "
               f"spin I^sz_xy = {I_s:.8f} (C_s/2pi = {-1/2/np.pi:.8f})")
         print(f"{time.time()-t0:.1f}s")
+
+    elif args.mode == "z2":
+        from autobzcore_tpu.models.berry import wilson_loop_spectrum, z2_invariant
+        from autobzcore_tpu.models.tight_binding import tb_kane_mele
+
+        for lam_r, M, label in ((0.0, 0.0, "Sz-conserving, topological"),
+                                (0.05, 0.0, "Rashba, topological"),
+                                (0.05, 0.8, "Rashba, trivial")):
+            h = tb_kane_mele(lam_so=0.06, lam_r=lam_r, M=M)
+            z2 = z2_invariant(h, args.npt if args.npt > 24 else 48)
+            print(f"Kane-Mele lam_r={lam_r}, M={M} ({label}): Z2 = {z2}")
+        th = wilson_loop_spectrum(tb_kane_mele(lam_so=0.06, lam_r=0.05), 48)
+        np.savez(args.out, centers=th)
+        print(f"Wannier-center flow (48 rows) -> {args.out}; {time.time()-t0:.1f}s")
 
     else:  # weyl
         h = tb_weyl(m=2.0)

@@ -322,3 +322,20 @@ def test_kane_mele_rashba_z2_and_dequantized_spin_hall():
     q = -1 / (2 * np.pi)
     assert abs(I_s - q) > 1e-3       # dequantized...
     assert abs(I_s - q) < 0.2 * abs(q)  # ...but still near the quantum
+
+
+def test_quantum_metric_curvature_inequality():
+    # the quantum geometric tensor bound for two-band models:
+    # det g_n(k) >= (Omega_n(k)/2)^2 pointwise, g symmetric PSD
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    slv = BerryCurvatureSolver(h, _fbz2(), npt=48)
+    g = np.asarray(slv.quantum_metric())           # (K, m, 2, 2)
+    Om = np.asarray(slv.pack.Om)[:, :, 0, 1]       # (K, m)
+    np.testing.assert_allclose(g, g.swapaxes(-1, -2), atol=1e-12)
+    detg = g[..., 0, 0] * g[..., 1, 1] - g[..., 0, 1] * g[..., 1, 0]
+    assert np.all(g[..., 0, 0] >= -1e-12) and np.all(g[..., 1, 1] >= -1e-12)
+    assert np.all(detg + 1e-10 >= (Om / 2) ** 2)
+    # both bands share the same metric in a two-band model
+    np.testing.assert_allclose(g[:, 0], g[:, 1], atol=1e-10)
+    # cached: second call returns the same object
+    assert slv.quantum_metric() is slv.quantum_metric()

@@ -62,6 +62,7 @@ class BerryPack(NamedTuple):
     e: object        # (K, m) band energies
     Om: object       # (K, m, d, d) Omega^frac_n,ab per grid point and band
     Mm: object       # (K, m, d, d) m^frac_n,ab = sum_m Q_ab,nm / (e_n - e_m)
+    vd: object       # (K, m, d) diagonal band velocities Re v_a,nn (group vel.)
     ndim: int
     npt: int
 
@@ -92,7 +93,7 @@ def _eigh_batch(hk):
 
 
 def _band_pair_terms(hk, vk, degtol, with_moment=True):
-    """(e, Om, Mm) for a flat (K, ...) batch of H and dH values."""
+    """(e, Om, Mm, vd) for a flat (K, ...) batch of H and dH values."""
     e, U = _eigh_batch(hk)
     vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
     # Im[v_a,nm v_b,mn] band-pair products; (K, d, d, m, m) with [.., n, m]
@@ -103,13 +104,15 @@ def _band_pair_terms(hk, vk, degtol, with_moment=True):
     inv2 = jnp.where(ok, 1.0 / safe**2, 0.0)
     # Omega_n,ab = -2 sum_m Q[a,b,n,m] / (e_n - e_m)^2
     Om = -2.0 * jnp.einsum("kabnm,knm->knab", Q, inv2)
+    # group velocities: diagonal band-basis matrix elements (real)
+    vd = jnp.real(jnp.einsum("kdnn->knd", vband))
     if not with_moment:
-        return e, Om, None
+        return e, Om, None, vd
     inv1 = jnp.where(ok, 1.0 / safe, 0.0)
     # self-rotation moment m_n,ab = sum_m Q[a,b,n,m] / (e_n - e_m)
     # (= -(1/2) Im <d_a u_n| x (H - e_n) |d_b u_n> antisymmetrized)
     Mm = jnp.einsum("kabnm,knm->knab", Q, inv1)
-    return e, Om, Mm
+    return e, Om, Mm, vd
 
 
 def _eval_slab(h, d, u1_blk, inner):
@@ -149,8 +152,8 @@ def berry_pack(h: FourierSeries, bz, npt, degtol=1e-8) -> BerryPack:
     c = np.asarray(h.c)
     # (re, im) real argument pair: complex jit arguments are rejected by
     # some TPU backends (see StoredSeriesValues)
-    e, Om, Mm = build(jnp.asarray(c.real), jnp.asarray(c.imag))
-    return BerryPack(e, Om, Mm, d, npt)
+    e, Om, Mm, vd = build(jnp.asarray(c.real), jnp.asarray(c.imag))
+    return BerryPack(e, Om, Mm, vd, d, npt)
 
 
 def _berry_build_fn(npt, d, cshape, period, offset, dtype, degtol):
@@ -178,11 +181,11 @@ def _berry_build_fn(npt, d, cshape, period, offset, dtype, degtol):
 
         def slab(u1_blk):
             hk, vk = _eval_slab(s, d, u1_blk, inner)
-            return _band_pair_terms(hk, vk, degtol)[:3]
+            return _band_pair_terms(hk, vk, degtol)
 
-        e, Om, Mm = jax.lax.map(slab, jnp.asarray(u1_slabs_np))
+        e, Om, Mm, vd = jax.lax.map(slab, jnp.asarray(u1_slabs_np))
         flat = lambda a: a.reshape((-1,) + a.shape[2:])
-        return flat(e), flat(Om), flat(Mm)
+        return flat(e), flat(Om), flat(Mm), flat(vd)
 
     _LATTICE_CHERN_CACHE[key] = build
     return build
@@ -417,6 +420,27 @@ class BerryCurvatureSolver:
         Ofrac = jnp.mean(jnp.einsum("km,kmab->kab", occ, p.Om), axis=0)
         Ocart = self._Binv.T @ Ofrac @ self._Binv
         return abs(self._detB) / (2 * np.pi) ** p.ndim * Ocart
+
+    def berry_curvature_dipole(self, mu=0.0, beta=50.0):
+        """Berry curvature dipole (the nonlinear Hall coefficient,
+        Sodemann–Fu, PRL 115, 216806 (2015)) in the Fermi-surface form
+
+            D_{a;bc} = int d^dk/(2pi)^d  sum_n (-df/de)(e_n) v_a,n Omega_n,bc
+
+        evaluated as a smooth finite-``beta`` weighted grid sum over the
+        cached pack (group velocities x band curvature; no curvature
+        derivatives needed).  Returns (d, d, d) Cartesian.  Anchors
+        (tested): vanishes identically under inversion symmetry (v is
+        odd, Omega even) and for ``mu`` in a gap (no Fermi surface);
+        switches on when inversion breaks at a metallic ``mu``."""
+        p = self.pack
+        x = beta * (p.e - mu)
+        f = fermi(x)
+        mdf = (beta * f * (1 - f)).astype(p.Om.dtype)   # -df/de, (K, m)
+        Dfrac = jnp.mean(jnp.einsum("kn,kna,knbc->kabc", mdf, p.vd, p.Om), axis=0)
+        Bi = self._Binv
+        Dcart = jnp.einsum("ia,jb,kc,ijk->abc", Bi, Bi, Bi, Dfrac)
+        return abs(self._detB) / (2 * np.pi) ** p.ndim * Dcart
 
     def quantum_metric(self, degtol=1e-8):
         """Band-resolved quantum metric (Fubini–Study / Provost–Vallee)

@@ -339,3 +339,41 @@ def test_quantum_metric_curvature_inequality():
     np.testing.assert_allclose(g[:, 0], g[:, 1], atol=1e-10)
     # cached: second call returns the same object
     assert slv.quantum_metric() is slv.quantum_metric()
+
+
+def test_berry_curvature_dipole_symmetry_anchors():
+    # nonlinear Hall BCD (Fermi-surface form): exactly zero under inversion
+    # (v odd, Omega even) and for mu in the gap; nonzero once inversion
+    # breaks (M != 0) at a metallic mu; grid-converged
+    from autobzcore_tpu.fourier import FourierSeries
+
+    bz = _fbz2()
+    mu_metal, beta = 0.8, 40.0
+
+    def model(M, s=0.0):
+        h = tb_haldane(t2=0.1, phi=np.pi / 2, M=M)
+        c = np.array(h.c)
+        c[1, 1, 0, 1] *= (1 + s)   # strengthen one NN bond (keeps inversion)
+        c[1, 1, 1, 0] *= (1 + s)
+        return FourierSeries(c, period=1.0, offset=(-1, -1), ndim=2)
+
+    # inversion-symmetric (M=0), with and without bond anisotropy: D = 0
+    for s in (0.0, 0.2):
+        D = np.asarray(BerryCurvatureSolver(model(0.0, s), bz, npt=72)
+                       .berry_curvature_dipole(mu=mu_metal, beta=beta))
+        assert np.abs(D).max() < 1e-14
+    # inversion broken, mu in the gap: no Fermi surface -> exponentially
+    # small (exp(-beta gap/2) tail of -df/de)
+    slv = BerryCurvatureSolver(model(0.3), bz, npt=96)
+    Dgap = np.asarray(slv.berry_curvature_dipole(mu=0.0, beta=80.0))
+    assert np.abs(Dgap).max() < 1e-8
+    # inversion broken, metallic: nonzero and grid-converged
+    D96 = np.asarray(slv.berry_curvature_dipole(mu=mu_metal, beta=beta))
+    D192 = np.asarray(BerryCurvatureSolver(model(0.3), bz, npt=192)
+                      .berry_curvature_dipole(mu=mu_metal, beta=beta))
+    assert np.abs(D96).max() > 1e-3
+    # Fermi-surface quantity: ~0.2% between npt=96 and the 192 anchor
+    # (measured ladder 96/128/192/256: 0.0084827/69/92/92)
+    np.testing.assert_allclose(D96, D192, atol=1e-8 + 5e-3 * np.abs(D192).max())
+    # the BCD tensor is antisymmetric in its curvature indices
+    np.testing.assert_allclose(D96, -D96.transpose(0, 2, 1), atol=1e-15)

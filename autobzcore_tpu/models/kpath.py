@@ -68,10 +68,12 @@ def band_structure(h: FourierSeries, path):
 
     X = jnp.asarray(path.X if isinstance(path, KPath) else path)
 
+    from ..ops.eigh3 import eigvalsh_small
+
     @jax.jit
     def bands(X):
         hk = evaluate_points(h.c, h.sndim, X, h.offset, h.period, None, h.dtype)
-        return jnp.linalg.eigvalsh(hk)
+        return eigvalsh_small(hk)   # analytic for m <= 3, LAPACK-style above
 
     return bands(X)
 

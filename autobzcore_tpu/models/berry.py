@@ -355,6 +355,10 @@ def z2_invariant(h: FourierSeries, npt=48, bands=None, nloop=None):
     if n2 % 2:
         n2 += 1
     th = np.asarray(wilson_loop_spectrum(h, npt, bands=bands, nloop=n2))
+    if th.shape[1] % 2:
+        raise ValueError(
+            "z2_invariant needs an even occupied set (Kramers pairs); got "
+            f"{th.shape[1]} bands — pass bands=[...] explicitly")
     half = th[: n2 // 2 + 1]                          # k2 in [0, 1/2]
     nb = half.shape[1]
 

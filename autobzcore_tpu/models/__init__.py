@@ -1,6 +1,7 @@
 from .berry import (BerryCurvatureSolver, BerryPack, berry_pack,
                     lattice_chern, wilson_loop_spectrum, z2_invariant)
-from .kpath import KPath, band_structure, kpath, spectral_path
+from .kpath import (KPath, band_structure, expectation_path, kpath,
+                    spectral_path)
 from .selfenergy import (SigmaCallable, SigmaDOSSolver, SigmaInterpolant,
                          SigmaTransportSolver,
                          dos_integrand_sigma, dos_trace_sigma,
@@ -18,7 +19,7 @@ __all__ = [
     "ElectronCountSolver", "KineticCoefficientSolver", "fermi", "fermi_window",
     "fermi_window_limits", "optical_conductivity",
     "SpectralPack", "TransportSolver", "spectral_velocity_pack",
-    "KPath", "band_structure", "kpath", "spectral_path",
+    "KPath", "band_structure", "expectation_path", "kpath", "spectral_path",
     "SigmaCallable", "SigmaDOSSolver", "SigmaInterpolant",
     "SigmaTransportSolver", "dos_integrand_sigma",
     "dos_trace_sigma", "greens_trace_sigma", "transport_distribution_sigma",

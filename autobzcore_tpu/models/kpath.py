@@ -78,6 +78,25 @@ def band_structure(h: FourierSeries, path):
     return bands(X)
 
 
+def expectation_path(h: FourierSeries, path, O):
+    """Band-resolved operator expectations along a path: (K, m) values
+    ``<u_n(k)| O |u_n(k)>`` for an (m, m) Hermitian ``O`` — spin textures,
+    orbital characters, sublattice polarizations."""
+    from ..ops.fourier_eval import evaluate_points
+
+    X = jnp.asarray(path.X if isinstance(path, KPath) else path)
+    Oj = jnp.asarray(O)
+
+    @jax.jit
+    def expect(X):
+        hk = evaluate_points(h.c, h.sndim, X, h.offset, h.period, None, h.dtype)
+        _, U = jnp.linalg.eigh(hk)
+        return jnp.real(jnp.einsum("kin,ij,kjn->kn", jnp.conj(U),
+                                   Oj.astype(U.dtype), U))
+
+    return expect(X)
+
+
 def spectral_path(h: FourierSeries, path, omegas, eta):
     """Momentum-resolved spectral function map A(k, omega) =
     (1/pi) sum_n eta / ((omega - e_n(k))^2 + eta^2) — the band-basis trace

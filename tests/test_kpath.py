@@ -50,3 +50,21 @@ def test_spectral_sum_rule():
     # int A domega = number of bands (here 1), Lorentzian tails truncated
     integral = np.trapezoid(A, om, axis=1)
     np.testing.assert_allclose(integral, 1.0, atol=1e-2)
+
+
+def test_expectation_path_spin_texture():
+    # Sz-conserving Kane-Mele: every band has a definite spin +-1/2; with
+    # Rashba the texture deviates from the poles
+    from autobzcore_tpu.models.kpath import expectation_path
+    from autobzcore_tpu.models.tight_binding import tb_kane_mele
+
+    Sz = np.diag([0.5, 0.5, -0.5, -0.5])
+    X = np.array([[0.13, 0.41], [0.3, 0.1], [0.45, 0.27]])
+    s_cons = np.asarray(expectation_path(tb_kane_mele(lam_so=0.08), X, Sz))
+    np.testing.assert_allclose(np.abs(s_cons), 0.5, atol=1e-12)
+    # identity operator: expectation 1 for every band (normalization)
+    ones = np.asarray(expectation_path(tb_kane_mele(lam_so=0.08), X, np.eye(4)))
+    np.testing.assert_allclose(ones, 1.0, atol=1e-12)
+    s_rash = np.asarray(expectation_path(
+        tb_kane_mele(lam_so=0.08, lam_r=0.08), X, Sz))
+    assert np.abs(np.abs(s_rash) - 0.5).max() > 1e-3

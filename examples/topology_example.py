@@ -80,6 +80,14 @@ def main():
         print(f"  I_xy = {I[0,1]:.8f}  (C/2pi = {C[0]/2/np.pi:.8f})")
         print(f"  dM/dmu in gap = {(M2-M1)/0.2:.8f}  (Streda: {C[0]/2/np.pi:.8f})")
         print(f"  Wilson-loop C (npt=12): {lattice_chern(h, bz2, 12):.1f}")
+        D = np.asarray(slv.berry_curvature_dipole(mu=hi + 0.3, beta=40.0))
+        g = np.asarray(slv.quantum_metric())
+        Om = np.asarray(slv.pack.Om)[:, :, 0, 1]
+        detg = g[..., 0, 0] * g[..., 1, 1] - g[..., 0, 1] ** 2
+        print(f"  BCD max|D| (metallic mu): {np.abs(D).max():.3e}  "
+              f"(inversion-symmetric at M=0 -> ~0)")
+        print(f"  metric-curvature bound: min(det g - (Om/2)^2) = "
+              f"{(detg - (Om / 2) ** 2).min():.2e} (>= 0)")
         print(f"{time.time()-t0:.1f}s")
 
     elif args.mode == "spin-hall":

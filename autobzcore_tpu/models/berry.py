@@ -311,6 +311,11 @@ def wilson_loop_spectrum(h: FourierSeries, npt, bands=None, nloop=None):
     from ..ops.fourier_eval import evaluate_grid
 
     n2 = npt if nloop is None else int(nloop)
+    bands_t = None if bands is None else tuple(int(b) for b in bands)
+    key = ("wilson", npt, n2, np.shape(h.c), h.period, h.offset, h.dtype, bands_t)
+    loops = _LATTICE_CHERN_CACHE.get(key)
+    if loops is not None:
+        return _wilson_tail(loops, h)
     u = [np.arange(npt) / npt * h.period[0],
          np.arange(n2) / n2 * h.period[1]]
 
@@ -333,6 +338,11 @@ def wilson_loop_spectrum(h: FourierSeries, npt, bands=None, nloop=None):
         W, _ = jax.lax.scan(step, W0, L)
         return jnp.real(W), jnp.imag(W)
 
+    _LATTICE_CHERN_CACHE[key] = loops
+    return _wilson_tail(loops, h)
+
+
+def _wilson_tail(loops, h):
     c = np.asarray(h.c)
     wr, wi = loops(jnp.asarray(c.real), jnp.asarray(c.imag))
     # eigenphases of the tiny per-row loop matrices on HOST: general
@@ -455,9 +465,9 @@ class BerryCurvatureSolver:
         pointwise bound ``det g >= (Omega/2)^2`` holds with equality on
         bands whose Bloch vector covers the sphere isotropically (the
         acceptance inequality in ``tests/test_berry.py``)."""
-        g = getattr(self, "_metric", None)
-        if g is not None:
-            return g
+        cache = getattr(self, "_metric", None)
+        if cache is not None and cache[0] == degtol:
+            return cache[1]
         h, npt, d = self._h, self.pack.npt, self.pack.ndim
         u1_slabs, inner = _slab_rows(h, npt, d)
 
@@ -484,8 +494,9 @@ class BerryCurvatureSolver:
             return g.reshape((-1,) + g.shape[2:])
 
         c = np.asarray(h.c)
-        self._metric = build(jnp.asarray(c.real), jnp.asarray(c.imag))
-        return self._metric
+        g = build(jnp.asarray(c.real), jnp.asarray(c.imag))
+        self._metric = (degtol, g)
+        return g
 
     def operator_hall(self, O, mu=0.0, beta=None, degtol=1e-8):
         """Operator-resolved intrinsic Hall integral (e.g. the SPIN Hall
@@ -506,7 +517,8 @@ class BerryCurvatureSolver:
         (cached on the operator's bytes); charge transport reuses the
         cheaper :meth:`ahc`.
         """
-        key = np.asarray(O).tobytes()
+        Oarr = np.asarray(O)
+        key = (Oarr.tobytes(), Oarr.shape, Oarr.dtype.str, float(degtol))
         cacheattr = getattr(self, "_op_cache", None)
         if cacheattr is None:
             cacheattr = self._op_cache = {}

@@ -61,40 +61,58 @@ def kpath(vertices, npts=50, B=None, labels=None) -> KPath:
     return KPath(X, s, np.asarray(ticks), labels)
 
 
+_KPATH_CACHE = {}
+
+
+def _kpath_fn(kind, cshape, sndim, offset, period, dtype, extra=None):
+    """One compiled executable per (kind, coefficient shape, ...): repeated
+    path evaluations (scans, animations) skip recompilation — coefficients
+    ride as (re, im) runtime arguments (same pattern as berry.py's builds;
+    complex jit arguments are rejected by some TPU backends)."""
+    from ..ops.eigh3 import eigvalsh_small
+    from ..ops.fourier_eval import evaluate_points
+
+    key = (kind, cshape, sndim, offset, period, dtype, extra)
+    fn = _KPATH_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def bands(cre, cim, X):
+        c = (cre + 1j * cim).astype(dtype)
+        hk = evaluate_points(c, sndim, X, offset, period, None, dtype)
+        return eigvalsh_small(hk)   # analytic for m <= 3, LAPACK-style above
+
+    @jax.jit
+    def expect(cre, cim, X, O):
+        c = (cre + 1j * cim).astype(dtype)
+        hk = evaluate_points(c, sndim, X, offset, period, None, dtype)
+        _, U = jnp.linalg.eigh(hk)
+        return jnp.real(jnp.einsum("kin,ij,kjn->kn", jnp.conj(U),
+                                   O.astype(U.dtype), U))
+
+    fn = {"bands": bands, "expect": expect}[kind]
+    _KPATH_CACHE[key] = fn
+    return fn
+
+
 def band_structure(h: FourierSeries, path):
     """Band energies along a path: (K, m) ascending eigenvalues.  ``path``
     is a :class:`KPath` or a raw (K, d) fractional array."""
-    from ..ops.fourier_eval import evaluate_points
-
     X = jnp.asarray(path.X if isinstance(path, KPath) else path)
-
-    from ..ops.eigh3 import eigvalsh_small
-
-    @jax.jit
-    def bands(X):
-        hk = evaluate_points(h.c, h.sndim, X, h.offset, h.period, None, h.dtype)
-        return eigvalsh_small(hk)   # analytic for m <= 3, LAPACK-style above
-
-    return bands(X)
+    fn = _kpath_fn("bands", np.shape(h.c), h.sndim, h.offset, h.period, h.dtype)
+    c = np.asarray(h.c)
+    return fn(jnp.asarray(c.real), jnp.asarray(c.imag), X)
 
 
 def expectation_path(h: FourierSeries, path, O):
     """Band-resolved operator expectations along a path: (K, m) values
     ``<u_n(k)| O |u_n(k)>`` for an (m, m) Hermitian ``O`` — spin textures,
     orbital characters, sublattice polarizations."""
-    from ..ops.fourier_eval import evaluate_points
-
     X = jnp.asarray(path.X if isinstance(path, KPath) else path)
-    Oj = jnp.asarray(O)
-
-    @jax.jit
-    def expect(X):
-        hk = evaluate_points(h.c, h.sndim, X, h.offset, h.period, None, h.dtype)
-        _, U = jnp.linalg.eigh(hk)
-        return jnp.real(jnp.einsum("kin,ij,kjn->kn", jnp.conj(U),
-                                   Oj.astype(U.dtype), U))
-
-    return expect(X)
+    fn = _kpath_fn("expect", np.shape(h.c), h.sndim, h.offset, h.period, h.dtype)
+    c = np.asarray(h.c)
+    return fn(jnp.asarray(c.real), jnp.asarray(c.imag), X, jnp.asarray(O))
 
 
 def spectral_path(h: FourierSeries, path, omegas, eta):
@@ -104,10 +122,5 @@ def spectral_path(h: FourierSeries, path, omegas, eta):
     the sum rule ``int A domega = m`` per k-point."""
     e = band_structure(h, path)
     om = jnp.asarray(omegas)
-
-    @jax.jit
-    def amap(e, om):
-        lor = eta / ((om[None, :, None] - e[:, None, :]) ** 2 + eta**2) / np.pi
-        return jnp.sum(lor, axis=-1)
-
-    return amap(e, om)
+    lor = eta / ((om[None, :, None] - e[:, None, :]) ** 2 + eta**2) / np.pi
+    return jnp.sum(lor, axis=-1)

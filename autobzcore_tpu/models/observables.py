@@ -20,6 +20,32 @@ from ..brillouin import TrivialRep
 from ..fourier import FourierIntegrand, FourierSeries, JacobianSeries
 
 
+def reduced_grid(bz, npt, period):
+    """Shared symmetry-reduced PTR-grid data for the cached-pack engines:
+    ``(lin, weights, u, scale, Savg)`` — gather indices into the flattened
+    full grid (or None on FBZ), orbit multiplicities (sum = npt^d),
+    per-dimension fractional nodes scaled by the series period, the
+    ``|det B| / npt^d`` full-zone normalization, and the rank-2
+    group-average data ``(S^-T stack, S^-1 stack, |G|)`` (None on FBZ)."""
+    import numpy as np
+
+    from ..ops.symptr import symptr_rule
+
+    d = bz.ndim
+    if bz.syms is None:
+        lin = None
+        weights = np.ones(npt**d)
+        Savg = None
+    else:
+        reps, weights = symptr_rule(npt, d, bz.syms)
+        lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
+        Sinv = np.linalg.inv(np.asarray(bz.syms, dtype=np.float64))
+        Savg = (Sinv.swapaxes(1, 2), Sinv, len(Sinv))
+    u = [np.arange(npt) / npt * period[j] for j in range(d)]
+    scale = abs(np.linalg.det(bz.B)) / (npt**d)
+    return lin, weights, u, scale, Savg
+
+
 def _trace_inv_small(M):
     """Tr M^{-1} by the adjugate identity for m <= 3 — closed-form, no LU
     (TPU's LuDecomposition expander rejects c128 and is slow for tiny m)."""
@@ -169,15 +195,7 @@ def spectral_velocity_pack(h: FourierSeries, bz, npt) -> SpectralPack:
     from ..ops.symptr import symptr_rule
 
     d = bz.ndim
-    if bz.syms is None:
-        lin = None
-        weights = np.ones(npt**d)
-    else:
-        reps, weights = symptr_rule(npt, d, bz.syms)
-        lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
-    u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
-    vol = abs(np.linalg.det(bz.B))
-    scale = vol / (npt**d)  # full-zone normalization (sum of all weights)
+    lin, weights, u, scale, Savg0 = reduced_grid(bz, npt, h.period)
 
     @jax.jit
     def spectral():
@@ -209,12 +227,7 @@ def spectral_velocity_pack(h: FourierSeries, bz, npt) -> SpectralPack:
     Wmat = (w[:, None, None, None, None] * P).transpose(0, 3, 4, 1, 2).reshape(K * m * m, d * d)
 
     # group-average the rank-2 tensor: sum_full = (1/|G|) sum_S S^-T G_ibz S^-1
-    if bz.syms is None:
-        Savg = None
-    else:
-        Sinv = np.linalg.inv(np.asarray(bz.syms, dtype=np.float64))
-        Savg = (np.swapaxes(Sinv, 1, 2), Sinv, len(Sinv))
-    return SpectralPack(e, Wmat, scale, Savg, weights, d, npt)
+    return SpectralPack(e, Wmat, scale, Savg0, weights, d, npt)
 
 
 class TransportSolver:

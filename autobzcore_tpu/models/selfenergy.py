@@ -195,18 +195,10 @@ class SigmaDOSSolver:
                  project=False):
         self._project = bool(project)
         from ..ops.fourier_eval import evaluate_grid
-        from ..ops.symptr import symptr_rule
+        from .observables import reduced_grid
 
         d = bz.ndim
-        if bz.syms is None:
-            lin = None
-            weights = np.ones(npt**d)
-        else:
-            reps, weights = symptr_rule(npt, d, bz.syms)
-            lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
-        u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
-        vol = abs(np.linalg.det(bz.B))
-        self._scale = vol / (npt**d)
+        lin, weights, u, self._scale, _ = reduced_grid(bz, npt, h.period)
         self._mu = float(mu)
         self._Sigma = _as_sigma(Sigma)
         self._chunk = int(omega_chunk)
@@ -280,20 +272,10 @@ class SigmaTransportSolver:
 
     def __init__(self, h: FourierSeries, bz, npt, Sigma, mu=0.0, omega_chunk=4):
         from ..ops.fourier_eval import evaluate_grid
-        from ..ops.symptr import symptr_rule
+        from .observables import reduced_grid
 
         d = bz.ndim
-        if bz.syms is None:
-            lin = None
-            weights = np.ones(npt**d)
-            self._Savg = None
-        else:
-            reps, weights = symptr_rule(npt, d, bz.syms)
-            lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
-            Sinv = np.linalg.inv(np.asarray(bz.syms, dtype=np.float64))
-            self._Savg = (Sinv.swapaxes(1, 2), Sinv, len(Sinv))
-        u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
-        self._scale = abs(np.linalg.det(bz.B)) / (npt**d)
+        lin, weights, u, self._scale, self._Savg = reduced_grid(bz, npt, h.period)
         self._mu = float(mu)
         self._Sigma = _as_sigma(Sigma)
         self._chunk = int(omega_chunk)

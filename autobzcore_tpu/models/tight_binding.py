@@ -206,7 +206,17 @@ def synthetic_wannier(nbands, nr=5, ndim=3, decay=1.0, seed=0, period=1.0, dtype
     grids = np.meshgrid(*[np.arange(nr) + o] * ndim, indexing="ij")
     dist = np.sqrt(sum(g.astype(float) ** 2 for g in grids))
     C *= np.exp(-decay * dist)[..., None, None] / np.sqrt(nbands)
-    # hermitian symmetry: c(-R) = c(R)^dagger
-    C = (C + np.flip(C.conj(), axis=tuple(range(ndim))).swapaxes(-1, -2)) / 2
+    # hermitian symmetry c(-R) = c(R)^dagger by EXPLICIT -R pairing: np.flip
+    # maps index i -> nr-1-i, which equals the -R partner only when the
+    # offset box is centered (odd nr); for even nr it silently paired c(-1)
+    # with c(2)^dagger and produced a non-Hermitian H(k).  Planes whose -R
+    # lies outside the box have no partner and are zeroed.
+    idx = np.indices(shape).reshape(ndim, -1).T
+    Ch = np.zeros_like(C)
+    for i in idx:
+        p = -(i + o) - o  # index of -R
+        if np.all((p >= 0) & (p < nr)):
+            Ch[tuple(i)] = (C[tuple(i)] + C[tuple(p)].conj().T) / 2
+    C = Ch
     return FourierSeries(C, period=period, offset=(o,) * ndim, ndim=ndim,
                          dtype=dtype or jnp.complex128)

@@ -86,16 +86,10 @@ def _eigenvalue_grid(h, bz, npt):
     no velocity packing; roughly a quarter of the full
     :func:`~.observables.spectral_velocity_pack` cost)."""
     from ..ops.fourier_eval import evaluate_grid
-    from ..ops.symptr import symptr_rule
+    from .observables import reduced_grid
 
     d = bz.ndim
-    if bz.syms is None:
-        lin = None
-        weights = np.ones(npt**d)
-    else:
-        reps, weights = symptr_rule(npt, d, bz.syms)
-        lin = np.ravel_multi_index(tuple(reps.T.astype(np.int64)), (npt,) * d)
-    u = [np.arange(npt) / npt * h.period[j] for j in range(d)]
+    lin, weights, u, _, _ = reduced_grid(bz, npt, h.period)
 
     @jax.jit
     def eigs():

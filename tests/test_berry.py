@@ -377,3 +377,24 @@ def test_berry_curvature_dipole_symmetry_anchors():
     np.testing.assert_allclose(D96, D192, atol=1e-8 + 5e-3 * np.abs(D192).max())
     # the BCD tensor is antisymmetric in its curvature indices
     np.testing.assert_allclose(D96, -D96.transpose(0, 2, 1), atol=1e-15)
+
+
+def test_synthetic_wannier_hermitian_even_nr():
+    # regression: the flip-based symmetrization paired c(-1) with c(2)^dag
+    # on even-nr (uncentered) boxes, yielding a non-Hermitian H(k)
+    from autobzcore_tpu.models.tight_binding import synthetic_wannier
+
+    for nr in (3, 4, 5, 6):
+        h = synthetic_wannier(3, nr=nr, ndim=2, seed=1)
+        H = np.asarray(h(np.array([0.13, 0.37])))
+        assert np.abs(H - H.conj().T).max() < 1e-12, nr
+
+
+def test_quantum_metric_degtol_not_stale():
+    # regression: the metric cache ignored degtol
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    slv = BerryCurvatureSolver(h, _fbz2(), npt=12)
+    g1 = np.asarray(slv.quantum_metric(degtol=1e-8))
+    g2 = np.asarray(slv.quantum_metric(degtol=1e3))  # absurd: kills all pairs
+    assert np.abs(g2).max() == 0.0
+    assert np.abs(g1).max() > 0.0

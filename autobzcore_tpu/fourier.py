@@ -253,7 +253,7 @@ class FourierIntegrand:
         complex runtime parameters), coefficients enter as HLO literals.
         """
         d = self.s.ndim
-        periods = self.s.period if not isinstance(self.s, JacobianSeries) else self.s.s.period
+        periods = self.s.period  # JacobianSeries forwards the base period
         u = [np.arange(npt) / npt * periods[j] for j in range(d)]
         if frac is not None:
             idx = np.rint(np.asarray(frac) * npt).astype(np.int64)
@@ -375,15 +375,8 @@ class _JacobianUnpack:
         return _JacobianUnpack(self.pf.with_parameters(p))
 
     def __call__(self, v, p):
-        sv = v.s
-        if isinstance(sv, tuple) or hasattr(sv, "re"):
-            # split-complex carrier: SplitComplex with leading channel axis
-            h = sv[0]
-            vv = sv[1:]
-        else:
-            h = sv[0]
-            vv = sv[1:]
-        return self.pf(FourierValue(v.x, (h, vv)), p)
+        # works for plain arrays AND SplitComplex (both index channel-first)
+        return self.pf(FourierValue(v.x, (v.s[0], v.s[1:])), p)
 
 
 class FourierCarrier:

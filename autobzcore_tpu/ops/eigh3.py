@@ -48,11 +48,9 @@ def eigh2(h):
     n = jnp.sqrt(jnp.abs(v0) ** 2 + jnp.abs(v1) ** 2)
     ok = n > 0
     nsafe = jnp.where(ok, n, 1.0)
+    # degenerate (r = 0): any orthonormal pair works; use the identity
     up0 = jnp.where(ok, v0 / nsafe, jnp.zeros_like(v0))
     up1 = jnp.where(ok, v1 / nsafe, jnp.ones_like(v1))
-    # degenerate (r = 0): any orthonormal pair works; use the identity
-    up0 = jnp.where(ok, up0, 0.0 * up0)
-    up1 = jnp.where(ok, up1, jnp.ones_like(up1))
     lo0 = -jnp.conj(up1)
     lo1 = jnp.conj(up0)
     U = jnp.stack([jnp.stack([lo0, up0], axis=-1),

@@ -21,7 +21,7 @@ from ..fourier import FourierSeries
 from ..ops.symptr import symptr_rule
 
 
-def _rule_data(series: FourierSeries, bz: SymmetricBZ, npt: int):
+def _rule_data(bz: SymmetricBZ, npt: int):
     d = bz.ndim
     if bz.syms is None:
         strides = npt ** np.arange(d - 1, -1, -1)
@@ -31,6 +31,47 @@ def _rule_data(series: FourierSeries, bz: SymmetricBZ, npt: int):
     else:
         reps, weights = symptr_rule(npt, d, bz.syms)
     return reps, weights
+
+
+def _shard_inputs(series, bz, npt, mesh, k_axis, w_axis, params):
+    """Shared preamble of the sharded engines: pad the (symmetry-reduced)
+    rule to the k-mesh, shard points/weights/parameters, return the
+    full-zone scale.  Padded rows carry zero weight -> no contribution."""
+    d = bz.ndim
+    reps, weights = _rule_data(bz, npt)
+    nk_dev = mesh.shape[k_axis]
+    nw_dev = mesh.shape[w_axis]
+    K = reps.shape[0]
+    Kpad = -(-K // nk_dev) * nk_dev
+    frac = np.zeros((Kpad, d))
+    wgt = np.zeros(Kpad)
+    # evaluate_points divides by the period internally, so the grid must
+    # span [0, period)
+    frac[:K] = reps.astype(np.float64) / npt * np.asarray(series.period)
+    wgt[:K] = weights
+    params = jnp.asarray(params)
+    if params.shape[0] % nw_dev:
+        raise ValueError(
+            f"parameter count {params.shape[0]} must divide over {nw_dev} devices")
+    scale = abs(np.linalg.det(bz.B)) / (npt**d)  # sum of all weights = npt^d
+    return (
+        jax.device_put(jnp.asarray(frac), NamedSharding(mesh, P(k_axis, None))),
+        jax.device_put(jnp.asarray(wgt), NamedSharding(mesh, P(k_axis))),
+        jax.device_put(params, NamedSharding(mesh, P(w_axis))),
+        scale,
+    )
+
+
+def _hv_block(series, frac_blk):
+    """(H, dH) at a sharded point block, scalar series promoted to 1x1."""
+    from ..ops.fourier_eval import evaluate_points_jacobian
+
+    hk, vk = evaluate_points_jacobian(series.c, series.sndim, frac_blk,
+                                      series.offset, series.period, series.dtype)
+    if hk.ndim == 1:
+        hk = hk[:, None, None]
+        vk = vk[:, :, None, None]
+    return hk, vk
 
 
 def spectral_sum_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int,
@@ -44,31 +85,11 @@ def spectral_sum_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int,
     The eigendecomposition trick: Tr(z - H)^{-1} = sum_b (z - e_b)^{-1}, so
     the grid is eigendecomposed once and every omega reuses the spectrum.
     """
-    d = bz.ndim
-    reps, weights = _rule_data(series, bz, npt)
-    nk_dev = mesh.shape[k_axis]
-    nw_dev = mesh.shape[w_axis]
-    K = reps.shape[0]
-    Kpad = -(-K // nk_dev) * nk_dev
-    frac = np.zeros((Kpad, d))
-    w = np.zeros(Kpad)
-    # evaluate_points divides by the period internally, so the grid must span
-    # [0, period) — same scaling as ggr_dos_sharded below
-    frac[:K] = reps.astype(np.float64) / npt * np.asarray(series.period)
-    w[:K] = weights
-    omegas = jnp.asarray(omegas)
-    W = omegas.shape[0]
-    if W % nw_dev:
-        raise ValueError(f"omega count {W} must divide over {nw_dev} devices")
+    from ..ops.fourier_eval import evaluate_points
 
-    vol = abs(np.linalg.det(bz.B))
-    scale = vol / (npt**d)  # full-zone normalization: sum w = npt^d
-
-    frac_sharded = jax.device_put(jnp.asarray(frac), NamedSharding(mesh, P(k_axis, None)))
-    w_sharded = jax.device_put(jnp.asarray(w), NamedSharding(mesh, P(k_axis)))
-    om_sharded = jax.device_put(omegas, NamedSharding(mesh, P(w_axis)))
-
-    coeffs = series.c  # replicated (small)
+    frac_sh, w_sh, om_sh, scale = _shard_inputs(series, bz, npt, mesh,
+                                                k_axis, w_axis, omegas)
+    c = series.c  # replicated (small)
 
     @partial(
         shard_map, mesh=mesh,
@@ -76,20 +97,17 @@ def spectral_sum_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int,
         out_specs=P(w_axis),
     )
     def block(frac_blk, w_blk, om_blk):
-        hk = series_eval_points(coeffs, series, frac_blk)
+        hk = evaluate_points(c, series.sndim, frac_blk, series.offset,
+                             series.period, None, series.dtype)
+        if hk.ndim == 1:  # scalar-valued series -> 1x1 matrices
+            hk = hk[:, None, None]
         e = jnp.linalg.eigvalsh(hk)  # (K_loc, m)
         # local Lorentzian sum, then psum over the k axis
         lor = eta / ((om_blk[:, None, None] - e[None, :, :]) ** 2 + eta**2) / jnp.pi
         local = jnp.sum(lor * w_blk[None, :, None], axis=(1, 2))
         return jax.lax.psum(local, k_axis)
 
-    def series_eval_points(c, s, X):
-        from ..ops.fourier_eval import evaluate_points
-
-        return evaluate_points(c, s.sndim, X, s.offset, s.period, None, s.dtype)
-
-    dos = block(frac_sharded, w_sharded, om_sharded)
-    return dos * scale
+    return block(frac_sh, w_sh, om_sh) * scale
 
 
 def transport_sweep_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int,
@@ -105,29 +123,8 @@ def transport_sweep_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int,
     IBZ inputs (rank-2 tensor symmetrization, reference
     ``src/brillouin.jl:96-108`` semantics for matrix-valued results).
     """
-    from ..ops.fourier_eval import evaluate_points
-
-    d = bz.ndim
-    reps, weights = _rule_data(series, bz, npt)
-    nk_dev = mesh.shape[k_axis]
-    nw_dev = mesh.shape[w_axis]
-    K = reps.shape[0]
-    Kpad = -(-K // nk_dev) * nk_dev
-    frac = np.zeros((Kpad, d))
-    wgt = np.zeros(Kpad)  # padded rows carry zero weight -> no contribution
-    frac[:K] = reps.astype(np.float64) / npt * np.asarray(series.period)
-    wgt[:K] = weights
-    omegas = jnp.asarray(omegas)
-    W = omegas.shape[0]
-    if W % nw_dev:
-        raise ValueError(f"omega count {W} must divide over {nw_dev} devices")
-    vol = abs(np.linalg.det(bz.B))
-    scale = vol / (npt**d)
-
-    frac_sh = jax.device_put(jnp.asarray(frac), NamedSharding(mesh, P(k_axis, None)))
-    w_sh = jax.device_put(jnp.asarray(wgt), NamedSharding(mesh, P(k_axis)))
-    om_sh = jax.device_put(omegas, NamedSharding(mesh, P(w_axis)))
-    c = series.c
+    frac_sh, w_sh, om_sh, scale = _shard_inputs(series, bz, npt, mesh,
+                                                k_axis, w_axis, omegas)
 
     @partial(
         shard_map, mesh=mesh,
@@ -135,17 +132,7 @@ def transport_sweep_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int,
         out_specs=P(w_axis),
     )
     def block(frac_blk, w_blk, om_blk):
-        hk = evaluate_points(c, series.sndim, frac_blk, series.offset,
-                             series.period, None, series.dtype)
-        grads = []
-        for j in range(d):
-            derivs = tuple(1 if i == j else 0 for i in range(d))
-            grads.append(evaluate_points(c, series.sndim, frac_blk, series.offset,
-                                         series.period, derivs, series.dtype))
-        vk = jnp.stack(grads, axis=1)  # (Kloc, d, m, m)
-        if hk.ndim == 1:
-            hk = hk[:, None, None]
-            vk = vk[:, :, None, None]
+        hk, vk = _hv_block(series, frac_blk)
         e, U = jnp.linalg.eigh(hk)
         vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
         Pk = jnp.real(jnp.einsum("kanm,kbmn->kabnm", vband, vband))
@@ -176,28 +163,12 @@ def ggr_dos_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int, Es,
     Returns DOS values (len(Es),).
     """
     from ..dos.ggr import _GGR_FORMULAS
-    from ..ops.fourier_eval import evaluate_grid, evaluate_points
 
     d = bz.ndim
     formula = _GGR_FORMULAS[d]
-    reps, weights = _rule_data(series, bz, npt)
-    nk_dev = mesh.shape[k_axis]
-    nw_dev = mesh.shape[w_axis]
-    K = reps.shape[0]
-    Kpad = -(-K // nk_dev) * nk_dev
-    frac = np.zeros((Kpad, d))
-    wgt = np.zeros(Kpad)
-    frac[:K] = reps.astype(np.float64) / npt * np.asarray(series.period)
-    wgt[:K] = weights
-    Es = jnp.asarray(Es)
-    if Es.shape[0] % nw_dev:
-        raise ValueError(f"energy count {Es.shape[0]} must divide over {nw_dev} devices")
+    frac_sh, w_sh, E_sh, _ = _shard_inputs(series, bz, npt, mesh,
+                                           k_axis, w_axis, Es)
     b = 1.0 / (2 * npt)
-
-    frac_sh = jax.device_put(jnp.asarray(frac), NamedSharding(mesh, P(k_axis, None)))
-    w_sh = jax.device_put(jnp.asarray(wgt), NamedSharding(mesh, P(k_axis)))
-    E_sh = jax.device_put(Es, NamedSharding(mesh, P(w_axis)))
-    c = series.c  # host numpy -> HLO literal, replicated
 
     @partial(
         shard_map, mesh=mesh,
@@ -205,20 +176,15 @@ def ggr_dos_sharded(series: FourierSeries, bz: SymmetricBZ, npt: int, Es,
         out_specs=P(w_axis),
     )
     def block(frac_blk, w_blk, E_blk):
-        hk = evaluate_points(c, series.sndim, frac_blk, series.offset, series.period, None, series.dtype)
-        grads = []
-        for j in range(d):
-            derivs = tuple(1 if i == j else 0 for i in range(d))
-            grads.append(evaluate_points(c, series.sndim, frac_blk, series.offset,
-                                         series.period, derivs, series.dtype))
-        vk = jnp.stack(grads, axis=1)  # (Kloc, d, ...)
-        if hk.ndim == 1:
-            hk = hk[:, None, None]
-            vk = vk[:, :, None, None]
+        hk, vk = _hv_block(series, frac_blk)
         e, U = jnp.linalg.eigh(hk)
         v = jnp.real(jnp.einsum("kmi,kdij,kjm->kdm", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U))
         vt = jnp.moveaxis(v, 1, 2)  # (Kloc, m, d)
-        vtol = 1e-10
+        # scale-relative velocity floor, GLOBAL over the sharded grid (pmax)
+        # so the guard agrees with the single-chip GGR path
+        # (dos/ggr.py vtol = 1e-10 * max(1, max|v|))
+        vmax = jax.lax.pmax(jnp.max(jnp.abs(vt)), k_axis)
+        vtol = 1e-10 * jnp.maximum(1.0, vmax)
 
         def dos_at(E):
             dw = jnp.abs(E - e)

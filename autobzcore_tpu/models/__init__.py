@@ -6,7 +6,8 @@ from .selfenergy import (SigmaCallable, SigmaDOSSolver, SigmaInterpolant,
                          SigmaTransportSolver,
                          dos_integrand_sigma, dos_trace_sigma,
                          greens_trace_sigma, transport_distribution_sigma)
-from .observables import SpectralPack, TransportSolver, spectral_velocity_pack
+from .observables import (CertifiedSweep, SpectralPack, TransportSolver,
+                          certified_transport_sweep, spectral_velocity_pack)
 from .tight_binding import (integer_lattice, synthetic_wannier, tb_graphene,
                             tb_haldane, tb_integer, tb_kane_mele,
                             tb_kane_mele_sz, tb_weyl)
@@ -18,7 +19,8 @@ __all__ = [
     "tb_integer", "tb_kane_mele", "tb_kane_mele_sz", "tb_weyl", "BerryCurvatureSolver", "BerryPack", "berry_pack", "lattice_chern", "wilson_loop_spectrum", "z2_invariant",
     "ElectronCountSolver", "KineticCoefficientSolver", "fermi", "fermi_window",
     "fermi_window_limits", "optical_conductivity",
-    "SpectralPack", "TransportSolver", "spectral_velocity_pack",
+    "CertifiedSweep", "SpectralPack", "TransportSolver",
+    "certified_transport_sweep", "spectral_velocity_pack",
     "KPath", "band_structure", "expectation_path", "kpath", "spectral_path",
     "SigmaCallable", "SigmaDOSSolver", "SigmaInterpolant",
     "SigmaTransportSolver", "dos_integrand_sigma",

@@ -163,6 +163,57 @@ def transport_sweep(h: FourierSeries, bz, npt, omegas, eta):
     return TransportSolver(h, bz, npt, eta)(omegas)
 
 
+class CertifiedSweep(NamedTuple):
+    """Result of a Richardson-certified grid sweep: values, the final
+    sup-norm rung delta (the COARSER final rung's error estimate), the
+    convergence flag, and the npt ladder actually run."""
+
+    u: object
+    resid: float
+    retcode: bool
+    npts: tuple
+
+
+def certified_transport_sweep(h: FourierSeries, bz, omegas, eta, abstol=1e-3,
+                              reltol=0.0, nmin=20, nmax=400, factor=2**0.5):
+    """Kubo-Greenwood sweep with AutoPTR-style error control: grow the PTR
+    grid until the sup-norm change of the WHOLE ``Gamma_ab(omega)`` curve
+    between consecutive rungs meets the tolerance, choosing rungs with the
+    rate-fitted scheduler (``dos/fullgrid.next_rung_npt`` — the same policy
+    that certifies the DOS north star with ~0.25x the geometric ladder's
+    points).  Converges to the WEAKEST of ``abstol``/``reltol`` like every
+    solver in the framework (reference ``src/interfaces.jl:91-104``).
+
+    Extends the reference's certified-tolerance contract to the transport
+    family (its AutoPTR certifies only scalar BZ integrals); each rung is a
+    fresh :class:`TransportSolver` build, so the cost profile matches the
+    DOS ladders (one compile per rung shape, cached across calls).
+    """
+    import numpy as np
+
+    from ..dos.fullgrid import next_rung_npt
+
+    npts = [int(nmin)]
+    deltas = []
+    G_prev = None
+    while True:
+        G = np.asarray(TransportSolver(h, bz, npts[-1], eta)(omegas))
+        if G_prev is not None:
+            delta = float(np.max(np.abs(G - G_prev)))
+            tol = max(float(abstol), float(reltol) * float(np.max(np.abs(G))))
+            deltas.append(delta)
+            if delta <= tol:
+                return CertifiedSweep(G, delta, True, tuple(npts))
+            if npts[-1] >= nmax:
+                return CertifiedSweep(G, delta, False, tuple(npts))
+        G_prev = G
+        nxt = next_rung_npt(npts, deltas, max(float(abstol), 1e-300),
+                            float(factor), int(nmax))
+        if nxt <= npts[-1]:
+            nxt = min(int(nmax), npts[-1] + 1)
+        npts.append(int(nxt))
+
+
 class SpectralPack(NamedTuple):
     """Weight-packed (H, dH) spectral grid — the shared GEMM operand behind
     :class:`TransportSolver` and the kinetic-coefficient solvers

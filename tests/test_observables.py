@@ -94,3 +94,30 @@ def test_transport_sweep_matches_per_omega_solve():
     sol_ibz = _solve(IntegralProblem(transport_integrand(h, eta=0.3), bz, MixedParameters(0.0)), PTR(npt=40))
     sol_fbz = _solve(IntegralProblem(transport_integrand(h, eta=0.3), bz_full, MixedParameters(0.0)), PTR(npt=40))
     assert np.allclose(np.asarray(sol_ibz.u), np.asarray(sol_fbz.u), rtol=1e-9, atol=1e-10)
+
+
+def test_certified_transport_sweep():
+    # AutoPTR-style certification extended to the transport family: the
+    # rate-fitted ladder converges on a gapped (analytic) model and the
+    # certified curve's true error is below tolerance
+    import numpy as np
+
+    from autobzcore_tpu import FBZ, load_bz
+    from autobzcore_tpu.models.observables import (TransportSolver,
+                                                   certified_transport_sweep)
+    from autobzcore_tpu.models.tight_binding import tb_graphene, tb_haldane
+
+    h = tb_haldane(t2=0.1, M=0.3)
+    bz = load_bz(FBZ(), np.eye(2))
+    om = np.linspace(-2, 2, 8)
+    res = certified_transport_sweep(h, bz, om, eta=0.1, abstol=1e-4,
+                                    nmin=16, nmax=256)
+    assert res.retcode and res.resid <= 1e-4
+    ref = np.asarray(TransportSolver(h, bz, 2 * res.npts[-1], 0.1)(om))
+    assert np.abs(np.asarray(res.u) - ref).max() <= 1e-4
+    assert all(b > a for a, b in zip(res.npts, res.npts[1:]))
+    # honest failure: a Dirac cone (algebraic convergence) with a tight
+    # budget must report retcode=False, not a fake certificate
+    res2 = certified_transport_sweep(tb_graphene(), bz, om, eta=0.2,
+                                     abstol=1e-8, nmin=16, nmax=40)
+    assert not res2.retcode

@@ -3,10 +3,11 @@ from .berry import (BerryCurvatureSolver, BerryPack, berry_pack,
 from .kpath import (KPath, band_structure, expectation_path, kpath,
                     spectral_path)
 from .selfenergy import (SigmaCallable, SigmaDOSSolver, SigmaInterpolant,
-                         SigmaTransportSolver,
+                         SigmaTransportSolver, certified_sigma_dos,
                          dos_integrand_sigma, dos_trace_sigma,
                          greens_trace_sigma, transport_distribution_sigma)
 from .observables import (CertifiedSweep, SpectralPack, TransportSolver,
+                          certified_ladder,
                           certified_transport_sweep, spectral_velocity_pack)
 from .tight_binding import (integer_lattice, synthetic_wannier, tb_graphene,
                             tb_haldane, tb_integer, tb_kane_mele,
@@ -20,9 +21,9 @@ __all__ = [
     "ElectronCountSolver", "KineticCoefficientSolver", "fermi", "fermi_window",
     "fermi_window_limits", "optical_conductivity",
     "CertifiedSweep", "SpectralPack", "TransportSolver",
-    "certified_transport_sweep", "spectral_velocity_pack",
+    "certified_ladder", "certified_transport_sweep", "spectral_velocity_pack",
     "KPath", "band_structure", "expectation_path", "kpath", "spectral_path",
     "SigmaCallable", "SigmaDOSSolver", "SigmaInterpolant",
-    "SigmaTransportSolver", "dos_integrand_sigma",
+    "SigmaTransportSolver", "certified_sigma_dos", "dos_integrand_sigma",
     "dos_trace_sigma", "greens_trace_sigma", "transport_distribution_sigma",
 ]

@@ -174,21 +174,14 @@ class CertifiedSweep(NamedTuple):
     npts: tuple
 
 
-def certified_transport_sweep(h: FourierSeries, bz, omegas, eta, abstol=1e-3,
-                              reltol=0.0, nmin=20, nmax=400, factor=2**0.5):
-    """Kubo-Greenwood sweep with AutoPTR-style error control: grow the PTR
-    grid until the sup-norm change of the WHOLE ``Gamma_ab(omega)`` curve
-    between consecutive rungs meets the tolerance, choosing rungs with the
-    rate-fitted scheduler (``dos/fullgrid.next_rung_npt`` — the same policy
-    that certifies the DOS north star with ~0.25x the geometric ladder's
-    points).  Converges to the WEAKEST of ``abstol``/``reltol`` like every
-    solver in the framework (reference ``src/interfaces.jl:91-104``).
-
-    Extends the reference's certified-tolerance contract to the transport
-    family (its AutoPTR certifies only scalar BZ integrals); each rung is a
-    fresh :class:`TransportSolver` build, so the cost profile matches the
-    DOS ladders (one compile per rung shape, cached across calls).
-    """
+def certified_ladder(eval_at_npt, abstol=1e-3, reltol=0.0, nmin=20,
+                     nmax=400, factor=2**0.5):
+    """Generic Richardson certification driver: call ``eval_at_npt(npt)``
+    on a rate-fitted npt ladder (``dos/fullgrid.next_rung_npt`` — the
+    policy that certifies the DOS north star with ~0.25x the geometric
+    ladder's points) until the sup-norm change of the whole returned array
+    between consecutive rungs meets the WEAKEST of ``abstol``/``reltol``
+    (reference tolerance semantics, ``src/interfaces.jl:91-104``)."""
     import numpy as np
 
     from ..dos.fullgrid import next_rung_npt
@@ -197,7 +190,7 @@ def certified_transport_sweep(h: FourierSeries, bz, omegas, eta, abstol=1e-3,
     deltas = []
     G_prev = None
     while True:
-        G = np.asarray(TransportSolver(h, bz, npts[-1], eta)(omegas))
+        G = np.asarray(eval_at_npt(npts[-1]))
         if G_prev is not None:
             delta = float(np.max(np.abs(G - G_prev)))
             tol = max(float(abstol), float(reltol) * float(np.max(np.abs(G))))
@@ -212,6 +205,18 @@ def certified_transport_sweep(h: FourierSeries, bz, omegas, eta, abstol=1e-3,
         if nxt <= npts[-1]:
             nxt = min(int(nmax), npts[-1] + 1)
         npts.append(int(nxt))
+
+
+def certified_transport_sweep(h: FourierSeries, bz, omegas, eta, abstol=1e-3,
+                              reltol=0.0, nmin=20, nmax=400, factor=2**0.5):
+    """Kubo-Greenwood sweep with AutoPTR-style error control over the WHOLE
+    ``Gamma_ab(omega)`` curve — extends the reference's certified-tolerance
+    contract to the transport family (its AutoPTR certifies only scalar BZ
+    integrals).  Each rung is a fresh :class:`TransportSolver` build (one
+    compile per rung shape, cached across calls); see
+    :func:`certified_ladder`."""
+    return certified_ladder(lambda npt: TransportSolver(h, bz, npt, eta)(omegas),
+                            abstol, reltol, nmin, nmax, factor)
 
 
 class SpectralPack(NamedTuple):

@@ -335,3 +335,17 @@ class SigmaTransportSolver:
 
     def __call__(self, omegas):
         return self._sweep(jnp.asarray(omegas), *self._parts, self._w)
+
+
+def certified_sigma_dos(h: FourierSeries, bz, omegas, Sigma, mu=0.0,
+                        abstol=1e-3, reltol=0.0, nmin=20, nmax=400,
+                        factor=2**0.5, project=False):
+    """Self-energy DOS sweep with AutoPTR-style whole-curve certification:
+    :class:`SigmaDOSSolver` rungs on the rate-fitted npt ladder (see
+    :func:`~.observables.certified_ladder`)."""
+    from .observables import certified_ladder
+
+    def eval_at(npt):
+        return SigmaDOSSolver(h, bz, npt, Sigma, mu=mu, project=project)(omegas)
+
+    return certified_ladder(eval_at, abstol, reltol, nmin, nmax, factor)

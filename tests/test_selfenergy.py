@@ -192,3 +192,17 @@ def test_sigma_transport_solver_matches_eta_engine():
         got = np.asarray(SigmaTransportSolver(h, bz, 24, _const_sigma(-1j * eta))(om))
         assert got.shape == ref.shape == (5, 2, 2)
         np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_certified_sigma_dos():
+    # whole-curve certification for the self-energy DOS engine
+    from autobzcore_tpu.models.selfenergy import certified_sigma_dos
+
+    h = tb_graphene()
+    bz = load_bz(FBZ(), np.eye(2))
+    om = np.linspace(-1, 1, 8)
+    S = _const_sigma(np.diag([-0.3j, -0.4j]))
+    res = certified_sigma_dos(h, bz, om, S, abstol=1e-5, nmin=16, nmax=256)
+    assert res.retcode and res.resid <= 1e-5
+    ref = np.asarray(SigmaDOSSolver(h, bz, 2 * res.npts[-1], S)(om))
+    assert np.abs(np.asarray(res.u) - ref).max() <= 1e-5

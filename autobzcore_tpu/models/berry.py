@@ -435,6 +435,25 @@ class BerryCurvatureSolver:
         Ocart = self._Binv.T @ Ofrac @ self._Binv
         return abs(self._detB) / (2 * np.pi) ** p.ndim * Ocart
 
+    def anomalous_nernst(self, mu=0.0, beta=50.0):
+        """Anomalous Nernst integral: the entropy-density-weighted Berry
+        curvature (Xiao–Yao–Fang–Niu, PRL 97, 026603 (2006)),
+
+            N_ab = int d^dk/(2pi)^d sum_n s_n(k) Omega^cart_n,ab ,
+            s = -f ln f - (1 - f) ln(1 - f) ,
+
+        evaluated with the overflow-stable form ``s(x) = softplus(x) -
+        x sigmoid(x)``; the transverse thermoelectric response is
+        ``alpha_ab = (k_B e/hbar) N_ab``.  Anchor (tested): the Mott
+        relation ``N_ab -> (pi^2/(3 beta)) dI_ab/dmu`` at low temperature,
+        with ``I`` the :meth:`ahc` integral."""
+        p = self.pack
+        x = beta * (p.e - mu)
+        s = (jax.nn.softplus(x) - x * jax.nn.sigmoid(x)).astype(p.Om.dtype)
+        Xfrac = jnp.mean(jnp.einsum("km,kmab->kab", s, p.Om), axis=0)
+        Xcart = self._Binv.T @ Xfrac @ self._Binv
+        return abs(self._detB) / (2 * np.pi) ** p.ndim * Xcart
+
     def berry_curvature_dipole(self, mu=0.0, beta=50.0):
         """Berry curvature dipole (the nonlinear Hall coefficient,
         Sodemann–Fu, PRL 115, 216806 (2015)) in the Fermi-surface form

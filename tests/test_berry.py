@@ -398,3 +398,18 @@ def test_quantum_metric_degtol_not_stale():
     g2 = np.asarray(slv.quantum_metric(degtol=1e3))  # absurd: kills all pairs
     assert np.abs(g2).max() == 0.0
     assert np.abs(g1).max() > 0.0
+
+
+def test_anomalous_nernst_mott_relation():
+    # low-T anchor: N_xy -> (pi^2 / 3 beta) dI_xy/dmu (Mott), plus
+    # exponential suppression in the gap (stable entropy form, no overflow)
+    bz = _fbz2()
+    slv = BerryCurvatureSolver(tb_haldane(t2=0.1), bz, npt=200)
+    mu, beta = 0.8, 200.0
+    N = float(np.asarray(slv.anomalous_nernst(mu=mu, beta=beta))[0, 1])
+    d = 1e-3
+    Ip = float(np.asarray(slv.ahc(mu=mu + d, beta=beta))[0, 1])
+    Im_ = float(np.asarray(slv.ahc(mu=mu - d, beta=beta))[0, 1])
+    mott = (np.pi**2 / (3 * beta)) * (Ip - Im_) / (2 * d)
+    assert abs(N - mott) < 5e-3 * abs(mott)
+    assert abs(float(np.asarray(slv.anomalous_nernst(mu=0.0, beta=beta))[0, 1])) < 1e-20

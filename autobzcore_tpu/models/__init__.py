@@ -1,5 +1,6 @@
 from .berry import (BerryCurvatureSolver, BerryPack, berry_pack,
                     lattice_chern, wilson_loop_spectrum, z2_invariant)
+from .lindhard import LindhardSolver
 from .kpath import (KPath, band_structure, expectation_path, kpath,
                     spectral_path)
 from .selfenergy import (SigmaCallable, SigmaDOSSolver, SigmaInterpolant,
@@ -23,6 +24,7 @@ __all__ = [
     "CertifiedSweep", "SpectralPack", "TransportSolver",
     "certified_ladder", "certified_transport_sweep", "spectral_velocity_pack",
     "KPath", "band_structure", "expectation_path", "kpath", "spectral_path",
+    "LindhardSolver",
     "SigmaCallable", "SigmaDOSSolver", "SigmaInterpolant",
     "SigmaTransportSolver", "certified_sigma_dos", "dos_integrand_sigma",
     "dos_trace_sigma", "greens_trace_sigma", "transport_distribution_sigma",

@@ -1,0 +1,49 @@
+"""Lindhard susceptibility anchors."""
+import numpy as np
+import pytest
+
+from autobzcore_tpu.brillouin import FBZ, InversionSymIBZ, load_bz
+from autobzcore_tpu.models.lindhard import LindhardSolver
+from autobzcore_tpu.models.tight_binding import tb_haldane, tb_integer
+from autobzcore_tpu.models.transport import fermi
+
+
+def test_static_long_wavelength_compressibility():
+    # Re chi0(q->0, 0) -> -beta |det B| <f(1-f)> (thermal compressibility)
+    bz = load_bz(FBZ(), np.eye(2))
+    beta, mu, npt = 20.0, 0.5, 96
+    slv = LindhardSolver(tb_integer(2), bz, npt, beta, mu=mu, eta=1e-3)
+    chi = complex(np.asarray(slv([1 / npt, 0.0], [0.0]))[0])
+    e = np.asarray(slv._e)
+    f = np.asarray(fermi(beta * (e - mu)))
+    ref = -beta * slv._vol * np.mean(f * (1 - f))
+    assert chi.real == pytest.approx(ref, rel=2e-2)
+    assert abs(chi.imag) < 1e-10
+
+
+def test_inversion_symmetry():
+    bz = load_bz(FBZ(), np.eye(2))
+    slv = LindhardSolver(tb_integer(2), bz, 64, beta=20.0, mu=0.5, eta=1e-3)
+    c1 = complex(np.asarray(slv([0.25, 0.125], [0.7]))[0])
+    c2 = complex(np.asarray(slv([-0.25, -0.125], [0.7]))[0])
+    assert c1 == pytest.approx(c2, rel=1e-10)
+
+
+def test_particle_hole_continuum_onset():
+    # gapped 2-band insulator: Im chi0 is O(eta) below the direct gap AT
+    # THAT q and jumps by orders of magnitude inside the continuum; the
+    # retarded response has Im <= 0 for omega > 0
+    bz = load_bz(FBZ(), np.eye(2))
+    slv = LindhardSolver(tb_haldane(t2=0.1, M=0.3), bz, 96, beta=500.0,
+                         mu=0.0, eta=1e-3)
+    om = [0.3, 2.0]
+    c = np.asarray(slv([0.25, 0.0], om))
+    assert abs(c[0].imag) < 5e-3        # below onset: Lorentzian tail only
+    assert abs(c[1].imag) > 10.0        # inside the continuum
+    assert np.all(c.imag <= 1e-12)
+
+
+def test_requires_full_zone():
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    with pytest.raises(ValueError, match="full-zone"):
+        LindhardSolver(tb_integer(2), bz, 16, beta=10.0)

@@ -93,7 +93,10 @@ class LindhardSolver:
 
             def at(om):
                 den = om + 1j * eta + de
-                return jnp.sum(W2 * df / den) / (npt**d) * vol
+                val = jnp.sum(W2 * df / den) / (npt**d) * vol
+                # (re, im) pair: complex results cannot be fetched from all
+                # TPU backends (tunnel); joined on host in __call__
+                return jnp.real(val), jnp.imag(val)
 
             return jax.vmap(at)(om_all)
 
@@ -103,4 +106,5 @@ class LindhardSolver:
         q = np.atleast_1d(np.asarray(q, dtype=np.float64))
         shift = tuple(int(np.rint(qi * self.npt)) % self.npt for qi in q)
         om = jnp.atleast_1d(jnp.asarray(omegas))
-        return self._query(self._e, self._Ur, self._Ui, jnp.asarray(shift), om)
+        re, im = self._query(self._e, self._Ur, self._Ui, jnp.asarray(shift), om)
+        return np.asarray(re) + 1j * np.asarray(im)

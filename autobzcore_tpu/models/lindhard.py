@@ -104,6 +104,8 @@ class LindhardSolver:
 
     def __call__(self, q, omegas):
         q = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        if q.shape != (self.ndim,):
+            raise ValueError(f"q must have {self.ndim} components, got {q.shape}")
         shift = tuple(int(np.rint(qi * self.npt)) % self.npt for qi in q)
         om = jnp.atleast_1d(jnp.asarray(omegas))
         re, im = self._query(self._e, self._Ur, self._Ui, jnp.asarray(shift), om)

@@ -62,6 +62,25 @@ def _trace_inv_small(M):
     return (tr * tr - tr2) / (2.0 * det)
 
 
+def _inv_small(M):
+    """Closed-form inverse for m <= 3 (adjugate / det — no LU on TPU)."""
+    m = M.shape[-1]
+    if m == 1:
+        return 1.0 / M
+    det = jnp.linalg.det(M)[..., None, None]
+    if m == 2:
+        a, b = M[..., 0, 0], M[..., 0, 1]
+        c, d = M[..., 1, 0], M[..., 1, 1]
+        adj = jnp.stack([jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2)
+        return adj / det
+    if m == 3:
+        # adjugate rows = cross products of column pairs
+        c0, c1, c2 = M[..., :, 0], M[..., :, 1], M[..., :, 2]
+        adj = jnp.stack([jnp.cross(c1, c2), jnp.cross(c2, c0), jnp.cross(c0, c1)], -2)
+        return adj / det
+    return jnp.linalg.solve(M, jnp.broadcast_to(jnp.eye(m, dtype=M.dtype), M.shape))
+
+
 def greens_function_trace(hv, om, eta=None):
     """Tr (om + i eta - H(k))^{-1} (retarded, scalar broadening).
 
@@ -104,10 +123,11 @@ def dos_trace(hv, om, eta=None):
 
 
 def spectral_function(hv, om, eta=None):
-    """Full matrix spectral function A(k, om) = -Im G / pi."""
+    """Full matrix spectral function A(k, om) = -Im G / pi (closed-form
+    small-m inverse — jnp.linalg.inv is LU, which TPU rejects for c128)."""
     m = hv.s.shape[-1]
     z = (om + 1j * eta) * jnp.eye(m, dtype=hv.s.dtype)
-    G = jnp.linalg.inv(z - hv.s)
+    G = _inv_small(z - hv.s)
     return -(G - jnp.conj(jnp.swapaxes(G, -1, -2))) / (2j * jnp.pi)
 
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..brillouin import TrivialRep
 from ..fourier import FourierIntegrand, FourierSeries
-from .observables import _trace_inv_small
+from .observables import _inv_small, _trace_inv_small
 
 
 @jax.tree_util.register_pytree_node_class
@@ -47,6 +47,10 @@ class SigmaInterpolant:
         om = np.asarray(omegas)
         if om.ndim != 1 or om.shape[0] < 2:
             raise ValueError("SigmaInterpolant needs >= 2 grid frequencies")
+        if not np.all(np.diff(om) > 0):
+            raise ValueError(
+                "SigmaInterpolant omegas must be strictly ascending "
+                "(searchsorted on an unsorted grid silently mis-interpolates)")
         # HOST-resident (numpy) storage, split into (re, im): as closure
         # constants these embed as HLO literals for free, while complex or
         # device-resident arrays cannot cross jit boundaries on all TPU
@@ -131,25 +135,6 @@ def dos_trace_sigma(hv, om, Sigma=None, mu=0.0):
     return -jnp.imag(greens_trace_sigma(hv, om, Sigma=Sigma, mu=mu)) / jnp.pi
 
 
-def _inv_small(M):
-    """Closed-form inverse for m <= 3 (adjugate / det — no LU on TPU)."""
-    m = M.shape[-1]
-    if m == 1:
-        return 1.0 / M
-    det = jnp.linalg.det(M)[..., None, None]
-    if m == 2:
-        a, b = M[..., 0, 0], M[..., 0, 1]
-        c, d = M[..., 1, 0], M[..., 1, 1]
-        adj = jnp.stack([jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2)
-        return adj / det
-    if m == 3:
-        # adjugate rows = cross products of column pairs
-        c0, c1, c2 = M[..., :, 0], M[..., :, 1], M[..., :, 2]
-        adj = jnp.stack([jnp.cross(c1, c2), jnp.cross(c2, c0), jnp.cross(c0, c1)], -2)
-        return adj / det
-    return jnp.linalg.solve(M, jnp.broadcast_to(jnp.eye(m, dtype=M.dtype), M.shape))
-
-
 def transport_distribution_sigma(hv, om, Sigma=None, mu=0.0):
     """Kubo-Greenwood transport distribution with a MATRIX self-energy:
     ``Gamma_ab(om) = Tr[v_a A(om) v_b A(om)]`` with the full matrix spectral
@@ -215,7 +200,6 @@ class SigmaDOSSolver:
             return jnp.real(hk), jnp.imag(hk)
 
         hk_re, hk_im = grid()                      # (K, m, m) device-resident
-        hk = None
         # (re, im) pairs: complex device arrays cannot be jit arguments or
         # fetched through all TPU backends (tunnel); rejoin inside the sweep
         self._hk_re = hk_re
@@ -308,11 +292,12 @@ class SigmaTransportSolver:
         scale, C, Savg = self._scale, self._chunk, self._Savg
 
         def one(om, hk, vk, w):
-            M = _zmat(om, Sigma, m, dtype, mu)[None] - hk       # (K, m, m)
-            G = _inv_small(M)
-            A = (G - jnp.conj(jnp.swapaxes(G, -1, -2))) / (-2j * jnp.pi)
-            vA = jnp.einsum("kaij,kjn->kain", vk, A)
-            Gam = jnp.real(jnp.einsum("kaij,kbji->kab", vA, vA))
+            from ..fourier import FourierValue
+
+            # shared kernel (batch-safe '...' einsums): the grid engine and
+            # the adaptive pipeline compute the identical Gamma
+            Gam = transport_distribution_sigma(FourierValue(None, (hk, vk)),
+                                               om, Sigma=Sigma, mu=mu)
             return jnp.einsum("k,kab->ab", w, Gam) * scale
 
         @jax.jit

@@ -47,3 +47,10 @@ def test_requires_full_zone():
     bz = load_bz(InversionSymIBZ(), np.eye(2))
     with pytest.raises(ValueError, match="full-zone"):
         LindhardSolver(tb_integer(2), bz, 16, beta=10.0)
+
+
+def test_q_dimension_validated():
+    bz = load_bz(FBZ(), np.eye(2))
+    slv = LindhardSolver(tb_integer(2), bz, 16, beta=10.0)
+    with pytest.raises(ValueError, match="components"):
+        slv([0.25, 0.0, 0.1], [0.0])

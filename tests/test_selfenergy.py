@@ -206,3 +206,9 @@ def test_certified_sigma_dos():
     assert res.retcode and res.resid <= 1e-5
     ref = np.asarray(SigmaDOSSolver(h, bz, 2 * res.npts[-1], S)(om))
     assert np.abs(np.asarray(res.u) - ref).max() <= 1e-5
+
+
+def test_sigma_interpolant_rejects_unsorted_grid():
+    w = np.linspace(1, -1, 5)  # descending: a common file convention
+    with pytest.raises(ValueError, match="ascending"):
+        SigmaInterpolant(w, np.zeros((5,), complex))

@@ -4,6 +4,7 @@ from .lindhard import LindhardSolver
 from .kpath import (KPath, band_structure, expectation_path, kpath,
                     spectral_path)
 from .selfenergy import (SigmaCallable, SigmaDOSSolver, SigmaInterpolant,
+                         SigmaKineticCoefficientSolver,
                          SigmaTransportSolver, certified_sigma_dos,
                          dos_integrand_sigma, dos_trace_sigma,
                          greens_trace_sigma, transport_distribution_sigma)
@@ -26,6 +27,6 @@ __all__ = [
     "KPath", "band_structure", "expectation_path", "kpath", "spectral_path",
     "LindhardSolver",
     "SigmaCallable", "SigmaDOSSolver", "SigmaInterpolant",
-    "SigmaTransportSolver", "certified_sigma_dos", "dos_integrand_sigma",
+    "SigmaKineticCoefficientSolver", "SigmaTransportSolver", "certified_sigma_dos", "dos_integrand_sigma",
     "dos_trace_sigma", "greens_trace_sigma", "transport_distribution_sigma",
 ]

@@ -334,3 +334,94 @@ def certified_sigma_dos(h: FourierSeries, bz, omegas, Sigma, mu=0.0,
         return SigmaDOSSolver(h, bz, npt, Sigma, mu=mu, project=project)(omegas)
 
     return certified_ladder(eval_at, abstol, reltol, nmin, nmax, factor)
+
+
+from .transport import KineticCoefficientSolver as _KineticBase
+
+
+class SigmaKineticCoefficientSolver(_KineticBase):
+    """Kinetic coefficients with a MATRIX self-energy: the two-frequency
+    Kubo-Greenwood distribution ``Gamma_ab(w, w + Omega) = sum_k w_k
+    Tr[v_a A(w) v_b A(w + Omega)]`` with full matrix spectral functions,
+    fed through the same Fermi-window-truncated adaptive frequency
+    integral as :class:`~.transport.KineticCoefficientSolver` (whose
+    ``__call__``/``sweep`` drivers are inherited; ``Sigma = -i eta``
+    reproduces it exactly).  ``alpha=0`` optical conductivity, ``alpha=1,
+    2`` thermoelectric numerators.
+
+    The (H, dH) grid is evaluated once on the (symmetry-reduced) zone;
+    each GK node costs two batched closed-form inverses over the grid —
+    heavier than the band-diagonal GEMM pack, so prefer the parent for
+    scalar self-energies.
+    """
+
+    def __init__(self, h: FourierSeries, bz, npt, Sigma, beta, alpha=0,
+                 mu=0.0, order=7, cap=256, wtol=1e-10):
+        from .observables import reduced_grid
+        from .transport import fermi_window
+
+        if not isinstance(alpha, (int, np.integer)) or alpha < 0:
+            raise ValueError("alpha must be a small non-negative integer")
+        # driver state expected by the inherited __call__/sweep (the parent
+        # __init__ is deliberately NOT called: its band-diagonal GEMM pack
+        # does not apply to matrix self-energies)
+        self.beta = float(beta)
+        self.alpha = int(alpha)
+        self.mu = float(mu)
+        self.order = order
+        self.cap = cap
+        self.wtol = float(wtol)
+        self.d = bz.ndim
+        self.numevals = 0
+        self.retcode = None
+
+        d = bz.ndim
+        lin, weights, u, scale, Savg = reduced_grid(bz, npt, h.period)
+        Sig = _as_sigma(Sigma)
+        dtype = h.dtype
+
+        from ..ops.fourier_eval import evaluate_grid
+
+        @jax.jit
+        def grid():
+            hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
+            grads = []
+            for j in range(d):
+                derivs = tuple(1 if i == j else 0 for i in range(d))
+                grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
+            vk = jnp.stack(grads, axis=d)
+            hk = hk.reshape((-1,) + hk.shape[d:])
+            vk = vk.reshape((-1, d) + vk.shape[d + 1:])
+            if lin is not None:
+                hk = hk[lin]
+                vk = vk[lin]
+            return (jnp.real(hk), jnp.imag(hk), jnp.real(vk), jnp.imag(vk))
+
+        hr, hi_, vr, vi = grid()
+        w_arr = jnp.asarray(weights, hr.dtype)
+        m = int(hr.shape[-1])
+        beta_, alpha_, mu_, d_ = self.beta, self.alpha, self.mu, self.d
+
+        def _A(w, hk):
+            M = _zmat(w, Sig, m, dtype, 0.0) - hk     # omega is ABSOLUTE
+            G = _inv_small(M)
+            return (G - jnp.conj(jnp.swapaxes(G, -1, -2))) / (-2j * jnp.pi)
+
+        def integrand(w, Omega):
+            hk = hr + 1j * hi_
+            vk = vr + 1j * vi
+            A1 = _A(w, hk)
+            A2 = _A(w + Omega, hk)
+            vA1 = jnp.einsum("kaij,kjn->kain", vk, A1)
+            vA2 = jnp.einsum("kbij,kjn->kbin", vk, A2)
+            Gam = jnp.real(jnp.einsum("kaij,kbji->kab", vA1, vA2))
+            G = jnp.einsum("k,kab->ab", w_arr, Gam) * scale
+            if Savg is not None:
+                SinvT, Sinv_, n = Savg
+                G = jnp.einsum("sab,bc,scd->ad", jnp.asarray(SinvT, G.dtype), G,
+                               jnp.asarray(Sinv_, G.dtype)) / n
+            win = fermi_window(w, Omega, beta_, mu_)
+            mom = (beta_ * (w - mu_)) ** alpha_ if alpha_ else 1.0
+            return mom * win * G
+
+        self._integrand = integrand

@@ -212,3 +212,27 @@ def test_sigma_interpolant_rejects_unsorted_grid():
     w = np.linspace(1, -1, 5)  # descending: a common file convention
     with pytest.raises(ValueError, match="ascending"):
         SigmaInterpolant(w, np.zeros((5,), complex))
+
+
+def test_sigma_kinetic_matches_scalar_eta():
+    # matrix-Sigma kinetic coefficients reduce exactly to the band-diagonal
+    # GEMM solver at Sigma = -i eta, for the optical (alpha=0) and
+    # thermoelectric (alpha=1) moments, through the same adaptive
+    # frequency-integral driver
+    from autobzcore_tpu import InversionSymIBZ
+    from autobzcore_tpu.models.selfenergy import SigmaKineticCoefficientSolver
+    from autobzcore_tpu.models.transport import KineticCoefficientSolver
+
+    h = tb_graphene()
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    eta, beta, mu = 0.1, 20.0, 0.4
+    Om = [0.0, 0.5]
+    for alpha in (0, 1):
+        ref = KineticCoefficientSolver(h, bz, 24, eta, beta, alpha=alpha,
+                                       mu=mu)(Om, abstol=1e-7)
+        slv = SigmaKineticCoefficientSolver(h, bz, 24, _const_sigma(-1j * eta),
+                                            beta, alpha=alpha, mu=mu)
+        got = slv(Om, abstol=1e-7)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-9, atol=1e-9)
+        assert slv.retcode

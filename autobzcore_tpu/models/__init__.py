@@ -1,6 +1,6 @@
 from .berry import (BerryCurvatureSolver, BerryPack, berry_pack,
                     lattice_chern, wilson_loop_spectrum, z2_invariant)
-from .lindhard import LindhardSolver
+from .lindhard import LindhardSolver, cooper_bubble
 from .kpath import (KPath, band_structure, expectation_path, kpath,
                     spectral_path)
 from .selfenergy import (SigmaCallable, SigmaDOSSolver, SigmaInterpolant,
@@ -25,7 +25,7 @@ __all__ = [
     "CertifiedSweep", "SpectralPack", "TransportSolver",
     "certified_ladder", "certified_transport_sweep", "spectral_velocity_pack",
     "KPath", "band_structure", "expectation_path", "kpath", "spectral_path",
-    "LindhardSolver",
+    "LindhardSolver", "cooper_bubble",
     "SigmaCallable", "SigmaDOSSolver", "SigmaInterpolant",
     "SigmaKineticCoefficientSolver", "SigmaTransportSolver", "certified_sigma_dos", "dos_integrand_sigma",
     "dos_trace_sigma", "greens_trace_sigma", "transport_distribution_sigma",

@@ -110,3 +110,43 @@ class LindhardSolver:
         om = jnp.atleast_1d(jnp.asarray(omegas))
         re, im = self._query(self._e, self._Ur, self._Ui, jnp.asarray(shift), om)
         return np.asarray(re) + 1j * np.asarray(im)
+
+
+def cooper_bubble(slv: LindhardSolver, q=None):
+    """Static particle-particle (Cooper) bubble on a :class:`LindhardSolver`
+    grid, band-diagonal singlet form with time-reversed partners:
+
+        chi_pp(q) = |det B| mean_k sum_n
+                    (1 - f(xi_n(k)) - f(xi_n(-k + q))) / (xi_n(k) + xi_n(-k + q))
+
+    with ``xi = e - mu``; the degenerate-denominator limit is taken
+    analytically (``tanh(beta xi / 2) / (2 xi) -> beta / 4``).  The q = 0
+    value carries the Cooper logarithm, ``chi_pp ~ N(mu) ln(beta W)`` —
+    successive temperature halvings grow it by ``N(mu) ln 2`` (the tested
+    anchor, with ``N(mu)`` from an independent GGR DOS).
+    """
+    d = slv.ndim
+    q = np.zeros(d) if q is None else np.atleast_1d(np.asarray(q, np.float64))
+    if q.shape != (d,):
+        raise ValueError(f"q must have {d} components, got {q.shape}")
+    shift = tuple(int(np.rint(qi * slv.npt)) % slv.npt for qi in q)
+
+    @jax.jit
+    def query(e, shift):
+        xi = e - slv.mu
+        rev = xi
+        for ax in range(d):  # k -> -k: index i -> (-i) mod npt
+            rev = jnp.roll(jnp.flip(rev, axis=ax), 1, axis=ax)
+        for ax in range(d):  # then -k -> -k + q
+            rev = jnp.roll(rev, -shift[ax], axis=ax)
+        beta = slv.beta
+        f1 = fermi(beta * xi)
+        f2 = fermi(beta * rev)
+        den = xi + rev
+        num = 1.0 - f1 - f2
+        tiny = jnp.abs(den) < 1e-10
+        val = jnp.where(tiny, beta * f1 * (1.0 - f1),
+                        num / jnp.where(tiny, 1.0, den))
+        return jnp.mean(val) * slv._vol
+
+    return float(query(slv._e, jnp.asarray(shift)))

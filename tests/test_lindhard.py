@@ -54,3 +54,26 @@ def test_q_dimension_validated():
     slv = LindhardSolver(tb_integer(2), bz, 16, beta=10.0)
     with pytest.raises(ValueError, match="components"):
         slv([0.25, 0.0, 0.1], [0.0])
+
+
+def test_cooper_bubble_logarithm():
+    # the Cooper instability: chi_pp(0) grows by vol * N(mu) * ln 2 per
+    # temperature halving, with N(mu) from an independent GGR DOS
+    from autobzcore_tpu.dos import DOSProblem, GGR
+    from autobzcore_tpu.dos import init as dos_init
+    from autobzcore_tpu.dos import solve_ as dos_solve_
+    from autobzcore_tpu.models.lindhard import cooper_bubble
+
+    bz = load_bz(FBZ(), np.eye(2))
+    mu = 0.5
+    chi = {b: cooper_bubble(LindhardSolver(tb_integer(2), bz, 384, b, mu=mu))
+           for b in (50.0, 100.0)}
+    cache = dos_init(DOSProblem(tb_integer(2), mu, bz), GGR(npt=400))
+    D = float(np.asarray(dos_solve_(cache).u))
+    vol = np.linalg.det(np.asarray(bz.B))
+    expected = vol * D * np.log(2)
+    assert chi[100.0] - chi[50.0] == pytest.approx(expected, rel=2e-2)
+    # TRS: the q=0 bubble is where the log lives; a finite q cuts it off
+    chi_q = cooper_bubble(LindhardSolver(tb_integer(2), bz, 384, 100.0, mu=mu),
+                          q=[0.25, 0.0])
+    assert chi_q < chi[100.0]

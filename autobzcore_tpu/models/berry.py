@@ -83,13 +83,19 @@ def _slab_rows(h, npt, d, max_pts=1 << 18):
 
 
 def _eigh_batch(hk):
-    """Closed-form 2x2 eigendecomposition when applicable (TPU's batched QR
-    eigh dominates the topology builds for tiny m), general eigh otherwise."""
-    if hk.shape[-1] == 2:
-        from ..ops.eigh3 import eigh2
+    from ..ops.eigh3 import eigh_small
 
-        return eigh2(hk)
-    return jnp.linalg.eigh(hk)
+    return eigh_small(hk)
+
+
+def _pair_inv(e, degtol, power):
+    """Degeneracy-masked band-pair denominators ``1/(e_n - e_m)^power``
+    (zero on |de| <= degtol, incl. the diagonal) — THE shared masking rule
+    for every Kubo sum in this module."""
+    de = e[..., :, None] - e[..., None, :]
+    safe = jnp.where(de == 0, 1.0, de)
+    ok = jnp.abs(de) > degtol
+    return jnp.where(ok, 1.0 / safe**power, 0.0)
 
 
 def _band_pair_terms(hk, vk, degtol, with_moment=True):
@@ -98,17 +104,14 @@ def _band_pair_terms(hk, vk, degtol, with_moment=True):
     vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
     # Im[v_a,nm v_b,mn] band-pair products; (K, d, d, m, m) with [.., n, m]
     Q = jnp.imag(jnp.einsum("kanm,kbmn->kabnm", vband, vband))
-    de = e[:, :, None] - e[:, None, :]            # (K, n, m)
-    safe = jnp.where(de == 0, 1.0, de)
-    ok = jnp.abs(de) > degtol
-    inv2 = jnp.where(ok, 1.0 / safe**2, 0.0)
+    inv2 = _pair_inv(e, degtol, 2)
     # Omega_n,ab = -2 sum_m Q[a,b,n,m] / (e_n - e_m)^2
     Om = -2.0 * jnp.einsum("kabnm,knm->knab", Q, inv2)
     # group velocities: diagonal band-basis matrix elements (real)
     vd = jnp.real(jnp.einsum("kdnn->knd", vband))
     if not with_moment:
         return e, Om, None, vd
-    inv1 = jnp.where(ok, 1.0 / safe, 0.0)
+    inv1 = _pair_inv(e, degtol, 1)
     # self-rotation moment m_n,ab = sum_m Q[a,b,n,m] / (e_n - e_m)
     # (= -(1/2) Im <d_a u_n| x (H - e_n) |d_b u_n> antisymmetrized)
     Mm = jnp.einsum("kabnm,knm->knab", Q, inv1)
@@ -191,6 +194,52 @@ def _berry_build_fn(npt, d, cshape, period, offset, dtype, degtol):
     return build
 
 
+def _operator_build_fn(npt, d, cshape, period, offset, dtype, degtol,
+                       oshape, odtype_str):
+    """Compiled O-weighted curvature build with coefficients AND operator as
+    runtime (re, im) arguments — operator-Hall scans over model parameters
+    reuse one executable per shape, like every other build here."""
+    key = ("ophall", npt, d, cshape, period, offset, dtype, degtol,
+           oshape, odtype_str)
+    fn = _LATTICE_CHERN_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    class _S:
+        pass
+
+    proto = _S()
+    proto.period, proto.offset, proto.dtype = period, offset, dtype
+    u1_slabs_np, inner = _slab_rows(proto, npt, d)
+    u1_slabs_np = np.asarray(u1_slabs_np)
+
+    @jax.jit
+    def build(cre, cim, Ore, Oim):
+        s = _S()
+        s.c = (cre + 1j * cim).astype(dtype)
+        s.period, s.offset, s.dtype = period, offset, dtype
+        Oj = Ore + 1j * Oim
+
+        def slab(u1_blk):
+            hk, vk = _eval_slab(s, d, u1_blk, inner)
+            e, U = _eigh_batch(hk)
+            Ud = jnp.conj(jnp.swapaxes(U, 1, 2))
+            vband = jnp.einsum("kmi,kdij,kjn->kdmn", Ud, vk, U)
+            Ob = jnp.einsum("kmi,ij,kjn->kmn", Ud, Oj.astype(U.dtype), U)
+            J = 0.5 * (jnp.einsum("knp,kdpm->kdnm", Ob, vband)
+                       + jnp.einsum("kdnp,kpm->kdnm", vband, Ob))
+            Q = jnp.imag(jnp.einsum("kanm,kbmn->kabnm", J, vband))
+            OmO = -2.0 * jnp.einsum("kabnm,knm->knab", Q, _pair_inv(e, degtol, 2))
+            return e, OmO
+
+        e, OmO = jax.lax.map(slab, jnp.asarray(u1_slabs_np))
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])
+        return flat(e), flat(OmO)
+
+    _LATTICE_CHERN_CACHE[key] = build
+    return build
+
+
 def berry_flux_integrand(h: FourierSeries, degtol=1e-8):
     """The occupied-band Berry flux ``sum_{e_n < mu} Omega^frac_n,12(k)`` as a
     standard :class:`~..fourier.FourierIntegrand` over a
@@ -213,10 +262,7 @@ def berry_flux_integrand(h: FourierSeries, degtol=1e-8):
         vband = jnp.einsum("...mi,...dij,...jn->...dmn", Ud, V, U)
         Q = jnp.imag(jnp.einsum("...nm,...mn->...nm", vband[..., 0, :, :],
                                 vband[..., 1, :, :]))
-        de = e[..., :, None] - e[..., None, :]
-        safe = jnp.where(de == 0, 1.0, de)
-        inv2 = jnp.where(jnp.abs(de) > degtol, 1.0 / safe**2, 0.0)
-        Om = -2.0 * jnp.sum(Q * inv2, axis=-1)        # (..., n)
+        Om = -2.0 * jnp.sum(Q * _pair_inv(e, degtol, 2), axis=-1)   # (..., n)
         occ = (e < mu).astype(Om.dtype)
         return jnp.sum(occ * Om, axis=-1)
 
@@ -413,6 +459,16 @@ class BerryCurvatureSolver:
         self._Binv = jnp.asarray(Binv)
         self._detB = float(np.linalg.det(np.asarray(bz.B, dtype=np.float64)))
 
+    def _cart_average(self, band_weights, field):
+        """``|det B|/(2pi)^d * B^-T [mean_k sum_n w_kn field_kn,ab] B^-1`` —
+        the shared fractional-to-Cartesian zone average behind every (mu,
+        beta) query."""
+        p = self.pack
+        X = jnp.mean(jnp.einsum("km,kmab->kab",
+                                band_weights.astype(field.dtype), field), axis=0)
+        Xc = self._Binv.T @ X @ self._Binv
+        return abs(self._detB) / (2 * np.pi) ** p.ndim * Xc
+
     def chern(self):
         """Per-band Chern numbers (2D only): ``(1/2pi) mean_u Omega^frac_12``.
         Integers (to grid accuracy) whenever the band is isolated."""
@@ -431,9 +487,7 @@ class BerryCurvatureSolver:
             occ = (p.e < mu).astype(p.Om.dtype)
         else:
             occ = fermi(beta * (p.e - mu)).astype(p.Om.dtype)
-        Ofrac = jnp.mean(jnp.einsum("km,kmab->kab", occ, p.Om), axis=0)
-        Ocart = self._Binv.T @ Ofrac @ self._Binv
-        return abs(self._detB) / (2 * np.pi) ** p.ndim * Ocart
+        return self._cart_average(occ, p.Om)
 
     def anomalous_nernst(self, mu=0.0, beta=50.0):
         """Anomalous Nernst integral: the entropy-density-weighted Berry
@@ -449,10 +503,8 @@ class BerryCurvatureSolver:
         with ``I`` the :meth:`ahc` integral."""
         p = self.pack
         x = beta * (p.e - mu)
-        s = (jax.nn.softplus(x) - x * jax.nn.sigmoid(x)).astype(p.Om.dtype)
-        Xfrac = jnp.mean(jnp.einsum("km,kmab->kab", s, p.Om), axis=0)
-        Xcart = self._Binv.T @ Xfrac @ self._Binv
-        return abs(self._detB) / (2 * np.pi) ** p.ndim * Xcart
+        s = jax.nn.softplus(x) - x * jax.nn.sigmoid(x)
+        return self._cart_average(s, p.Om)
 
     def berry_curvature_dipole(self, mu=0.0, beta=50.0):
         """Berry curvature dipole (the nonlinear Hall coefficient,
@@ -542,40 +594,20 @@ class BerryCurvatureSolver:
         if cacheattr is None:
             cacheattr = self._op_cache = {}
         if key not in cacheattr:
-            h, bz, npt, d = self._h, self.bz, self.pack.npt, self.pack.ndim
-            u1_slabs, inner = _slab_rows(h, npt, d)
-            Oj = jnp.asarray(O)
-
-            @jax.jit
-            def build():
-                def slab(u1_blk):
-                    hk, vk = _eval_slab(h, d, u1_blk, inner)
-                    e, U = _eigh_batch(hk)
-                    Ud = jnp.conj(jnp.swapaxes(U, 1, 2))
-                    vband = jnp.einsum("kmi,kdij,kjn->kdmn", Ud, vk, U)
-                    Ob = jnp.einsum("kmi,ij,kjn->kmn", Ud, Oj.astype(U.dtype), U)
-                    J = 0.5 * (jnp.einsum("knp,kdpm->kdnm", Ob, vband)
-                               + jnp.einsum("kdnp,kpm->kdnm", vband, Ob))
-                    Q = jnp.imag(jnp.einsum("kanm,kbmn->kabnm", J, vband))
-                    de = e[:, :, None] - e[:, None, :]
-                    safe = jnp.where(de == 0, 1.0, de)
-                    inv2 = jnp.where(jnp.abs(de) > degtol, 1.0 / safe**2, 0.0)
-                    OmO = -2.0 * jnp.einsum("kabnm,knm->knab", Q, inv2)
-                    return e, OmO
-
-                e, OmO = jax.lax.map(slab, jnp.asarray(u1_slabs))
-                flat = lambda a: a.reshape((-1,) + a.shape[2:])
-                return flat(e), flat(OmO)
-
-            cacheattr[key] = build()
+            h = self._h
+            build = _operator_build_fn(self.pack.npt, self.pack.ndim,
+                                       np.shape(h.c), h.period, h.offset,
+                                       h.dtype, degtol, Oarr.shape,
+                                       Oarr.dtype.str)
+            c = np.asarray(h.c)
+            cacheattr[key] = build(jnp.asarray(c.real), jnp.asarray(c.imag),
+                                   jnp.asarray(Oarr.real), jnp.asarray(Oarr.imag))
         e, OmO = cacheattr[key]
         if beta is None:
             occ = (e < mu).astype(OmO.dtype)
         else:
             occ = fermi(beta * (e - mu)).astype(OmO.dtype)
-        Xfrac = jnp.mean(jnp.einsum("km,kmab->kab", occ, OmO), axis=0)
-        Xcart = self._Binv.T @ Xfrac @ self._Binv
-        return abs(self._detB) / (2 * np.pi) ** self.pack.ndim * Xcart
+        return self._cart_average(occ, OmO)
 
     def orbital_magnetization(self, mu=0.0, beta=None):
         """Intrinsic orbital magnetization tensor ``M_ab`` (antisymmetric;
@@ -599,7 +631,4 @@ class BerryCurvatureSolver:
         else:
             occ = fermi(x).astype(p.Om.dtype)
             gp = (jax.nn.softplus(-x) / beta).astype(p.Om.dtype)
-        Xfrac = jnp.mean(jnp.einsum("km,kmab->kab", occ, p.Mm)
-                         + jnp.einsum("km,kmab->kab", gp, p.Om), axis=0)
-        Xcart = self._Binv.T @ Xfrac @ self._Binv
-        return abs(self._detB) / (2 * np.pi) ** p.ndim * Xcart
+        return self._cart_average(occ, p.Mm) + self._cart_average(gp, p.Om)

@@ -84,10 +84,13 @@ def _kpath_fn(kind, cshape, sndim, offset, period, dtype, extra=None):
         return eigvalsh_small(hk)   # analytic for m <= 3, LAPACK-style above
 
     @jax.jit
-    def expect(cre, cim, X, O):
+    def expect(cre, cim, X, Ore, Oim):
+        from ..ops.eigh3 import eigh_small
+
         c = (cre + 1j * cim).astype(dtype)
+        O = (Ore + 1j * Oim)  # (re, im) pair: complex jit args are rejected
         hk = evaluate_points(c, sndim, X, offset, period, None, dtype)
-        _, U = jnp.linalg.eigh(hk)
+        _, U = eigh_small(hk)  # closed-form 2x2; QR above
         return jnp.real(jnp.einsum("kin,ij,kjn->kn", jnp.conj(U),
                                    O.astype(U.dtype), U))
 
@@ -112,7 +115,9 @@ def expectation_path(h: FourierSeries, path, O):
     X = jnp.asarray(path.X if isinstance(path, KPath) else path)
     fn = _kpath_fn("expect", np.shape(h.c), h.sndim, h.offset, h.period, h.dtype)
     c = np.asarray(h.c)
-    return fn(jnp.asarray(c.real), jnp.asarray(c.imag), X, jnp.asarray(O))
+    Oa = np.asarray(O)
+    return fn(jnp.asarray(c.real), jnp.asarray(c.imag), X,
+              jnp.asarray(Oa.real), jnp.asarray(Oa.imag))
 
 
 def spectral_path(h: FourierSeries, path, omegas, eta):

@@ -168,3 +168,12 @@ def eigvalsh_small(h):
     if m == 3:
         return eigvalsh3(h)
     return jnp.linalg.eigvalsh(h)
+
+
+def eigh_small(h):
+    """Eigendecomposition dispatch: closed-form for m = 2 (``eigh2``),
+    LAPACK-style otherwise — the (e, U) companion of ``eigvalsh_small``
+    (TPU's batched QR eigh dominates tiny-matrix workloads)."""
+    if h.shape[-1] == 2:
+        return eigh2(h)
+    return jnp.linalg.eigh(h)

@@ -46,6 +46,30 @@ def reduced_grid(bz, npt, period):
     return lin, weights, u, scale, Savg
 
 
+def gathered_grid(h, d, u, lin, jacobian=False):
+    """Evaluate H (and optionally dH) on the tensor-product grid, flatten,
+    and gather the symmetry representatives — the shared (traceable) core of
+    every cached-grid build.  Returns ``hk (K, ...)`` or ``(hk, vk (K, d,
+    ...))``."""
+    from ..ops.fourier_eval import evaluate_grid
+
+    hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
+    hflat = hk.reshape((-1,) + hk.shape[d:])
+    if lin is not None:
+        hflat = hflat[lin]
+    if not jacobian:
+        return hflat
+    grads = []
+    for j in range(d):
+        derivs = tuple(1 if i == j else 0 for i in range(d))
+        grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
+    vk = jnp.stack(grads, axis=d)
+    vk = vk.reshape((-1, d) + vk.shape[d + 1:])
+    if lin is not None:
+        vk = vk[lin]
+    return hflat, vk
+
+
 def _trace_inv_small(M):
     """Tr M^{-1} by the adjugate identity for m <= 3 — closed-form, no LU
     (TPU's LuDecomposition expander rejects c128 and is slow for tiny m)."""
@@ -275,17 +299,7 @@ def spectral_velocity_pack(h: FourierSeries, bz, npt) -> SpectralPack:
 
     @jax.jit
     def spectral():
-        hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
-        grads = []
-        for j in range(d):
-            derivs = tuple(1 if i == j else 0 for i in range(d))
-            grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
-        vk = jnp.stack(grads, axis=d)
-        hk = hk.reshape((npt**d,) + hk.shape[d:])
-        vk = vk.reshape((npt**d, d) + vk.shape[d + 1:])
-        if lin is not None:
-            hk = hk[lin]
-            vk = vk[lin]
+        hk, vk = gathered_grid(h, d, u, lin, jacobian=True)
         e, U = jnp.linalg.eigh(hk)
         vband = jnp.einsum("kmi,kdij,kjn->kdmn", jnp.conj(jnp.swapaxes(U, 1, 2)), vk, U)
         # band-pair velocity products, real part: P[k, a, b, n, m] =

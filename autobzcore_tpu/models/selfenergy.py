@@ -179,8 +179,7 @@ class SigmaDOSSolver:
     def __init__(self, h: FourierSeries, bz, npt, Sigma, mu=0.0, omega_chunk=8,
                  project=False):
         self._project = bool(project)
-        from ..ops.fourier_eval import evaluate_grid
-        from .observables import reduced_grid
+        from .observables import gathered_grid, reduced_grid
 
         d = bz.ndim
         lin, weights, u, self._scale, _ = reduced_grid(bz, npt, h.period)
@@ -193,10 +192,7 @@ class SigmaDOSSolver:
         def grid():
             # coefficients embed as HLO literals (host numpy) — complex
             # runtime ARGUMENTS are rejected by some TPU backends
-            hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
-            hk = hk.reshape((-1,) + hk.shape[d:])
-            if lin is not None:
-                hk = hk[lin]
+            hk = gathered_grid(h, d, u, lin)
             return jnp.real(hk), jnp.imag(hk)
 
         hk_re, hk_im = grid()                      # (K, m, m) device-resident
@@ -255,8 +251,7 @@ class SigmaTransportSolver:
     actually has structure."""
 
     def __init__(self, h: FourierSeries, bz, npt, Sigma, mu=0.0, omega_chunk=4):
-        from ..ops.fourier_eval import evaluate_grid
-        from .observables import reduced_grid
+        from .observables import gathered_grid, reduced_grid
 
         d = bz.ndim
         lin, weights, u, self._scale, self._Savg = reduced_grid(bz, npt, h.period)
@@ -268,17 +263,7 @@ class SigmaTransportSolver:
 
         @jax.jit
         def grid():
-            hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
-            grads = []
-            for j in range(d):
-                derivs = tuple(1 if i == j else 0 for i in range(d))
-                grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
-            vk = jnp.stack(grads, axis=d)
-            hk = hk.reshape((-1,) + hk.shape[d:])
-            vk = vk.reshape((-1, d) + vk.shape[d + 1:])
-            if lin is not None:
-                hk = hk[lin]
-                vk = vk[lin]
+            hk, vk = gathered_grid(h, d, u, lin, jacobian=True)
             return (jnp.real(hk), jnp.imag(hk), jnp.real(vk), jnp.imag(vk))
 
         self._parts = grid()
@@ -380,21 +365,11 @@ class SigmaKineticCoefficientSolver(_KineticBase):
         Sig = _as_sigma(Sigma)
         dtype = h.dtype
 
-        from ..ops.fourier_eval import evaluate_grid
+        from .observables import gathered_grid
 
         @jax.jit
         def grid():
-            hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
-            grads = []
-            for j in range(d):
-                derivs = tuple(1 if i == j else 0 for i in range(d))
-                grads.append(evaluate_grid(h.c, d, u, h.offset, h.period, derivs, h.dtype))
-            vk = jnp.stack(grads, axis=d)
-            hk = hk.reshape((-1,) + hk.shape[d:])
-            vk = vk.reshape((-1, d) + vk.shape[d + 1:])
-            if lin is not None:
-                hk = hk[lin]
-                vk = vk[lin]
+            hk, vk = gathered_grid(h, d, u, lin, jacobian=True)
             return (jnp.real(hk), jnp.imag(hk), jnp.real(vk), jnp.imag(vk))
 
         hr, hi_, vr, vi = grid()

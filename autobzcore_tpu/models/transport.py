@@ -85,19 +85,14 @@ def _eigenvalue_grid(h, bz, npt):
     the cheap build for scalar band sums (no gradients, no eigenvectors,
     no velocity packing; roughly a quarter of the full
     :func:`~.observables.spectral_velocity_pack` cost)."""
-    from ..ops.fourier_eval import evaluate_grid
-    from .observables import reduced_grid
+    from .observables import gathered_grid, reduced_grid
 
     d = bz.ndim
     lin, weights, u, _, _ = reduced_grid(bz, npt, h.period)
 
     @jax.jit
     def eigs():
-        hk = evaluate_grid(h.c, d, u, h.offset, h.period, None, h.dtype)
-        hk = hk.reshape((npt**d,) + hk.shape[d:])
-        if lin is not None:
-            hk = hk[lin]
-        return jnp.linalg.eigvalsh(hk)
+        return jnp.linalg.eigvalsh(gathered_grid(h, d, u, lin))
 
     return eigs(), weights
 
@@ -188,16 +183,31 @@ class KineticCoefficientSolver:
 
         self._integrand = integrand
 
+    def _wtol_eff(self):
+        """Truncation tolerance inflated for the (beta w)^alpha moment: the
+        tail at the cut is window * moment ~ wtol * L^alpha with
+        L = ln(1/wtol), so cutting at wtol / L^alpha restores the documented
+        ~wtol tail bound for every alpha."""
+        if self.alpha == 0:
+            return self.wtol
+        L = max(1.0, np.log(1.0 / self.wtol))
+        return self.wtol / L**self.alpha
+
     def __call__(self, Omegas, abstol=1e-6, reltol=None, maxiters=None):
+        Omegas = np.atleast_1d(np.asarray(Omegas, np.float64))
+        if np.all(Omegas >= 0):
+            # one compiled program via the scan driver (per-Omega init would
+            # retrace + recompile the spectral-GEMM kernel for EVERY point)
+            return self.sweep(Omegas, abstol=abstol, reltol=reltol, chunk=8)
         from ..algorithms.gk import QuadGKJL
         from ..interfaces import IntegralProblem, solve
 
         alg = QuadGKJL(order=self.order, cap=self.cap)
-        Omegas = np.atleast_1d(np.asarray(Omegas, np.float64))
         out = np.zeros((len(Omegas), self.d, self.d))
         ok = True
+        wtol = self._wtol_eff()
         for i, Om in enumerate(Omegas):
-            lo, hi = fermi_window_limits(Om, self.beta, self.mu, self.wtol)
+            lo, hi = fermi_window_limits(Om, self.beta, self.mu, wtol)
             prob = IntegralProblem(self._integrand, lo, hi, float(Om))
             sol = solve(prob, alg, abstol=abstol, reltol=reltol,
                         maxiters=maxiters)
@@ -223,9 +233,10 @@ class KineticCoefficientSolver:
         Omegas = np.atleast_1d(np.asarray(Omegas, np.float64))
         if np.any(Omegas < 0):
             raise ValueError("photon frequencies must be >= 0")
+        wtol = self._wtol_eff()
         lo, _ = fermi_window_limits(float(Omegas.max()), self.beta, self.mu,
-                                    self.wtol)
-        _, hi = fermi_window_limits(0.0, self.beta, self.mu, self.wtol)
+                                    wtol)
+        _, hi = fermi_window_limits(0.0, self.beta, self.mu, wtol)
         prob = IntegralProblem(self._integrand, lo, hi)
         alg = QuadGKJL(order=self.order, cap=self.cap)
         solver = SweepSolver(prob, alg, abstol=abstol, reltol=reltol,
@@ -240,10 +251,19 @@ class KineticCoefficientSolver:
 def optical_conductivity(h, bz, npt, eta, beta, Omegas, mu=0.0, abstol=1e-6):
     """One-shot optical-conductivity kernel sweep ``sigma_ab(Omega)`` —
     :class:`KineticCoefficientSolver` with ``alpha=0``.  Build the solver
-    directly for repeated sweeps (the spectral grid persists across calls).
+    directly for repeated sweeps (the spectral grid persists across calls)
+    and to inspect ``retcode``/``numevals``; this helper warns if any
+    frequency integral failed to certify.
     """
-    return KineticCoefficientSolver(h, bz, npt, eta, beta, alpha=0, mu=mu)(
-        Omegas, abstol=abstol)
+    import warnings
+
+    slv = KineticCoefficientSolver(h, bz, npt, eta, beta, alpha=0, mu=mu)
+    out = slv(Omegas, abstol=abstol)
+    if not slv.retcode:
+        warnings.warn("optical_conductivity: at least one frequency integral "
+                      "did not converge to abstol; build the solver directly "
+                      "to inspect retcode/numevals", stacklevel=2)
+    return out
 
 
 class ElectronCountSolver:
@@ -268,10 +288,14 @@ class ElectronCountSolver:
     def __init__(self, h, bz, npt, pack=None):
         if pack is None:
             e, weights = _eigenvalue_grid(h, bz, npt)
+            norm = float(npt**bz.ndim)
         else:
+            # normalize by the PACK's own grid (a mismatched npt argument
+            # would silently rescale every filling)
             e, weights = pack.e, pack.weights
+            norm = float(pack.npt**pack.ndim)
         self._e = e
-        self._weights = jnp.asarray(np.asarray(weights) / float(npt**bz.ndim),
+        self._weights = jnp.asarray(np.asarray(weights) / norm,
                                     jnp.real(e).dtype)
         self.nbands = int(e.shape[-1])
 

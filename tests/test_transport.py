@@ -216,3 +216,21 @@ def test_scalar_self_energy(setup):
     assert kc_fl.retcode
     assert np.isfinite(fl).all()
     assert np.max(np.abs(fl - ref)) > 1e-3
+
+
+def test_electron_count_pack_npt_mismatch_safe():
+    # regression: the filling was silently rescaled when the npt argument
+    # differed from the shared pack's grid
+    import numpy as np
+
+    from autobzcore_tpu import FBZ, load_bz
+    from autobzcore_tpu.models.observables import spectral_velocity_pack
+    from autobzcore_tpu.models.transport import ElectronCountSolver
+    from autobzcore_tpu.models.tight_binding import tb_graphene
+
+    h = tb_graphene()
+    bz = load_bz(FBZ(), np.eye(2))
+    pack = spectral_velocity_pack(h, bz, 16)
+    n_ref = ElectronCountSolver(h, bz, 16)(0.0, 50.0)
+    n_pack = ElectronCountSolver(h, bz, 999, pack=pack)(0.0, 50.0)  # wrong npt arg
+    assert abs(n_pack - n_ref) < 1e-12

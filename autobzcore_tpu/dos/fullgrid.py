@@ -260,7 +260,12 @@ class LorentzianFullGrid(DOSAlgorithm):
         hint = cacheval.get("ladder_hint")
         if hint is not None and atol > 0:
             n1, n2, tol_u = hint
-            if atol >= tol_u / 4 and n2 <= self.nmax and rtol == 0.0:
+            # replay the certified pair only for COMPARABLE tolerances: a
+            # much looser solve (atol >> tol_u) would burn the expensive
+            # certified rungs where the cold nmin ladder certifies in a
+            # tiny fraction of the points (and would then re-save the big
+            # pair, pessimizing every later loose call)
+            if tol_u / 4 <= atol <= 64 * tol_u and n2 <= self.nmax and rtol == 0.0:
                 queue = [n1, n2]
         npt = queue.pop(0) if queue else self.nmin
         while npt is not None:
@@ -280,10 +285,9 @@ class LorentzianFullGrid(DOSAlgorithm):
             if prev is not None:
                 err = float(np.max(np.abs(D - prev)))
                 deltas.append(err)
-                if err <= max(atol, rtol * float(np.max(np.abs(D)))):
-                    cacheval["ladder_hint"] = (
-                        npts_done[-1], npt, max(atol, rtol * float(np.max(np.abs(D))))
-                    )
+                tol_now = max(atol, rtol * float(np.max(np.abs(D))))
+                if err <= tol_now:
+                    cacheval["ladder_hint"] = (npts_done[-1], npt, tol_now)
                     return D, err, True, nev
             prev = D
             npts_done.append(npt)
@@ -298,7 +302,8 @@ class LorentzianFullGrid(DOSAlgorithm):
                                     self.nmax)
             else:
                 npt = self._geometric_next(npt)
-        return D, err, err <= max(atol, rtol * float(np.max(np.abs(D)))), nev
+        # reachable only after the in-loop test failed (or never ran) at nmax
+        return D, err, False, nev
 
     def dos_solve(self, h, domain, p, cacheval, abstol=None, reltol=None, maxiters=None):
         Es = np.atleast_1d(np.asarray(domain, np.float64))

@@ -17,7 +17,7 @@ from ..algorithms.base import effective_tolerances
 from ..interfaces import IntegralProblem, init
 
 
-def sweep_solve(prob: IntegralProblem, alg, ps, abstol=None, reltol=None, mesh=None, axis="p"):
+def sweep_solve(prob: IntegralProblem, alg, ps, abstol=None, reltol=None, mesh=None, axis=None):
     """Solve ``prob`` at every parameter in the stacked pytree ``ps`` (leading
     axis = sweep axis) in one batched program.
 
@@ -46,7 +46,7 @@ def sweep_solve(prob: IntegralProblem, alg, ps, abstol=None, reltol=None, mesh=N
 
     batched = jax.jit(jax.vmap(one, in_axes=(None, 0)))
     if mesh is not None:
-        sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+        sharding = NamedSharding(mesh, P(axis or mesh.axis_names[0]))
         ps = jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), sharding), ps
         )
@@ -204,7 +204,7 @@ def _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh):
             return jax.jit(jax.vmap(run))
 
     if mesh is not None:
-        sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+        sharding = NamedSharding(mesh, P(axis or mesh.axis_names[0]))
         ps = jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), sharding), ps)
 
     window = []  # last `keepmost` symmetrized iterates (shared across the batch)
@@ -227,7 +227,7 @@ def _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh):
         if len(window) >= keepmost:
             window.pop(0)
     us = jax.tree_util.tree_map(lambda v: j * v, val)
-    errs = None if err is None else err
+    errs = err
     # the ladder's convergence test is shared across the batch (worst
     # parameter gates refinement), so every lane carries the same flag;
     # numevals is the per-parameter rule-evaluation total

@@ -47,6 +47,13 @@ def _infinity_transform(segs):
     if len(segs) != 2:
         raise ValueError("infinite domains support a single segment")
     a, b = segs
+    # reversed orientations ((a, -inf), (+inf, b), (inf, -inf)): transform
+    # the ascending domain and negate the jacobian (int_a^b = -int_b^a) —
+    # the sign-blind isinf branches below would otherwise map to the WRONG
+    # half-line and return a plausible value with retcode True
+    if (np.isinf(a) and a > 0) or (np.isinf(b) and b < 0):
+        fsegs, map_fn, jac_fn = _infinity_transform(np.array([b, a]))
+        return fsegs, map_fn, (lambda t, _j=jac_fn: -_j(t))
     if np.isinf(a) and np.isinf(b):
         return (
             np.array([-1.0 + 1e-15, 1.0 - 1e-15]),
@@ -82,7 +89,14 @@ class QuadGKJL(IntegralAlgorithm):
         segs = segments_of(dom)
         order, cap, nbisect, norm = self.order, self.cap, self.nbisect, self.norm
 
-        tf = _infinity_transform(segs) if isinstance(segs, np.ndarray) else None
+        # segments_of returns jnp arrays for raw tuple/array domains; the
+        # transform decision needs concrete host endpoints either way (an
+        # isinstance(np.ndarray) gate silently SKIPPED the transform for
+        # those domains, producing NaN at the infinite endpoints)
+        try:
+            tf = _infinity_transform(np.asarray(segs, dtype=np.float64))
+        except (TypeError, jax.errors.TracerArrayConversionError):
+            tf = None
         if tf is not None:
             segs, map_fn, jac_fn = tf
             inner_f = batch_f

@@ -38,9 +38,15 @@ class AbsoluteEstimate(IntegralAlgorithm):
         val = float(self.norm(sol.u))
         rtol = np.sqrt(np.finfo(np.float64).eps) if reltol is None else reltol
         atol = max(0.0 if abstol is None else abstol, rtol * val)
-        return self.abs_alg.do_solve(
+        out = self.abs_alg.do_solve(
             f, dom, p, cacheval["abs"], abstol=atol, reltol=0.0, maxiters=maxiters
         )
+        # both phases evaluate the integrand: count both, matching the
+        # traced solve_fn_consts path (uncounted phases keep -1 semantics)
+        if out.numevals >= 0 and sol.numevals >= 0:
+            out = IntegralSolution(out.u, out.resid, out.retcode,
+                                   out.numevals + sol.numevals)
+        return out
 
     def solve_fn_consts(self, cacheval):
         """Traced two-phase solve for batched sweeps (``sweep_solve``/
@@ -102,3 +108,12 @@ class EvalCounter(IntegralAlgorithm):
 
     def do_solve(self, f, dom, p, cacheval, **kwargs):
         return self.alg.do_solve(f, dom, p, cacheval, **kwargs)
+
+    def solve_fn(self, cacheval):
+        # sweeps count evaluations natively; delegate so EvalCounter-wrapped
+        # algorithms batch like their wrapped algorithm
+        return self.alg.solve_fn(cacheval)
+
+    def solve_fn_consts(self, cacheval):
+        sfc = getattr(self.alg, "solve_fn_consts", None)
+        return None if sfc is None else sfc(cacheval)

@@ -375,3 +375,43 @@ def test_pole_nest_rejected_by_sweep_with_clear_error():
     cv = alg.init_cacheval(f, dom, 0.0)
     with pytest.raises(ValueError, match="host-side only"):
         alg.solve_fn(cv)
+
+
+class TestAlgorithmReviewRegressions:
+    def test_infinite_domain_raw_array(self):
+        # regression: raw-array domains skipped the infinite-limit transform
+        # (isinstance(np.ndarray) gate) and returned NaN
+        sol = solve(IntegralProblem(lambda x, p: jnp.exp(-x * x),
+                                    np.array([0.0, np.inf])), QuadGKJL(),
+                    abstol=1e-10)
+        assert float(sol.u) == pytest.approx(np.sqrt(np.pi) / 2, abs=1e-9)
+        assert sol.retcode
+
+    def test_reversed_infinite_domains(self):
+        # regression: sign-blind isinf branches mapped (a, -inf)/(inf, -inf)
+        # to the wrong half-line with retcode True
+        s1 = solve(IntegralProblem(lambda x, p: jnp.exp(-x * x), 0.0, -np.inf),
+                   QuadGKJL(), abstol=1e-10)
+        assert float(s1.u) == pytest.approx(-np.sqrt(np.pi) / 2, abs=1e-9)
+        s2 = solve(IntegralProblem(lambda x, p: jnp.exp(-x * x), np.inf, -np.inf),
+                   QuadGKJL(), abstol=1e-10)
+        assert float(s2.u) == pytest.approx(-np.sqrt(np.pi), abs=1e-9)
+
+    def test_evalcounter_sweeps(self):
+        # regression: EvalCounter lacked solve_fn delegation, crashing sweeps
+        from autobzcore_tpu.parallel.sweep import sweep_solve
+
+        us, _, conv, nes = sweep_solve(
+            IntegralProblem(lambda x, p: jnp.sin(p * x), 0.0, 1.0),
+            EvalCounter(QuadGKJL()), jnp.linspace(0.5, 1.0, 4), abstol=1e-10)
+        assert np.asarray(conv).all()
+        assert np.asarray(nes).min() == 15  # constant-cost GK order 7
+
+    def test_absolute_estimate_counts_both_phases(self):
+        # regression: the eager path reported abs-phase evals only while the
+        # swept path counted both
+        alg = AbsoluteEstimate(QuadratureFunction(npt=10), QuadGKJL(),
+                               abstol=1e-3)
+        sol = solve(IntegralProblem(lambda x, p: jnp.sin(p * x), 0.0, 1.0, 0.7),
+                    alg, abstol=1e-9)
+        assert sol.numevals == 25  # 10 estimate + 15 GK

@@ -179,24 +179,43 @@ def _resolve_parameters(f, p):
     return f, p
 
 
-def batchsolve(solver: IntegralSolver, ps, T=None, callback=None):
+def batchsolve(solver: IntegralSolver, ps, T=None, callback=None, nthreads=1):
     """Evaluate ``solver`` at each parameter in ``ps`` (reference
     ``src/interfaces.jl:234``).  The compiled cache is shared across the sweep,
     so only the first call pays compilation.  Returns a list (or object array
     matching ``ps`` shape) of ``u`` values.
 
+    ``nthreads > 1`` pipelines the solves across host threads over one shared
+    read-only cache — the reference's ``batchsolve`` is itself threaded
+    (``Threads.@threads`` over parameter chunks with per-thread solver
+    replicas, ``src/interfaces.jl:210-218``); here JAX's functional model
+    makes the replicas unnecessary.  ``callback`` still fires **in index
+    order** (out-of-order completions buffer), so incremental persistence
+    keeps its resume semantics.
+
     For device-parallel sweeps over numeric parameter arrays see
     :func:`autobzcore_tpu.parallel.sweep.sweep_solve`.
     """
     arr = isinstance(ps, np.ndarray) and ps.dtype == object
-    items = ps.reshape(-1) if arr else list(ps)
+    items = list(ps.reshape(-1)) if arr else list(ps)
     out = []
-    for i, p in enumerate(items):
-        t0 = time.time()
-        sol = solver.solve_p(p)
-        if callback is not None:
-            callback(solver, i, i + 1, p, sol, time.time() - t0)
-        out.append(sol.u)
+    if nthreads is not None and int(nthreads) > 1:
+        from .parallel.sweep import threaded_solve_iter
+
+        prob = IntegralProblem(solver.f, solver.dom)
+        for i, sol, wall in threaded_solve_iter(
+            prob, solver.alg, items, nthreads=nthreads, **solver.kwargs
+        ):
+            if callback is not None:
+                callback(solver, i, i + 1, items[i], sol, wall)
+            out.append(sol.u)
+    else:
+        for i, p in enumerate(items):
+            t0 = time.time()
+            sol = solver.solve_p(p)
+            if callback is not None:
+                callback(solver, i, i + 1, p, sol, time.time() - t0)
+            out.append(sol.u)
     if arr:
         res = np.empty(len(out), dtype=object)
         for i, u in enumerate(out):

@@ -72,7 +72,7 @@ def _param_record(h5, ps):
 
 
 def batchsolve_h5(filename_or_h5, solver: IntegralSolver, ps, verbose=True,
-                  resume=False):
+                  resume=False, nthreads=1):
     """Threaded-sweep-with-persistence equivalent: solve ``solver`` at each
     parameter, writing each result incrementally with flush.
 
@@ -80,6 +80,13 @@ def batchsolve_h5(filename_or_h5, solver: IntegralSolver, ps, verbose=True,
     results were already written (``retcode >= 0``) are skipped — a crashed
     sweep continues from the first missing entry (auto-resume, beyond the
     reference's flush-only persistence, ``ext/HDF5Ext.jl:133-149``).
+
+    ``nthreads > 1`` pipelines the solves across host threads (the
+    reference's h5 ``batchsolve`` is threaded with a locked writer callback,
+    ``ext/HDF5Ext.jl:135-149``); completions are re-ordered so rows are
+    written and flushed **in index order** — the resume invariant (done rows
+    form a prefix-per-order pattern) and the file contents are identical to
+    the serial sweep, only the wall-time column reflects the pipelining.
 
     Returns the array of integral values.
     """
@@ -104,8 +111,23 @@ def batchsolve_h5(filename_or_h5, solver: IntegralSolver, ps, verbose=True,
                 dI = h5["I"]
             dE, dt, drc, dnev = h5["E"], h5["t"], h5["retcode"], h5["numevals"]
             sol0 = None
+            tcache = None
         else:
-            sol0 = solver.solve_p(ps[0])
+            wall0 = time.time()
+            if nthreads is not None and int(nthreads) > 1:
+                # solve row 0 through the same shared cache the threads will
+                # use, instead of compiling a second one via solver.solve_p
+                from ..interfaces import IntegralProblem, init as _init
+                from ..parallel.sweep import threaded_solve_iter
+
+                prob = IntegralProblem(solver.f, solver.dom)
+                tcache = _init(prob, solver.alg, **solver.kwargs)
+                _, sol0, _ = next(threaded_solve_iter(
+                    prob, solver.alg, [ps[0]], cache=tcache))
+            else:
+                tcache = None
+                sol0 = solver.solve_p(ps[0])
+            wall0 = time.time() - wall0
             u0 = sol0.u
             aux = isinstance(u0, AuxValue)
 
@@ -127,14 +149,8 @@ def batchsolve_h5(filename_or_h5, solver: IntegralSolver, ps, verbose=True,
             _param_record(h5, ps)
 
         done = np.asarray(drc[...]) >= 0
-        out = []
-        for i, p in enumerate(ps):
-            if done[i]:
-                out.append(AuxValue(dval[i], daux[i]) if aux else dI[i])
-                continue
-            t0 = time.time()
-            sol = sol0 if (i == 0 and sol0 is not None) else solver.solve_p(p)
-            wall = time.time() - t0
+
+        def write_row(i, sol, wall):
             if aux:
                 dval[i] = np.asarray(sol.u.val)
                 daux[i] = np.asarray(sol.u.aux)
@@ -145,7 +161,35 @@ def batchsolve_h5(filename_or_h5, solver: IntegralSolver, ps, verbose=True,
             dnev[i] = sol.numevals
             drc[i] = 1 if sol.retcode else 0  # written LAST: marks the row done
             h5.flush()  # crash loses at most the in-flight parameter
-            out.append(sol.u)
+
+        out = [None] * n
+        for i in np.nonzero(done)[0]:
+            out[i] = AuxValue(dval[i], daux[i]) if aux else dI[i]
+        pending = [i for i in range(n) if not done[i]]
+        if nthreads is not None and int(nthreads) > 1 and pending:
+            from ..interfaces import IntegralProblem, init as _init
+            from ..parallel.sweep import threaded_solve_iter
+
+            prob = IntegralProblem(solver.f, solver.dom)
+            if tcache is None:  # resuming: no warmup solve was needed
+                tcache = _init(prob, solver.alg, **solver.kwargs)
+            if sol0 is not None:  # row 0 already solved for dataset sizing
+                write_row(0, sol0, wall0)
+                out[0] = sol0.u
+                pending = [i for i in pending if i != 0]
+            for j, sol, wall in threaded_solve_iter(
+                prob, solver.alg, [ps[i] for i in pending],
+                nthreads=nthreads, cache=tcache,
+            ):
+                i = pending[j]
+                write_row(i, sol, wall)
+                out[i] = sol.u
+        else:
+            for i in pending:
+                t0 = time.time()
+                sol = sol0 if (i == 0 and sol0 is not None) else solver.solve_p(ps[i])
+                write_row(i, sol, time.time() - t0)
+                out[i] = sol.u
         return out
     finally:
         if own:

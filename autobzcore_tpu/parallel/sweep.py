@@ -36,7 +36,7 @@ def sweep_solve(prob: IntegralProblem, alg, ps, abstol=None, reltol=None, mesh=N
     from ..brillouin import AutoPTR
 
     if isinstance(alg, (AutoPTR, AutoSymPTRJL)):
-        return _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh)
+        return _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh, axis)
     cache = init(prob, alg)
     fn2, consts = _solve_fn_with_consts(prob, alg, cache)
     atol, rtol = effective_tolerances(abstol, reltol)
@@ -104,10 +104,30 @@ def threaded_solve(prob, alg, ps, nthreads=4, warmup=True, **kwargs):
     ``warmup=True`` runs the first parameter alone so compilation happens
     once instead of racing across threads.
     """
+    out = [None] * len(ps := list(ps))
+    for i, sol, _ in threaded_solve_iter(prob, alg, ps, nthreads=nthreads,
+                                         warmup=warmup, **kwargs):
+        out[i] = sol
+    return out
+
+
+def threaded_solve_iter(prob, alg, ps, nthreads=4, warmup=True, **kwargs):
+    """Generator form of :func:`threaded_solve`: yields ``(index, solution,
+    wall_seconds)`` **in ``ps`` order** as results become available
+    (out-of-order completions buffer inside the executor's ordered ``map``).
+
+    This is the streaming backend for ordered incremental persistence
+    (``batchsolve``/``batchsolve_h5`` with ``nthreads>1``): the consumer sees
+    results strictly in index order, so resume semantics (first missing row =
+    first unsolved parameter) survive the parallelism.
+    """
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..interfaces import _resolve_parameters, _takes_mixed_parameters, init
+    from ..interfaces import (IntegralSolution, _resolve_parameters,
+                              _takes_mixed_parameters, init)
     from ..parameters import MixedParameters
+    from ..utils.tree import host_complex_safe
 
     cache = kwargs.pop("cache", None)
     if cache is None:
@@ -126,21 +146,28 @@ def threaded_solve(prob, alg, ps, nthreads=4, warmup=True, **kwargs):
         if mixed and not isinstance(p, MixedParameters):
             p = MixedParameters(p)
         _, p2 = _resolve_parameters(prob.f, p)
-        return cache.alg.do_solve(cache.f, cache.dom, p2, cache.cacheval,
-                                  **cache.kwargs)
+        t0 = _time.time()
+        sol = cache.alg.do_solve(cache.f, cache.dom, p2, cache.cacheval,
+                                 **cache.kwargs)
+        # complex device buffers cannot cross the hosted-TPU transfer
+        # boundary (same contract as solve_)
+        sol = IntegralSolution(host_complex_safe(sol.u),
+                               host_complex_safe(sol.resid),
+                               sol.retcode, sol.numevals)
+        return sol, _time.time() - t0
 
     ps = list(ps)
     if not ps:
-        return []
-    out = [None] * len(ps)
+        return
     start = 0
     if warmup:
-        out[0] = one(ps[0])
+        sol, wall = one(ps[0])
+        yield 0, sol, wall
         start = 1
     if len(ps) > start:
         with ThreadPoolExecutor(max_workers=max(1, int(nthreads))) as ex:
-            out[start:] = list(ex.map(one, ps[start:]))
-    return out
+            for k, (sol, wall) in enumerate(ex.map(one, ps[start:])):
+                yield start + k, sol, wall
 
 
 def make_mesh(n_devices=None, axis_names=("p",), devices=None):
@@ -152,8 +179,18 @@ def make_mesh(n_devices=None, axis_names=("p",), devices=None):
     return Mesh(np.array(devices), axis_names)
 
 
-def _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh):
-    """Batched AutoPTR ladder (see :func:`sweep_solve`)."""
+def _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh, axis=None):
+    """Batched AutoPTR ladder (see :func:`sweep_solve`).
+
+    Certificates are per lane (reference per-solve semantics,
+    ``src/interfaces.jl:120-126``): each parameter gets its own residual,
+    convergence flag, and honest evaluation count.  Lanes that converge at a
+    rung are *dropped* from later rungs (the remaining lanes are gathered
+    into a smaller batch), so a sweep mixing smooth and sharp parameters only
+    pays fine grids for the parameters that need them.  Each rung compiles
+    its own program anyway (the rule size changes with npt), so the shrinking
+    batch costs no extra compilations.
+    """
     from ..algorithms.base import effective_tolerances
     from ..algorithms.ptr import AutoSymPTRJL, build_ptr_run
     from ..brillouin import AutoPTR
@@ -196,43 +233,68 @@ def _sweep_autoptr(prob, alg, ps, abstol, reltol, mesh):
             return tree
     atol, rtol = effective_tolerances(abstol, reltol)
 
+    # rule data rides as jit ARGUMENTS (see _solve_fn_with_consts): captured
+    # constants ship MB-scale stored-series arrays with the HLO to remote
+    # compile helpers and miss the persistent cache
     if _takes_mixed_parameters(prob.f):
-        def wrap(run):
-            return jax.jit(jax.vmap(lambda p: run(merge_parameters(p0, p))))
+        def wrap(run_c):
+            return jax.jit(jax.vmap(
+                lambda c, p: run_c(c, merge_parameters(p0, p)),
+                in_axes=(None, 0)))
     else:
-        def wrap(run):
-            return jax.jit(jax.vmap(run))
+        def wrap(run_c):
+            return jax.jit(jax.vmap(run_c, in_axes=(None, 0)))
 
-    if mesh is not None:
+    tmap = jax.tree_util.tree_map
+    ps = tmap(jnp.asarray, ps)
+    n = jax.tree_util.tree_leaves(ps)[0].shape[0]
+
+    def put(tree):
+        if mesh is None:
+            return tree
         sharding = NamedSharding(mesh, P(axis or mesh.axis_names[0]))
-        ps = jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), sharding), ps)
+        return tmap(lambda x: jax.device_put(x, sharding), tree)
 
-    window = []  # last `keepmost` symmetrized iterates (shared across the batch)
-    val = None
-    err = None
-    converged = False
-    nev = 0
+    lane_conv = np.zeros(n, bool)
+    nev = np.zeros(n, np.int64)
+    err = np.full(n, np.inf)
+    val = None     # full-batch tree of each lane's latest iterate
+    window = []    # last `keepmost` full-batch snapshots
     keepmost = max(2, int(getattr(inner, "keepmost", 2)))
     for npt in inner.npt_ladder():
-        run, ne_rung, _, _ = build_ptr_run(f, dom, npt, inner.syms)
-        nev += int(ne_rung)
-        val = sym(wrap(run)(ps))
+        active = np.nonzero(~lane_conv)[0]
+        if active.size == 0:
+            break
+        _, ne_rung, run_c, consts = build_ptr_run(f, dom, npt, inner.syms)
+        nev[active] += int(ne_rung)
+        gidx = active
+        if mesh is not None:
+            # sharded gathers must divide over the mesh axis: pad with the
+            # last active lane and slice the duplicates back off below
+            ndev = int(mesh.shape[axis or mesh.axis_names[0]])
+            npad = -(-active.size // ndev) * ndev
+            gidx = np.concatenate([active, np.full(npad - active.size, active[-1])])
+        ps_a = ps if gidx.size == n and mesh is None else tmap(lambda x: x[gidx], ps)
+        val_a = sym(wrap(run_c)(consts, put(ps_a)))
+        if gidx.size != active.size:
+            val_a = tmap(lambda v: v[: active.size], val_a)
+        if val is None:
+            val = val_a if active.size == n else tmap(
+                lambda v: jnp.zeros((n,) + v.shape[1:], v.dtype).at[active].set(v),
+                val_a)
+        else:
+            val = tmap(lambda full, v: full.at[active].set(v), val, val_a)
         if window:
-            err = tree_batched_norm(tree_sub(val, window[0])) * j
-            tol = jnp.maximum(atol, rtol * tree_batched_norm(val) * j)
-            if bool(jnp.all(err <= tol)):
-                converged = True
-                break
+            prev_a = tmap(lambda w: w[active], window[0])
+            err_a = np.asarray(tree_batched_norm(tree_sub(val_a, prev_a))) * j
+            tol_a = np.maximum(atol, rtol * np.asarray(tree_batched_norm(val_a)) * j)
+            err[active] = err_a
+            lane_conv[active] = err_a <= tol_a
         window.append(val)
         if len(window) >= keepmost:
             window.pop(0)
-    us = jax.tree_util.tree_map(lambda v: j * v, val)
-    errs = err
-    # the ladder's convergence test is shared across the batch (worst
-    # parameter gates refinement), so every lane carries the same flag;
-    # numevals is the per-parameter rule-evaluation total
-    n = jax.tree_util.tree_leaves(ps)[0].shape[0]
-    return us, errs, np.full(n, converged), np.full(n, nev)
+    us = tmap(lambda v: j * v, val)
+    return us, jnp.asarray(err), lane_conv, nev
 
 
 class SweepSolver:

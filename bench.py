@@ -202,12 +202,50 @@ def main():
         t_f64, f64_rate = float("nan"), float("nan")
         print(f"# f64 split path failed: {str(exc)[:80]}", file=sys.stderr)
 
+    # north-star canary: a small certified auto-ladder on the REAL SrVO3
+    # curve (rate-fitted rung scheduler, dos/fullgrid.next_rung_npt +
+    # ops/grid_sweep engine — the machinery behind the 94 s converged-ladder
+    # record).  eta=0.1 keeps the rungs CPU-safe (~16-96); the recorded
+    # certificate/wall catch regressions in the scheduler or the slab engine
+    # that the throughput lanes above cannot see (VERDICT r3 weak #5).
+    ladder_wall, ladder_cert, ladder_rungs, ladder_ok, ladder_dos = (
+        float("nan"), float("nan"), [], False, float("nan"))
+    try:
+        from autobzcore_tpu import FBZ, load_bz
+        from autobzcore_tpu.dos import (DOSProblem, LorentzianFullGrid,
+                                        init as dos_init)
+        from autobzcore_tpu.io.wannier90 import hamiltonian_fourier_series
+
+        h = hamiltonian_fourier_series(hr)
+        bz3 = load_bz(FBZ(), np.eye(3))
+        Es = np.linspace(10.0, 15.0, 32)
+        alg = LorentzianFullGrid(0.1, nmin=16, nmax=256, schedule="auto")
+        cache = dos_init(DOSProblem(h, Es, bz3), alg, abstol=1e-5)
+        alg.dos_sweep(cache.cacheval, Es, abstol=1e-5)  # warm compile
+        cache.cacheval.pop("ladder_hint", None)  # measure the FULL ladder
+        t0 = time.perf_counter()
+        D, lerr, lok, lnev = alg._ladder(cache.cacheval, Es, 1e-5, None, None)
+        ladder_wall = time.perf_counter() - t0
+        ladder_cert = float(lerr)
+        ladder_ok = bool(lok)
+        ladder_dos = float(D[np.argmin(np.abs(Es - 12.5))])
+        # the certifying rung pair the scheduler landed on
+        hint = cache.cacheval.get("ladder_hint")
+        ladder_rungs = [int(x) for x in hint[:2]] if hint else []
+    except Exception as exc:  # pragma: no cover - informational
+        print(f"# ladder lane failed: {str(exc)[:120]}", file=sys.stderr)
+
     result = {
         "metric": "svo3_hk_eigh_kpoints_per_sec",
         "value": round(kpts_per_sec, 1),
         "unit": "k-points/s sustained (npt=100^3, 3-band H(k) contraction + eigh, device-chained)",
         "vs_baseline": round(kpts_per_sec / np_rate, 2),
         "f64_split_kpoints_per_sec": round(f64_rate, 1),
+        "ladder_wall_s": round(ladder_wall, 3),
+        "ladder_cert": ladder_cert,
+        "ladder_retcode": ladder_ok,
+        "ladder_final_rungs": ladder_rungs,
+        "ladder_dos_12p5": ladder_dos,
     }
     if os.environ.get("BENCH_CPU_FALLBACK") == "1":
         result["device"] = "cpu-fallback (TPU tunnel unreachable past BENCH_TUNNEL_WAIT)"

@@ -102,3 +102,75 @@ def test_batchsolve_h5_resume(tmp_path):
                        [float(np.real(np.complex128(u))) for u in us])
     with h5py.File(f, "r") as h5:
         assert np.all(h5["retcode"][...] == 1)
+
+
+def test_batchsolve_h5_threaded_matches_serial(tmp_path):
+    """nthreads=4 writes the same datasets (values, residuals, retcodes,
+    numevals, params) as the serial sweep, in index order (VERDICT r3
+    missing #1: the reference's batchsolve is itself threaded,
+    src/interfaces.jl:210-218, ext/HDF5Ext.jl:135-149)."""
+    from autobzcore_tpu import IAI, FourierIntegrand, IntegralProblem, \
+        IntegralSolver, InversionSymIBZ, load_bz
+    from autobzcore_tpu.io.hdf5 import batchsolve_h5
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import dos_integrand
+    import h5py
+
+    bz = load_bz(InversionSymIBZ(), np.eye(2))
+    fi = dos_integrand(tb_integer(2), eta=0.5)
+    alg = IAI(inner_cap=64, inner_nbisect=2, host_outer=True)
+    ps = [-1.0, 0.0, 0.7, 1.5, 2.0, 3.0]
+
+    fs = str(tmp_path / "serial.h5")
+    us_s = batchsolve_h5(
+        fs, IntegralSolver(IntegralProblem(fi, bz), alg, abstol=1e-6), ps)
+    ft = str(tmp_path / "threaded.h5")
+    us_t = batchsolve_h5(
+        ft, IntegralSolver(IntegralProblem(fi, bz), alg, abstol=1e-6), ps,
+        nthreads=4)
+    assert np.allclose(np.asarray(us_s, float), np.asarray(us_t, float),
+                       rtol=0, atol=0)
+    with h5py.File(fs) as a, h5py.File(ft) as b:
+        for key in ("I", "E", "retcode", "numevals", "p/args"):
+            assert np.array_equal(a[key][...], b[key][...]), key
+
+
+def test_batchsolve_h5_threaded_resume(tmp_path):
+    """Threaded resume recomputes only the wiped rows and writes in order."""
+    from autobzcore_tpu import IntegralProblem, IntegralSolver, QuadGKJL
+    from autobzcore_tpu.io.hdf5 import batchsolve_h5
+
+    f = str(tmp_path / "sweep.h5")
+    solver = IntegralSolver(
+        IntegralProblem(lambda x, p: p * jnp.sin(x), 0.0, 1.0), QuadGKJL(),
+        abstol=1e-10)
+    import h5py
+
+    ps = [1.0, 2.0, 3.0, 4.0, 5.0]
+    us = batchsolve_h5(f, solver, ps)
+    with h5py.File(f, "a") as h5:
+        h5["retcode"][3:] = -1
+        h5["I"][3:] = 0.0
+    us2 = batchsolve_h5(f, solver, ps, resume=True, nthreads=3)
+    assert np.allclose([float(np.real(np.complex128(u))) for u in us2],
+                       [float(np.real(np.complex128(u))) for u in us])
+    with h5py.File(f, "r") as h5:
+        assert np.all(h5["retcode"][...] == 1)
+
+
+def test_batchsolve_threaded_callback_order():
+    """batchsolve(nthreads=N) fires the callback strictly in index order."""
+    from autobzcore_tpu import IntegralProblem, IntegralSolver, QuadGKJL, batchsolve
+
+    solver = IntegralSolver(
+        IntegralProblem(lambda x, p: p * jnp.sin(x), 0.0, 1.0), QuadGKJL(),
+        abstol=1e-10)
+    seen = []
+    ps = [float(i) for i in range(1, 9)]
+    us = batchsolve(solver, ps, nthreads=4,
+                    callback=lambda s, i, nxt, p, sol, t: seen.append(i))
+    assert seen == list(range(8))
+    ref = batchsolve(IntegralSolver(
+        IntegralProblem(lambda x, p: p * jnp.sin(x), 0.0, 1.0), QuadGKJL(),
+        abstol=1e-10), ps)
+    assert np.allclose(np.asarray(us, complex), np.asarray(ref, complex))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..interfaces import IntegralSolution
 from ..limits import IteratedLimits
@@ -56,6 +57,125 @@ def assemble_points(xs, coords):
     return jnp.stack(cols, axis=-1)
 
 
+# probe abscissae (fractions of each level's span): off-center and
+# symmetry-breaking so lattice-symmetric cancellations don't hide noise
+_PROBE_TS = (0.1234, 0.3618, 0.6287, 0.8791)
+
+
+def _real_leaf_pairs(t32, tS):
+    """Aligned (f64-upcast search-tier, accurate-tier) real leaf pairs.
+
+    Complex leaves expand to (re, im) in place, matching the order a
+    ``SplitComplex`` pytree flattens its own (re, im) children — so the c64
+    guide tree and the split-f64 tree align leafwise even though their
+    complex representations differ."""
+    def expand(tree):
+        out = []
+        for x in jax.tree_util.tree_leaves(tree):
+            x = jnp.asarray(x)
+            if jnp.iscomplexobj(x):
+                out.extend([jnp.real(x), jnp.imag(x)])
+            else:
+                out.append(x)
+        return out
+
+    a, b = expand(t32), expand(tS)
+    if len(a) != len(b):
+        raise ValueError(
+            "guided noise probe: search- and accurate-tier results do not "
+            "align leafwise; pass an explicit guide_rfloor instead of 'auto'"
+        )
+    return list(zip(a, b))
+
+
+def _probe_noise_rfloor(lims, c32, cS, p32, p, safety=4.0, lo=1e-7, hi=1e-2):
+    """Measure the guided search tier's relative eval noise at solve time.
+
+    Evaluates BOTH integrand tiers at a handful of probe points per nest
+    level (``len(_PROBE_TS)^d`` leaf evaluations each) and returns
+    ``safety * sum|f32 - f64| / sum|f64|`` — a plug-in estimate of the L1
+    noise-to-mass ratio, which is exactly the scale at which the c64 search's
+    ``|vk - vg|`` error estimate bottoms out (``err_floor ~ r * int|f|``, see
+    ``ops/adaptive.gk_adaptive``).  This replaces the fixed ``guide_rfloor``
+    constant that was calibrated on the SrVO3 anchor (measured p99 relative
+    noise 2.7e-5): noise amplification scales as ``||H||/eta`` and is
+    problem-dependent, so a measured floor is portable where the constant
+    either wastes a saturating search or stops early (VERDICT r3 weak #4).
+    ``safety`` biases high — an overestimated floor hands more work to the
+    split polish phase (correct, mildly slower); an underestimate falls back
+    to the ``stall_patience`` detector.
+    """
+    def rec(lims, c32, cS, coords):
+        segs = lims.outer_segments()
+        a, b = segs[0], segs[-1]
+        ts = jnp.asarray(_PROBE_TS, segs.dtype)
+        xs = a + (b - a) * ts
+        if lims.ndim == 1:
+            v32 = c32.eval_batch(xs, coords, p32)
+            vS = cS.eval_batch(xs, coords, p)
+            num = jnp.zeros((), jnp.float64)
+            den = jnp.zeros((), jnp.float64)
+            for x32, xS in _real_leaf_pairs(v32, vS):
+                xS64 = xS.astype(jnp.float64)
+                num += jnp.sum(jnp.abs(x32.astype(jnp.float64) - xS64))
+                den += jnp.sum(jnp.abs(xS64))
+            return num, den
+
+        def one(x):
+            return rec(lims.fix(x), c32.fix(x), cS.fix(x), coords + (x,))
+
+        nums, dens = jax.vmap(one)(xs)
+        return jnp.sum(nums), jnp.sum(dens)
+
+    num, den = rec(lims, c32, cS, ())
+    r = safety * num / jnp.maximum(den, jnp.finfo(jnp.float64).tiny)
+    return jnp.clip(r, lo, hi)
+
+
+def _coarsen_partition(part, breakpoints, tol):
+    """Error-guided sibling coarsening of a warm-start seed partition.
+
+    ``part`` is the previous solve's surviving outer partition as an
+    ``(n, 3)`` array of ``(a, b, E)`` rows (sorted, contiguous).  Adjacent
+    equal-width pairs whose stored errors sum far below their equidistributed
+    tolerance share merge into their parent — so fine structure that the NEW
+    parameter no longer needs decays geometrically across a warm-started
+    chain instead of accumulating monotonically (intervals otherwise only
+    ever split; over a long omega sweep the partition would grow into the
+    union of every feature it ever resolved).  Load-bearing intervals carry
+    errors near their share and never merge, so the equilibrium seed stays
+    within a small factor of the minimal partition.  Merging is always
+    VALID (any contiguous cover is a legal starting heap — refinement
+    re-splits anything merged too eagerly); the error test is only about
+    efficiency.  Pairs straddling an original domain breakpoint (puncture /
+    symmetry boundary) never merge."""
+    import numpy as np
+
+    a, b, E = part[:, 0], part[:, 1], part[:, 2]
+    L = float(b[-1] - a[0])
+    inner_bks = np.asarray(breakpoints)[1:-1]
+    out = []
+    i, n = 0, len(part)
+    while i < n:
+        if i + 1 < n:
+            w_parent = b[i + 1] - a[i]
+            share = tol * w_parent / L
+            widths_match = abs((b[i] - a[i]) - (b[i + 1] - a[i + 1])) <= 1e-9 * w_parent
+            # merged-parent error grows by orders of magnitude over the
+            # children's sum (GK error ~ width^(2k+1)), so only merge when
+            # the children are FAR below their share
+            cheap = (E[i] + E[i + 1]) < 1e-3 * share
+            on_bk = inner_bks.size and bool(
+                np.any(np.abs(inner_bks - b[i]) <= 1e-12 * max(L, 1.0)))
+            if widths_match and cheap and not on_bk:
+                out.append((float(a[i]), float(b[i + 1])))
+                i += 2
+                continue
+        out.append((float(a[i]), float(b[i])))
+        i += 1
+    return out
+
+
 class PlainCarrier:
     """Nest carrier for ordinary integrands: no per-level state."""
 
@@ -75,7 +195,8 @@ class NestedQuad(IntegralAlgorithm):
 
     def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False,
                  host_outer=False, host_nbisect=None, checkpoint=None,
-                 leaf_nbisect=None, guide_rfloor=2e-5, guide_patience=6):
+                 leaf_nbisect=None, guide_rfloor="auto", guide_patience=6,
+                 guide_slack=1.0, warm_start=False):
         self.algs = algs
         # host-outer panel width: guided panels dispatch BOTH tiers per
         # refinement step, and a 120-node guided panel reliably crashes the
@@ -95,12 +216,23 @@ class NestedQuad(IntegralAlgorithm):
         self.guided = split == "guided"
         self.split = bool(split)
         # relative f32-noise floor for the guided search phase (keeps the
-        # search from spinning where the c64 tier cannot resolve the error)
-        self.guide_rfloor = float(guide_rfloor)
+        # search from spinning where the c64 tier cannot resolve the error).
+        # The default "auto" measures it from the integrand at solve time
+        # (_probe_noise_rfloor): c64 eval noise is amplified ~||H||/eta and is
+        # therefore problem-dependent — a fixed constant either wastes a
+        # saturating search or stops early (VERDICT r3 weak #4)
+        self.guide_rfloor = (guide_rfloor if guide_rfloor == "auto"
+                             else float(guide_rfloor))
         # stalled-error patience for the guided search: the model-free backstop
         # when eval noise is amplified above guide_rfloor * L1 (c64 Green's
         # functions — see ops/adaptive.gk_adaptive docstring)
         self.guide_patience = int(guide_patience)
+        # search-phase tolerance slack: the guided search stops at
+        # guide_slack x the final tolerance — the search only FINDS the
+        # partition, the split-tier polish certifies, so slack > 1 trades
+        # cheap search-tier evals for a few expensive accurate-tier ones
+        # (ops/adaptive.gk_adaptive_guided search_slack)
+        self.guide_slack = float(guide_slack)
         # host_outer=True drives the OUTERMOST adaptive level from a host-side
         # heap: each refinement step is one bounded device call over a panel
         # of outer nodes (inner levels stay fully on-device).  This bounds
@@ -111,6 +243,17 @@ class NestedQuad(IntegralAlgorithm):
         # worst intervals bisected per host dispatch: round trips dominate
         # through remote transports, so several children batch into one call
         self.host_nbisect = host_nbisect
+        # warm_start=True (host_outer only): successive solves on the SAME
+        # cache seed their outer heap from the previous solve's surviving
+        # partition (error-coarsened, re-evaluated at the new parameter with
+        # the accurate tier — the guided search phase is skipped entirely).
+        # Each solve keeps its own refinement and f64 certificate; only the
+        # STARTING partition is shared, so correctness is untouched.  Built
+        # for sequenced parameter sweeps (hchebinterp frontiers, DOS omega
+        # scans) where adjacent solves need nearly identical partitions
+        # (VERDICT r3 weak #3: the flagship IAI leg re-discovered its
+        # partition ~2,700 times).
+        self.warm_start = bool(warm_start)
         # checkpoint: path template for host-outer heap persistence; a killed
         # tight-tolerance solve resumes instead of restarting (the adaptive
         # analogue of northstar's per-rung block checkpointing).  The solve's
@@ -196,7 +339,8 @@ class NestedQuad(IntegralAlgorithm):
                 make_carrier32 = make_carrier
 
         def solve_level(lims, carrier, coords, p, atol, rtol, maxiters,
-                        noise_rfloor=0.0, stall_patience=0):
+                        noise_rfloor=0.0, stall_patience=0,
+                        init_pool=None, return_state=False):
             d_rem = lims.ndim
             alg = algs[d_rem - 1]
             segs = lims.outer_segments()
@@ -224,6 +368,10 @@ class NestedQuad(IntegralAlgorithm):
                     return jax.vmap(one)(xs)
 
             if isinstance(alg, QuadratureFunction):
+                if init_pool is not None or return_state:
+                    raise TypeError(
+                        "warm-start pools need an adaptive (QuadGKJL) "
+                        "outermost level")
                 x, w = alg.fun(alg.npt)
                 val, ne = fixed_rule_eval(batch_f, p, segs, x, w, stats=inner_stats)
                 z = jnp.zeros((), segs.dtype)
@@ -236,16 +384,23 @@ class NestedQuad(IntegralAlgorithm):
                     maxiters=maxiters, norm=alg.norm,
                     stats=inner_stats, noise_rfloor=noise_rfloor,
                     stall_patience=stall_patience,
+                    init_pool=init_pool, _return_state=return_state,
                 )
             raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")
 
-        guide_rfloor = self.guide_rfloor
+        auto_floor = self.guided and self.guide_rfloor == "auto"
+        guide_rfloor = 0.0 if auto_floor else self.guide_rfloor
         guide_patience = self.guide_patience
+        guide_slack = self.guide_slack
 
-        def solve_level_g(lims, car32, carS, coords, p32, p, atol, rtol, maxiters):
+        def solve_level_g(lims, car32, carS, coords, p32, p, atol, rtol,
+                          maxiters, rfloor):
             """Guided twin of ``solve_level``: each adaptive level searches
             with the c64 carrier (full-f32 inner recursion) and evaluates /
-            certifies with the split-f64 carrier (guided inner recursion)."""
+            certifies with the split-f64 carrier (guided inner recursion).
+            ``rfloor`` is the search tier's L1-relative noise floor — a
+            static float, or a traced scalar measured by the solve-time
+            probe (guide_rfloor="auto")."""
             d_rem = lims.ndim
             alg = algs[d_rem - 1]
             segs = lims.outer_segments()
@@ -267,10 +422,14 @@ class NestedQuad(IntegralAlgorithm):
                         car2 = car32.fix(x)
                         segs2 = lims2.outer_segments()
                         len2 = segs2[-1] - segs2[0]
-                        inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
+                        # the whole f32 recursion is search tier: the slack
+                        # loosens it top to bottom (the split recursion below
+                        # re-certifies at the unslacked tolerance)
+                        inner_atol = (atol * guide_slack
+                                      / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny))
                         val, _, ne, _ = solve_level(
                             lims2, car2, coords + (x,), pp, inner_atol, rtol,
-                            maxiters, guide_rfloor, guide_patience
+                            maxiters, rfloor, guide_patience
                         )
                         return val, ne
 
@@ -286,7 +445,7 @@ class NestedQuad(IntegralAlgorithm):
                         inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
                         val, _, ne, _ = solve_level_g(
                             lims2, c2_32, c2S, coords + (x,), p32, pp,
-                            inner_atol, rtol, maxiters
+                            inner_atol, rtol, maxiters, rfloor
                         )
                         return val, ne
 
@@ -303,8 +462,9 @@ class NestedQuad(IntegralAlgorithm):
                 return gk_adaptive_guided(
                     batch_f32, batch_fS, p32, p, segs, order=alg.order,
                     cap=cap, nbisect=nbisect, abstol=atol, reltol=rtol,
-                    guide_rfloor=guide_rfloor, maxiters=maxiters,
+                    guide_rfloor=rfloor, maxiters=maxiters,
                     stall_patience=guide_patience,
+                    search_slack=guide_slack,
                     norm=alg.norm, stats=inner_stats,
                 )
             raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")
@@ -313,8 +473,11 @@ class NestedQuad(IntegralAlgorithm):
             @jax.jit
             def run(p, atol, rtol, maxiters):
                 p32 = _downcast_params(p)
-                return solve_level_g(dom, make_carrier32(), make_carrier(), (),
-                                     p32, p, atol, rtol, maxiters)
+                c32, cS = make_carrier32(), make_carrier()
+                rfloor = (_probe_noise_rfloor(dom, c32, cS, p32, p)
+                          if auto_floor else guide_rfloor)
+                return solve_level_g(dom, c32, cS, (),
+                                     p32, p, atol, rtol, maxiters, rfloor)
         else:
             @jax.jit
             def run(p, atol, rtol, maxiters):
@@ -324,12 +487,55 @@ class NestedQuad(IntegralAlgorithm):
 
         cacheval = {"run": run}
 
+        top_alg0 = algs[dom.ndim - 1]
+        if not self.guided and isinstance(top_alg0, QuadGKJL):
+            # warm-pool twin of `run` for sequenced parameter scans
+            # (SweepSolver(warm=True)): the OUTER pool seeds from the previous
+            # solve's surviving partition and the final pool threads out as
+            # the next solve's seed — the on-device leg of the cross-omega
+            # warm start (the host-outer leg lives in _host_outer_solve)
+            @jax.jit
+            def run_warm(p, atol, rtol, maxiters, pool):
+                val, err, ne, conv, state = solve_level(
+                    dom, make_carrier(), (), p, atol, rtol, maxiters,
+                    init_pool=pool, return_state=True)
+                new_pool = (state[0], state[1], state[3], state[5])
+                return val, err, ne, conv, new_pool
+
+            cacheval["run_warm"] = run_warm
+            # cold seed: the initial segments in pool form (errors +inf so the
+            # first solve's coarsening is a no-op) — warm-with-segments IS the
+            # cold start, so the scan chain needs no first-step branch
+            cap0, _ = self._level_knobs(top_alg0, dom.ndim, dom.ndim)
+            segs0 = np.asarray(dom.outer_segments(), dtype=np.float64)
+            nseg0 = len(segs0) - 1
+            a0 = np.zeros(cap0)
+            b0 = np.zeros(cap0)
+            a0[:nseg0] = segs0[:-1]
+            b0[:nseg0] = segs0[1:]
+            e0 = np.full(cap0, np.inf)
+            cacheval["warm_pool0"] = (a0, b0, e0, np.int32(nseg0))
+
+        if auto_floor:
+            # host-outer solves resolve the floor once per solve through this
+            # (the on-device `run` probes inline at trace time instead)
+            @jax.jit
+            def probe_rfloor(p):
+                p32 = _downcast_params(p)
+                return _probe_noise_rfloor(dom, make_carrier32(),
+                                           make_carrier(), p32, p)
+
+            cacheval["probe_rfloor"] = probe_rfloor
+
         if self.host_outer and dom.ndim > 1:
             # one bounded device call per refinement step: inner solves for a
             # panel of outermost coordinates (vals, evals, converged)
             if self.guided:
+                # the host driver resolves the floor ONCE per solve (probe or
+                # static) and threads it as a traced scalar argument, so one
+                # executable serves every dispatch and every floor value
                 @jax.jit
-                def panel(xs, p, atol, rtol, maxiters):
+                def panel(xs, p, atol, rtol, maxiters, rfloor):
                     p32 = _downcast_params(p)
 
                     def one(x):
@@ -341,7 +547,7 @@ class NestedQuad(IntegralAlgorithm):
                         inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
                         val, _, ne, conv = solve_level_g(
                             lims2, c2_32, c2S, (x,), p32, p,
-                            inner_atol, rtol, maxiters)
+                            inner_atol, rtol, maxiters, rfloor)
                         return val, ne, conv
 
                     return jax.vmap(one)(xs)
@@ -349,7 +555,7 @@ class NestedQuad(IntegralAlgorithm):
                 # cheap f32 panel for the host-side search phase; the
                 # L1-relative noise floor rides the whole c64 recursion
                 @jax.jit
-                def panel32(xs, p, atol, rtol, maxiters):
+                def panel32(xs, p, atol, rtol, maxiters, rfloor):
                     p32 = _downcast_params(p)
 
                     def one(x):
@@ -357,10 +563,13 @@ class NestedQuad(IntegralAlgorithm):
                         car2 = make_carrier32().fix(x)
                         segs2 = lims2.outer_segments()
                         len2 = segs2[-1] - segs2[0]
-                        inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
+                        # pure search-tier panel: slack applies (the accurate
+                        # `panel` re-certifies at the unslacked tolerance)
+                        inner_atol = (atol * guide_slack
+                                      / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny))
                         val, _, ne, conv = solve_level(lims2, car2, (x,), p32,
                                                        inner_atol, rtol,
-                                                       maxiters, guide_rfloor,
+                                                       maxiters, rfloor,
                                                        guide_patience)
                         return val, ne, conv
 
@@ -429,6 +638,20 @@ class NestedQuad(IntegralAlgorithm):
         budget = _budget(maxiters)
         panel = cacheval["panel"]
         panel32 = cacheval.get("panel32")  # guided: cheap f32 search tier
+        rfloor_f = 0.0
+        if panel32 is not None:
+            # resolve the guided search's noise floor once per solve: the
+            # solve-time probe (guide_rfloor="auto", default) or the static
+            # constant; both flow into the panels as a traced scalar arg
+            rfloor_f = (float(cacheval["probe_rfloor"](p))
+                        if self.guide_rfloor == "auto"
+                        else float(self.guide_rfloor))
+            import os as _os0
+            if _os0.environ.get("AUTOBZ_HOST_OUTER_DEBUG") == "1":
+                import sys as _s
+                print(f"[host-outer] guide rfloor = {rfloor_f:.3e} "
+                      f"({'probed' if self.guide_rfloor == 'auto' else 'pinned'})",
+                      file=_s.stderr, flush=True)
         top_alg = self._algs_for(dom.ndim)[dom.ndim - 1]
         order = getattr(top_alg, "order", 7)
         norm = getattr(top_alg, "norm", tree_norm)
@@ -465,9 +688,11 @@ class NestedQuad(IntegralAlgorithm):
             # inner levels run unbudgeted: maxiters bounds the OUTER heap only
             # (a truncated inner solve would silently poison the stored panel
             # values — and any resumed checkpoint built from them)
-            vals, nes, convs = pan(jnp.asarray(nodes), p,
-                                   jnp.asarray(atol_f), jnp.asarray(rtol_f),
-                                   _budget(None))
+            args = (jnp.asarray(nodes), p, jnp.asarray(atol_f),
+                    jnp.asarray(rtol_f), _budget(None))
+            if panel32 is not None:  # guided panels take the noise floor
+                args += (jnp.asarray(rfloor_f),)
+            vals, nes, convs = pan(*args)
             vals = tm(np.asarray, host_complex_safe(vals))
             if dbg:
                 which = "panel32" if pan is panel32 else "panel"
@@ -512,6 +737,23 @@ class NestedQuad(IntegralAlgorithm):
                 with open(ckpt_file, "rb") as fh:
                     state = pickle.load(fh)
 
+        # warm start: the previous solve on this cache left its surviving
+        # outer partition (+ the tolerance it certified at) in the shared
+        # cacheval slot — any contiguous cover is a valid starting heap
+        warm = None
+        seed = None
+        if self.warm_start:
+            import threading
+
+            warm = cacheval.setdefault(
+                "warm_part", {"lock": threading.Lock(), "part": None,
+                              "tol": atol_f})
+            if state is None:
+                with warm["lock"]:
+                    seed = warm["part"]
+                    seed_tol = warm["tol"]
+        seeded = seed is not None
+
         if state is not None:
             heap, total, total_E, nev, inner_ok, count = state
         else:
@@ -520,11 +762,27 @@ class NestedQuad(IntegralAlgorithm):
             total_E = 0.0
             nev = 0
             inner_ok = True
-            # a fresh guided run seeds the heap with the cheap f32 tier; the
-            # upgrade pass replaces every stored value before certification
-            init = rules(list(zip(segs[:-1], segs[1:])),
-                         panel32 if panel32 is not None else panel)
-            for i, ((a, b), (I, E, ne, conv)) in enumerate(zip(zip(segs[:-1], segs[1:]), init)):
+            if seeded:
+                # re-evaluate the coarsened previous partition at the NEW
+                # parameter with the ACCURATE tier (the guided search phase
+                # is skipped entirely: the partition is already known), in
+                # refine-shaped chunks so the same executable serves
+                bounds = _coarsen_partition(seed, segs, seed_tol)
+                chunk = max(2 * max(1, int(self.host_nbisect)), 2)
+                init = []
+                for i0 in range(0, len(bounds), chunk):
+                    ch = bounds[i0:i0 + chunk]
+                    pad = chunk - len(ch)
+                    res = rules(ch + [(0.0, 0.0)] * pad, panel)
+                    nev += sum(r[2] for r in res[len(ch):])  # padding ran
+                    init += res[:len(ch)]
+            else:
+                bounds = list(zip(segs[:-1], segs[1:]))
+                # a fresh guided run seeds the heap with the cheap f32 tier;
+                # the upgrade pass replaces every stored value before
+                # certification
+                init = rules(bounds, panel32 if panel32 is not None else panel)
+            for i, ((a, b), (I, E, ne, conv)) in enumerate(zip(bounds, init)):
                 total = I if total is None else tm(np.add, total, I)
                 total_E += E
                 nev += ne
@@ -550,7 +808,7 @@ class NestedQuad(IntegralAlgorithm):
         nbis = max(1, int(self.host_nbisect))
         iters_since_ckpt = 0
 
-        def refine(pan, floor_rel=0.0, allow_ckpt=True, patience=0):
+        def refine(pan, floor_rel=0.0, allow_ckpt=True, patience=0, slack=1.0):
             """Worst-first refinement of the heap through panel ``pan`` until
             ``max(atol, rtol·‖I‖, floor_rel·‖I‖)`` (the floor bounds the
             guided search phase at the f32 noise level).  ``patience`` > 0
@@ -562,7 +820,8 @@ class NestedQuad(IntegralAlgorithm):
             nonlocal total, total_E, nev, inner_ok, count, iters_since_ckpt, heap
             best_E, stall = float("inf"), 0
             while True:
-                tol_now = max(atol_f, max(rtol_f, floor_rel) * hnorm(total))
+                tol_now = max(atol_f * slack,
+                              max(rtol_f * slack, floor_rel) * hnorm(total))
                 if not (total_E > tol_now and nev < max_evals and heap):
                     break
                 if patience and stall >= patience:
@@ -632,18 +891,28 @@ class NestedQuad(IntegralAlgorithm):
             total = new_total
             total_E = new_E
 
-        if state is not None:
-            # a resumed checkpoint always holds accurate-tier values
-            # (checkpoints are disabled during the guided search phase)
+        if state is not None or seeded:
+            # a resumed checkpoint or a warm-start seed always holds
+            # accurate-tier values (checkpoints are disabled during the
+            # guided search phase; seeds evaluate through the accurate panel)
             refine(panel)
         elif panel32 is not None:
-            refine(panel32, floor_rel=self.guide_rfloor, allow_ckpt=False,
-                   patience=self.guide_patience)
+            refine(panel32, floor_rel=rfloor_f, allow_ckpt=False,
+                   patience=self.guide_patience, slack=self.guide_slack)
             upgrade_heap()
             refine(panel)
         else:
             refine(panel)
-        converged = total_E <= max(atol_f, rtol_f * hnorm(total)) and inner_ok
+        final_tol = max(atol_f, rtol_f * hnorm(total))
+        converged = total_E <= final_tol and inner_ok
+        if warm is not None:
+            # leave this solve's surviving partition (+ its certified errors
+            # and tolerance) for the next solve on this cache to seed from
+            part = np.array(sorted((a, b, -negE)
+                                   for (negE, _, a, b, _) in heap))
+            with warm["lock"]:
+                warm["part"] = part
+                warm["tol"] = final_tol
         if ckpt_file is not None:
             if not converged and nev >= max_evals:
                 # budget truncation: keep the heap so a rerun with a larger
@@ -746,3 +1015,23 @@ class NestedQuad(IntegralAlgorithm):
             return val, err, conv, ne
 
         return fn
+
+    def solve_fn_warm(self, cacheval):
+        """Warm-pool sweep form: ``(fn(p, atol, rtol, pool) -> (u, resid,
+        converged, numevals, new_pool), pool0)`` where ``pool`` is the
+        ``(a, b, err, n)`` outer interval pool inherited from the previous
+        solve and ``pool0`` the cold seed (the initial segments).  Returns
+        None when the cache has no warm form (guided tier, pole nests,
+        fixed-rule outer level)."""
+        from .gk import _budget
+
+        run_warm = cacheval.get("run_warm") if "pole_nest" not in cacheval else None
+        if run_warm is None:
+            return None
+
+        def fn(p, atol, rtol, pool):
+            val, err, ne, conv, new_pool = run_warm(p, atol, rtol,
+                                                    _budget(None), pool)
+            return val, err, conv, ne, new_pool
+
+        return fn, cacheval["warm_pool0"]

@@ -272,6 +272,31 @@ class AutoBZAlgorithm(IntegralAlgorithm):
         """
         return self._wrap_inner(cacheval, cacheval["alg"].solve_fn(cacheval["inner"]))
 
+    def solve_fn_warm(self, cacheval):
+        """Warm-pool sweep form (see NestedQuad.solve_fn_warm): the inherited
+        outer interval pool threads through the symmetrization wrapper
+        untouched.  Returns None if the inner algorithm has no warm form."""
+        sub = getattr(cacheval["alg"], "solve_fn_warm", None)
+        got = None if sub is None else sub(cacheval["inner"])
+        if got is None:
+            return None
+        inner_fn, pool0 = got
+        box = {}
+
+        def inner4(p, atol, rtol):
+            u, e, conv, ne, new_pool = inner_fn(p, atol, rtol, box["pool"])
+            box["new"] = new_pool
+            return u, e, conv, ne
+
+        wrapped = self._wrap_inner(cacheval, inner4)
+
+        def fn(p, atol, rtol, pool):
+            box["pool"] = pool
+            out = wrapped(p, atol, rtol)
+            return out + (box.pop("new"),)
+
+        return fn, pool0
+
     def solve_fn_consts(self, cacheval):
         """Consts-threaded variant (see MonkhorstPack.solve_fn_consts): rule
         data flows through enclosing jits as arguments, not captured
@@ -382,7 +407,8 @@ class IAI(AutoBZAlgorithm):
 
     def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex",
                  host_outer=False, host_nbisect=None, checkpoint=None,
-                 leaf_nbisect=None, guide_rfloor=2e-5, guide_patience=6):
+                 leaf_nbisect=None, guide_rfloor="auto", guide_patience=6,
+                 guide_slack=1.0, warm_start=False):
         # default to pure worst-first refinement (nbisect=1, the reference's
         # heap semantics): in a nest every extra outer panel multiplies into
         # full inner solves — nbisect=4 measured 13.7M evals / 915 ms per
@@ -410,10 +436,18 @@ class IAI(AutoBZAlgorithm):
         # retcode True) — guided is the default recommendation at every
         # tolerance once the noise-floor detection landed (r3).
         self.precision = precision
+        # "auto" (default) measures the search tier's relative eval noise at
+        # solve time (NestedQuad._probe_noise_rfloor) — portable where the
+        # old SrVO3-calibrated constant 2e-5 was not (noise amplification
+        # scales as ||H||/eta); pass a float to pin it
         self.guide_rfloor = guide_rfloor
         # stalled-error patience of the guided search tier (model-free
         # noise-floor detection; see ops/adaptive.gk_adaptive)
         self.guide_patience = guide_patience
+        # search-phase tolerance slack (NestedQuad.guide_slack): the search
+        # stops guide_slack x looser than the certificate — the split polish
+        # makes up the difference at the unslacked tolerance
+        self.guide_slack = guide_slack
         # host_outer: outermost adaptive level runs from a host heap with one
         # bounded device dispatch per refinement (tight tolerances through
         # execution-time-limited transports; see NestedQuad.host_outer)
@@ -430,6 +464,12 @@ class IAI(AutoBZAlgorithm):
         self.host_nbisect = host_nbisect
         # checkpoint: path template for host-outer heap persistence/resume
         self.checkpoint = checkpoint
+        # warm_start (host_outer only): seed each solve's outer heap from the
+        # previous solve's surviving partition — built for sequenced omega
+        # sweeps where adjacent solves need nearly identical partitions; each
+        # solve keeps its own refinement and certificate
+        # (NestedQuad.warm_start)
+        self.warm_start = warm_start
         # innermost-level batch width (see NestedQuad.leaf_nbisect): leaf
         # evals don't multiply into deeper solves, so wider batches there
         # trade a little eval waste for fewer while-loop iterations
@@ -444,7 +484,9 @@ class IAI(AutoBZAlgorithm):
                                        checkpoint=self.checkpoint,
                                        leaf_nbisect=self.leaf_nbisect,
                                        guide_rfloor=self.guide_rfloor,
-                                       guide_patience=self.guide_patience)
+                                       guide_patience=self.guide_patience,
+                                       guide_slack=self.guide_slack,
+                                       warm_start=self.warm_start)
 
 
 class PTR(AutoBZAlgorithm):

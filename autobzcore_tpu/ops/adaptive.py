@@ -140,6 +140,64 @@ def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder, stats=False):
     return valk, err, l1, stat_sum
 
 
+def coarsen_pool(a, b, e, n, segs, tol, merge_factor=1e-3):
+    """Error-guided sibling coarsening of a warm-start interval pool — the
+    on-device twin of ``nested._coarsen_partition`` (fixed shapes, no host).
+
+    ``(a, b, e)`` are cap-length pool arrays with ``n`` live slots (unsorted,
+    dead slots zero-width); ``segs`` the original domain breakpoints; ``tol``
+    the absolute tolerance the pool certifies against.  Sorts the pool by
+    left endpoint, merges true dyadic sibling pairs whose stored errors sum
+    far below their equidistributed tolerance share, drops zero-width dead
+    slots, and compacts survivors to the front.  Stale fine structure from a
+    previous parameter decays geometrically across a warm-started scan chain
+    instead of accumulating until the pool saturates its capacity (intervals
+    otherwise only ever split).  Only exact siblings merge (left child at an
+    even dyadic index within its original segment), so no merge chains can
+    conflict.  Returns ``(a2, b2, n2)``.
+    """
+    cap = a.shape[0]
+    dt = a.dtype
+    live = jnp.arange(cap) < n
+    order = jnp.argsort(jnp.where(live, a, jnp.inf))
+    a_s, b_s, e_s = a[order], b[order], e[order]
+    live_s = live[order]
+    w = b_s - a_s
+    L = segs[-1] - segs[0]
+    nseg = segs.shape[0] - 1
+    seg_id = jnp.clip(jnp.searchsorted(segs, a_s, side="right") - 1, 0, nseg - 1)
+    s0 = segs[seg_id]
+    # dyadic left-child test: (a - s0) / w is an EVEN integer (bisection
+    # midpoints are exact in binary floating point)
+    k = (a_s - s0) / jnp.where(w > 0, w, 1.0)
+    is_left = jnp.abs(k - jnp.round(k / 2) * 2) < 1e-6
+
+    def shift(x, fill):
+        return jnp.concatenate([x[1:], jnp.full((1,), fill, x.dtype)])
+
+    a_n = shift(a_s, 0)
+    b_n = shift(b_s, 0)
+    e_n = shift(e_s, 0)
+    w_n = b_n - a_n
+    live_n = shift(live_s, False)
+    seg_n = shift(seg_id, -1)
+    eps_w = 1e-9 * jnp.maximum(w, w_n)
+    siblings = (live_s & live_n & is_left & (w > 0)
+                & (jnp.abs(b_s - a_n) <= eps_w)
+                & (jnp.abs(w - w_n) <= eps_w)
+                & (seg_id == seg_n))
+    share = tol * (w + w_n) / jnp.maximum(L, jnp.finfo(dt).tiny)
+    merge = siblings & ((e_s + e_n) < merge_factor * share)
+    merged_right = jnp.concatenate([jnp.zeros((1,), bool), merge[:-1]])
+    keep = live_s & ~merged_right & (w > 0)  # zero-width dead slots drop
+    new_b = jnp.where(merge, b_n, b_s)
+    order2 = jnp.argsort(~keep, stable=True)  # kept slots first, order intact
+    live2 = keep[order2]
+    a2 = jnp.where(live2, a_s[order2], 0)
+    b2 = jnp.where(live2, new_b[order2], 0)
+    return a2, b2, jnp.sum(keep).astype(jnp.int32)
+
+
 def _gk_tolerances(dt, abstol, reltol):
     rtol_default = jnp.sqrt(jnp.finfo(dt).eps)
     if abstol is None and reltol is None:
@@ -164,9 +222,18 @@ def gk_adaptive(
     stats=False,
     noise_rfloor=0.0,
     stall_patience=0,
+    init_pool=None,
     _return_state=False,
 ):
     """Adaptive GK integration of ``batch_f`` over the segments ``segs``.
+
+    ``init_pool=(a, b, e, n)`` warm-starts the pool from a previous solve's
+    surviving partition (cap-length endpoint/error arrays, ``n`` live slots):
+    the seed is sibling-coarsened against its stored errors (``coarsen_pool``)
+    and re-evaluated in refinement-sized chunks before the standard loop
+    runs — each solve keeps its own certificate, only the STARTING partition
+    is inherited.  Passing the initial segments as the pool reproduces the
+    cold start exactly, so a warm scan chain needs no branching.
 
     ``noise_rfloor`` > 0 adds an L1-relative term to the convergence
     tolerance: ``tol = max(abstol, reltol*|I|, noise_rfloor*int|f|)``.  The
@@ -201,38 +268,82 @@ def gk_adaptive(
     atol, rtol = _gk_tolerances(dt, abstol, reltol)
     max_evals = _as_eval_budget(maxiters)
 
-    # initial evaluation of all starting segments
-    a0 = segs[:-1]
-    b0 = segs[1:]
-    val0, err0, l10, stat0 = gk_rule_eval(batch_f, p, a0, b0, xk, wk, wg, node_builder, stats)
+    if init_pool is not None:
+        # warm start: coarsen the inherited partition, then re-evaluate it at
+        # the CURRENT parameter in refinement-sized chunks (a dynamic
+        # trip-count while_loop — the device memory profile matches the
+        # refinement body, never the whole pool at once)
+        a_in, b_in, e_in, n_in = init_pool
+        a_c, b_c, n0 = coarsen_pool(jnp.asarray(a_in, dt), jnp.asarray(b_in, dt),
+                                    jnp.asarray(e_in), jnp.asarray(n_in),
+                                    segs, atol)
+        C = min(max(2 * nbisect, 2), cap)
+        probe = jax.eval_shape(
+            lambda: gk_rule_eval(batch_f, p, segs[:1], segs[1:2], xk, wk, wg,
+                                 node_builder, stats)[0])
+        pool_val = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((cap,) + s.shape[1:], s.dtype), probe)
+        pool_err = jnp.zeros((cap,), dt)
+        pool_l1 = jnp.zeros((cap,), dt)
 
-    def pad_leaf(v):
-        out = jnp.zeros((cap,) + v.shape[1:], v.dtype)
-        return out.at[:nseg].set(v)
+        def seed_cond(st):
+            return st[0] * C < n0
 
-    pool_val = jax.tree_util.tree_map(pad_leaf, val0)
-    pool_a = jnp.zeros((cap,), dt).at[:nseg].set(a0)
-    pool_b = jnp.zeros((cap,), dt).at[:nseg].set(b0)
-    pool_err = jnp.zeros((cap,), dt).at[:nseg].set(err0)
-    pool_l1 = jnp.zeros((cap,), dt).at[:nseg].set(l10)
-    # under shard_map the body writes integrand-derived (device-varying)
-    # endpoints into the pools, so the carry must START varying like the
-    # values do (outside shard_map this folds to a no-op) — same pattern as
-    # grid_sweep's fori carry
-    vary = jnp.real(err0[0]) * 0
-    pool_a = pool_a + vary
-    pool_b = pool_b + vary
-    n0 = jnp.asarray(nseg, jnp.int32)
-    evals0 = stat0.astype(max_evals.dtype)
+        def seed_body(st):
+            k, pv, pe, pl, ev = st
+            start = jnp.minimum(k * C, cap - C)
+            aa = jax.lax.dynamic_slice(a_c, (start,), (C,))
+            bb = jax.lax.dynamic_slice(b_c, (start,), (C,))
+            cval, cerr, cl1, cstat = gk_rule_eval(batch_f, p, aa, bb, xk, wk,
+                                                  wg, node_builder, stats)
+            idx = start + jnp.arange(C)
+            pv = jax.tree_util.tree_map(lambda x, c: x.at[idx].set(c), pv, cval)
+            return k + 1, pv, pe.at[idx].set(cerr), pl.at[idx].set(cl1), ev + cstat
+
+        _, pool_val, pool_err, pool_l1, evals0 = jax.lax.while_loop(
+            seed_cond, seed_body,
+            (jnp.asarray(0, n0.dtype), pool_val, pool_err, pool_l1,
+             jnp.zeros((), max_evals.dtype)))
+        pool_a, pool_b = a_c, b_c
+    else:
+        # initial evaluation of all starting segments
+        a0 = segs[:-1]
+        b0 = segs[1:]
+        val0, err0, l10, stat0 = gk_rule_eval(batch_f, p, a0, b0, xk, wk, wg, node_builder, stats)
+
+        def pad_leaf(v):
+            out = jnp.zeros((cap,) + v.shape[1:], v.dtype)
+            return out.at[:nseg].set(v)
+
+        pool_val = jax.tree_util.tree_map(pad_leaf, val0)
+        pool_a = jnp.zeros((cap,), dt).at[:nseg].set(a0)
+        pool_b = jnp.zeros((cap,), dt).at[:nseg].set(b0)
+        pool_err = jnp.zeros((cap,), dt).at[:nseg].set(err0)
+        pool_l1 = jnp.zeros((cap,), dt).at[:nseg].set(l10)
+        # under shard_map the body writes integrand-derived (device-varying)
+        # endpoints into the pools, so the carry must START varying like the
+        # values do (outside shard_map this folds to a no-op) — same pattern as
+        # grid_sweep's fori carry
+        vary = jnp.real(err0[0]) * 0
+        pool_a = pool_a + vary
+        pool_b = pool_b + vary
+        n0 = jnp.asarray(nseg, jnp.int32)
+        evals0 = stat0.astype(max_evals.dtype)
 
     def totals(pool_val, pool_err):
         tot_val = jax.tree_util.tree_map(lambda v: jnp.sum(v, axis=0), pool_val)
         tot_err = jnp.sum(pool_err)
         return tot_val, tot_err
 
+    # the floor may be a TRACED scalar (the auto-calibrated probe measures it
+    # from the integrand at solve time), so the on/off decision is static but
+    # the value need not be
+    use_floor = noise_rfloor is not None and (
+        isinstance(noise_rfloor, jax.Array) or bool(noise_rfloor))
+
     def tol_of(tot_val, pool_l1):
         tol = jnp.maximum(atol, rtol * norm(tot_val))
-        if noise_rfloor:
+        if use_floor:
             tol = jnp.maximum(tol, noise_rfloor * jnp.sum(pool_l1))
         return tol
 
@@ -326,6 +437,7 @@ def gk_adaptive_guided(
     stats=False,
     upgrade_chunk=None,
     stall_patience=6,
+    search_slack=1.0,
 ):
     """Low-precision-guided adaptive GK: search in f32, evaluate in split-f64.
 
@@ -374,9 +486,15 @@ def gk_adaptive_guided(
     max_evals = _as_eval_budget(maxiters)
 
     # ---- phase 1: f32-tier search (full pool machinery, floored reltol) ----
+    # search_slack > 1 stops the search at a looser tolerance than the final
+    # certificate: the search's only job is to FIND the partition, and the
+    # split-tier polish (phase 3) refines the remainder — trading cheap
+    # search-tier evals for a few expensive accurate-tier ones
+    s_atol = atol * search_slack
+    s_rtol = rtol * search_slack
     _, _, evals32, _, state32 = gk_adaptive(
         batch_f32, p32, segs, order=order, cap=cap, nbisect=nbisect,
-        abstol=abstol, reltol=rtol, noise_rfloor=guide_rfloor,
+        abstol=s_atol, reltol=s_rtol, noise_rfloor=guide_rfloor,
         stall_patience=stall_patience,
         maxiters=maxiters, node_builder=node_builder, norm=norm, stats=stats,
         _return_state=True,

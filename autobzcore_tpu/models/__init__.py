@@ -1,6 +1,7 @@
 from .berry import (BerryCurvatureSolver, BerryPack, berry_pack,
-                    lattice_chern, wilson_loop_spectrum, z2_invariant)
-from .lindhard import LindhardSolver, cooper_bubble
+                    certified_berry, lattice_chern, wilson_loop_spectrum,
+                    z2_invariant)
+from .lindhard import LindhardSolver, certified_chi0, cooper_bubble
 from .kpath import (KPath, band_structure, expectation_path, kpath,
                     spectral_path)
 from .selfenergy import (SigmaCallable, SigmaDOSSolver, SigmaInterpolant,
@@ -25,7 +26,7 @@ __all__ = [
     "CertifiedSweep", "SpectralPack", "TransportSolver",
     "certified_ladder", "certified_transport_sweep", "spectral_velocity_pack",
     "KPath", "band_structure", "expectation_path", "kpath", "spectral_path",
-    "LindhardSolver", "cooper_bubble",
+    "LindhardSolver", "certified_berry", "certified_chi0", "cooper_bubble",
     "SigmaCallable", "SigmaDOSSolver", "SigmaInterpolant",
     "SigmaKineticCoefficientSolver", "SigmaTransportSolver", "certified_sigma_dos", "dos_integrand_sigma",
     "dos_trace_sigma", "greens_trace_sigma", "transport_distribution_sigma",

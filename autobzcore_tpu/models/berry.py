@@ -632,3 +632,29 @@ class BerryCurvatureSolver:
             occ = fermi(x).astype(p.Om.dtype)
             gp = (jax.nn.softplus(-x) / beta).astype(p.Om.dtype)
         return self._cart_average(occ, p.Mm) + self._cart_average(gp, p.Om)
+
+
+def certified_berry(h, bz, what="chern", abstol=1e-3, reltol=0.0, nmin=24,
+                    nmax=480, factor=2**0.5, degtol=1e-8, **obs_kwargs):
+    """Richardson-certified Berry observable vs the k-grid: run
+    ``BerryCurvatureSolver(h, bz, npt).<what>(**obs_kwargs)`` on the
+    rate-fitted npt ladder until the whole returned array is grid-converged
+    (``models.observables.certified_ladder`` — the same certified-tolerance
+    contract the reference's AutoPTR gives scalar BZ integrals,
+    ``src/interfaces.jl:91-104``, extended to the topology family).
+
+    ``what``: any zero-argument-or-keyword observable of
+    :class:`BerryCurvatureSolver` — ``"chern"``, ``"ahc"``,
+    ``"anomalous_nernst"``, ``"berry_curvature_dipole"``,
+    ``"orbital_magnetization"``.  Returns a
+    :class:`~.observables.CertifiedSweep`; ``retcode=False`` (honest
+    truncation) when ``nmax`` is reached first.  On the Haldane anchor the
+    certified Chern numbers are integer-exact and the certificate bounds the
+    true npt->infinity error (tested)."""
+    from .observables import certified_ladder
+
+    def eval_at(npt):
+        slv = BerryCurvatureSolver(h, bz, int(npt), degtol=degtol)
+        return getattr(slv, what)(**obs_kwargs)
+
+    return certified_ladder(eval_at, abstol, reltol, nmin, nmax, factor)

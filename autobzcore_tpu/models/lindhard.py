@@ -150,3 +150,35 @@ def cooper_bubble(slv: LindhardSolver, q=None):
         return jnp.mean(val) * slv._vol
 
     return float(query(slv._e, jnp.asarray(shift)))
+
+
+def certified_chi0(h, bz, q, omegas, beta, mu=0.0, eta=1e-2, abstol=1e-3,
+                   reltol=0.0, nmin=24, nmax=480, factor=2**0.5):
+    """Richardson-certified Lindhard map vs the k-grid: run
+    ``LindhardSolver(h, bz, npt, beta, mu, eta)(q, omegas)`` on the
+    rate-fitted npt ladder until the whole chi0(q, omega) curve is
+    grid-converged (``models.observables.certified_ladder`` — the
+    certified-tolerance contract extended to response functions).
+
+    Every rung is rounded up to a multiple of q's denominator (inferred via
+    ``fractions.Fraction.limit_denominator``), so the q-snap is EXACT at
+    every rung and the certificate never conflates snapping error with grid
+    error.  Returns a :class:`~.observables.CertifiedSweep` whose ``u`` is
+    the complex (W,) chi0 curve; ``retcode=False`` on honest nmax
+    truncation."""
+    from fractions import Fraction
+    from math import lcm
+
+    from .observables import certified_ladder
+
+    q = np.atleast_1d(np.asarray(q, dtype=np.float64))
+    dens = [Fraction(float(qi)).limit_denominator(1000).denominator
+            for qi in q]
+    mult = lcm(*dens) if dens else 1
+
+    def eval_at(npt):
+        slv = LindhardSolver(h, bz, int(npt), beta, mu=mu, eta=eta)
+        return slv(q, omegas)
+
+    return certified_ladder(eval_at, abstol, reltol, nmin, nmax, factor,
+                            npt_multiple=mult)

@@ -219,18 +219,27 @@ class CertifiedSweep(NamedTuple):
 
 
 def certified_ladder(eval_at_npt, abstol=1e-3, reltol=0.0, nmin=20,
-                     nmax=400, factor=2**0.5):
+                     nmax=400, factor=2**0.5, npt_multiple=1):
     """Generic Richardson certification driver: call ``eval_at_npt(npt)``
     on a rate-fitted npt ladder (``dos/fullgrid.next_rung_npt`` — the
     policy that certifies the DOS north star with ~0.25x the geometric
     ladder's points) until the sup-norm change of the whole returned array
     between consecutive rungs meets the WEAKEST of ``abstol``/``reltol``
-    (reference tolerance semantics, ``src/interfaces.jl:91-104``)."""
+    (reference tolerance semantics, ``src/interfaces.jl:91-104``).
+
+    ``npt_multiple`` rounds every rung up to a multiple (solvers whose grid
+    must stay commensurate with an external wavevector, e.g. the Lindhard
+    q-snap)."""
     import numpy as np
 
     from ..dos.fullgrid import next_rung_npt
 
-    npts = [int(nmin)]
+    m = max(1, int(npt_multiple))
+
+    def up(x):
+        return -(-int(x) // m) * m
+
+    npts = [up(nmin)]
     deltas = []
     G_prev = None
     while True:
@@ -244,10 +253,12 @@ def certified_ladder(eval_at_npt, abstol=1e-3, reltol=0.0, nmin=20,
             if npts[-1] >= nmax:
                 return CertifiedSweep(G, delta, False, tuple(npts))
         G_prev = G
-        nxt = next_rung_npt(npts, deltas, max(float(abstol), 1e-300),
-                            float(factor), int(nmax))
+        nxt = up(next_rung_npt(npts, deltas, max(float(abstol), 1e-300),
+                               float(factor), int(nmax)))
         if nxt <= npts[-1]:
-            nxt = min(int(nmax), npts[-1] + 1)
+            # smallest legal step; may overshoot nmax by < m, in which case
+            # the next delta check reports retcode honestly
+            nxt = npts[-1] + m if m > 1 else min(int(nmax), npts[-1] + 1)
         npts.append(int(nxt))
 
 

@@ -458,14 +458,24 @@ class SweepSolver:
         if self._batched_warm is not None:
             # sequential chain: each chunk's final pool seeds the next, and
             # the pool persists across calls (refinement frontiers revisit
-            # nearby parameters)
+            # nearby parameters).  Solves run in SORTED parameter order so
+            # every seed comes from the nearest neighbor (hchebinterp
+            # frontiers jump across panels); results un-sort below.
             if self._pool is None:
                 self._pool = self._pool0
-            outs = []
+            perm = np.argsort(np.asarray(xp), kind="stable")
+            xp_s = xp[perm]
+            outs_s = []
             for i in range(0, npad, c):
                 o, self._pool = self._batched_warm(self._consts, self._pool,
-                                                   xp[i: i + c])
-                outs.append(o)
+                                                   xp_s[i: i + c])
+                outs_s.append(o)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(npad)
+            cat = jax.tree_util.tree_map(
+                lambda *vs: np.concatenate([np.asarray(v) for v in vs])[inv],
+                *outs_s)
+            outs = [cat]
         else:
             outs = [self._batched(self._consts, xp[i: i + c]) for i in range(0, npad, c)]
         us = np.concatenate([np.asarray(o[0]) for o in outs])[:n]

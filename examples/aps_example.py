@@ -40,7 +40,10 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
 
         # guided = c64 search / split-f64 certify with noise-floor detection:
         # 14.3 s/omega threaded at abstol 1e-5 vs split's 38.8 (BASELINE.md)
-        alg = IAI(precision="guided", inner_cap=96, host_outer=True)
+        # warm_start: each omega's host heap seeds from the previous omega's
+        # surviving partition (shared across the 4 pipeline threads)
+        alg = IAI(precision="guided", inner_cap=96, host_outer=True,
+                  warm_start=True)
         prob = IntegralProblem(integrand, bz)
         cache = integral_init(prob, alg, abstol=args.abstol)
         t0 = time.time()
@@ -65,8 +68,12 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
 
         alg = IAI(inner_cap=128)
         t0 = time.time()
+        # warm=True: the scan carries each omega's surviving outer partition
+        # into the next solve (sorted order), so adjacent omegas inherit the
+        # adaptive structure instead of re-discovering it (~2,700 times)
         frontier_fn = SweepSolver(IntegralProblem(integrand, bz), alg,
-                                  abstol=args.abstol, chunk=33, scan=True)
+                                  abstol=args.abstol, chunk=33, scan=True,
+                                  warm=True)
 
     dos_iai = hchebinterp(frontier_fn, 10.0, 15.0, atol=args.atol_interp)
     ws = np.arange(10, 15 + eta / 100, eta / 100)

@@ -413,3 +413,47 @@ def test_anomalous_nernst_mott_relation():
     mott = (np.pi**2 / (3 * beta)) * (Ip - Im_) / (2 * d)
     assert abs(N - mott) < 5e-3 * abs(mott)
     assert abs(float(np.asarray(slv.anomalous_nernst(mu=0.0, beta=beta))[0, 1])) < 1e-20
+
+
+def test_certified_berry_chern_haldane():
+    """certified_berry runs the rate-fitted npt ladder until the whole Chern
+    vector is grid-converged: the certified values are integer-exact on the
+    Haldane anchor and the certificate bounds the true npt->infinity error
+    (the exact values are known: +-1)."""
+    from autobzcore_tpu.models.berry import certified_berry
+
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    res = certified_berry(h, _fbz2(), what="chern", abstol=1e-4, nmin=18,
+                          nmax=240)
+    assert res.retcode
+    C = np.asarray(res.u)
+    exact = np.array([1.0, -1.0]) * np.sign(C[0])
+    # integer-exact to well inside the certificate
+    assert np.all(np.abs(C - exact) <= max(res.resid, 1e-4))
+    assert abs(abs(C[0]) - 1) < 1e-4 and abs(C[0] + C[1]) < 1e-9
+    assert len(res.npts) >= 2 and res.npts[-1] > res.npts[0]
+
+
+def test_certified_berry_honest_truncation():
+    """nmax reached before the tolerance: retcode=False with the last rung
+    delta as the certificate (no fake convergence)."""
+    from autobzcore_tpu.models.berry import certified_berry
+
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    res = certified_berry(h, _fbz2(), what="chern", abstol=1e-12, nmin=12,
+                          nmax=30)
+    assert not res.retcode
+    assert res.resid > 1e-12
+    assert res.npts[-1] >= 30
+
+
+def test_certified_berry_ahc_kwargs():
+    """Observable kwargs thread through (finite-temperature AHC)."""
+    from autobzcore_tpu.models.berry import certified_berry
+
+    h = tb_haldane(t1=1.0, t2=0.1, phi=np.pi / 2, M=0.0)
+    res = certified_berry(h, _fbz2(), what="ahc", abstol=1e-4, nmin=18,
+                          nmax=240, mu=0.0, beta=None)
+    assert res.retcode
+    I = np.asarray(res.u)
+    assert abs(abs(I[0, 1]) - 1 / (2 * np.pi)) < 2e-4

@@ -77,3 +77,34 @@ def test_cooper_bubble_logarithm():
     chi_q = cooper_bubble(LindhardSolver(tb_integer(2), bz, 384, 100.0, mu=mu),
                           q=[0.25, 0.0])
     assert chi_q < chi[100.0]
+
+
+def test_certified_chi0_converges_and_bounds_error():
+    """certified_chi0 certifies the whole chi0(q, omega) curve against the
+    k-grid; every rung is a multiple of q's denominator (exact snap) and the
+    certificate bounds the distance to a much finer grid."""
+    import jax.numpy as jnp
+    from autobzcore_tpu.models.lindhard import LindhardSolver, certified_chi0
+
+    h = tb_integer(2)
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    q = [0.25, 0.0]
+    oms = jnp.linspace(0.0, 2.0, 9)
+    res = certified_chi0(h, bz, q, oms, beta=8.0, eta=0.2, abstol=5e-4,
+                         nmin=16, nmax=256)
+    assert res.retcode
+    assert all(n % 4 == 0 for n in res.npts)  # exact q-snap at every rung
+    ref = LindhardSolver(h, bz, 512, beta=8.0, eta=0.2)(q, oms)
+    true_err = float(np.max(np.abs(np.asarray(res.u) - ref)))
+    assert true_err <= max(res.resid * 3, 5e-4)
+
+
+def test_certified_chi0_truncation():
+    from autobzcore_tpu.models.lindhard import certified_chi0
+    import jax.numpy as jnp
+
+    h = tb_integer(2)
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    res = certified_chi0(h, bz, [0.5, 0.0], jnp.asarray([0.5]), beta=50.0,
+                         eta=1e-3, abstol=1e-12, nmin=8, nmax=24)
+    assert not res.retcode

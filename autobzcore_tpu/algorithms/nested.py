@@ -306,14 +306,14 @@ class NestedQuad(IntegralAlgorithm):
             # pole-aware levels are host algorithms (data-dependent Newton
             # deflation): the whole nest runs on the host — the reference's
             # any-algorithm-per-dimension contract
-            # (``src/algorithms.jl:450-612``) for its irregular corner
-            if dom.ndim > 1 and any(
-                isinstance(a, (ContQuadGKJL, MeroQuadGKJL)) for a in algs[1:]
-            ):
-                raise ValueError(
-                    "ContQuadGKJL/MeroQuadGKJL are supported as the INNERMOST "
-                    "NestedQuad level (poles along the innermost variable)"
-                )
+            # (``src/algorithms.jl:450-612``).  Pole algorithms may sit at
+            # ANY level (r3 lifted the innermost-only restriction): a level
+            # above the innermost evaluates its inner nest at COMPLEX
+            # coordinates (the integrand must be analytic in that variable;
+            # inner limits fix at the real part, so pole levels above the
+            # innermost require limits independent of that variable —
+            # rectangle nests, the reference's own contract for dented
+            # contours).
             return {"pole_nest": algs}
 
         from ..fourier import FourierIntegrand
@@ -936,32 +936,51 @@ class NestedQuad(IntegralAlgorithm):
         return IntegralSolution(total, total_E, bool(converged), int(nev))
 
     def _pole_nest_solve(self, f, dom, p, algs, abstol, reltol, maxiters):
-        """Host-recursive nest with a pole-aware (ContQuadGK/MeroQuadGK)
-        innermost level — the reference's any-algorithm-per-dimension
-        ``NestedQuad`` contract (``src/algorithms.jl:450-612``) for the case
-        a k-nest wraps a pole-hunting frequency integral.  Pole detection is
-        data-dependent host work, so the whole nest runs on the host; the
-        per-level tolerance division matches the device nest
+        """Host-recursive nest with pole-aware (ContQuadGK/MeroQuadGK) levels
+        at ANY depth — the reference's any-algorithm-per-dimension
+        ``NestedQuad`` contract (``src/algorithms.jl:450-612``).  Pole
+        detection is data-dependent host work, so the whole nest runs on the
+        host; the per-level tolerance division matches the device nest
         (``atol / inner span``, ``src/algorithms.jl:545,557,567``).
 
-        The innermost integrand is evaluated at COMPLEX innermost coordinates
-        (dented contours / Newton polish), so the user integrand must accept
-        a complex first component — same analyticity requirement as the
-        reference's pole algorithms (``src/algorithms.jl:262-264``)."""
+        A pole level's variable is evaluated at COMPLEX coordinates (dented
+        contours / Newton polish), so the user integrand must be analytic in
+        that component — same requirement as the reference's pole algorithms
+        (``src/algorithms.jl:262-264``).  A pole level ABOVE the innermost
+        additionally requires the inner limits not to depend on its variable
+        (they fix at the real part): rectangle nests, the physically common
+        case of a pole-hunting frequency integral wrapped around (or inside)
+        a k-box."""
         import numpy as np
 
         from ..wrappers import unwrap_integrand
+        from .pole import ContQuadGKJL, MeroQuadGKJL, _quadgk_host
+
+        from .pole import _in_detection
 
         atol, rtol = effective_tolerances(abstol, reltol)
         g = unwrap_integrand(f)
         budget = np.inf if maxiters is None else int(maxiters)
         stats = {"nev": 0, "ok": True}
 
-        from .pole import _quadgk_host
+        def note_ok(conv):
+            # inner solves running under a pole level's DETECTION phase may
+            # legitimately land ON a pole (Newton polish of 1/f) and blow up;
+            # those probes feed root-finding, not the integral, so they are
+            # exempt from the nest's certificate
+            if not _in_detection():
+                stats["ok"] = stats["ok"] and bool(conv)
+
+        # ONE jitted batched-panel evaluation shared by every plain-innermost
+        # solve in the nest (per-point host dispatch of a jitted integrand
+        # was measured to dominate outer-pole nests); traced once per
+        # (K, d) complex shape
+        gj = jax.jit(lambda pts, pp: g(pts, pp))
 
         def level(lims, coords, atol_l):
             d_rem = lims.ndim
             alg = algs[d_rem - 1]
+            pole_here = isinstance(alg, (ContQuadGKJL, MeroQuadGKJL))
             segs = np.asarray(lims.outer_segments())
             if d_rem == 1:
                 fixed = [complex(c) for c in reversed(coords)]
@@ -969,12 +988,65 @@ class NestedQuad(IntegralAlgorithm):
                 def sub_f(x, pp):
                     return g(jnp.asarray(np.array([x] + fixed)), pp)
 
-                cv = alg.init_cacheval(sub_f, segs, p)
-                rem = None if budget == np.inf else max(1, int(budget - stats["nev"]))
-                sol = alg.do_solve(sub_f, segs.real.astype(float), p, cv,
-                                   abstol=atol_l, reltol=rtol, maxiters=rem)
-                stats["nev"] += sol.numevals
-                stats["ok"] = stats["ok"] and bool(sol.retcode)
+                if pole_here:
+                    cv = alg.init_cacheval(sub_f, segs, p)
+                    rem = None if budget == np.inf else max(1, int(budget - stats["nev"]))
+                    sol = alg.do_solve(sub_f, segs.real.astype(float), p, cv,
+                                       abstol=atol_l, reltol=rtol, maxiters=rem)
+                    stats["nev"] += sol.numevals
+                    note_ok(sol.retcode)
+                    return complex(np.complex128(sol.u)), float(sol.resid)
+                # plain innermost level under an outer pole level: host GK
+                # with whole-panel batched integrand calls (outer coords may
+                # already be complex; the 1D variable is real-valued but
+                # complex-typed so the point array is uniform)
+                fixed_arr = np.asarray(fixed, dtype=complex)
+
+                def batch_f(xs, pp):
+                    xs = np.asarray(xs, dtype=complex)
+                    pts = np.concatenate(
+                        [xs[:, None],
+                         np.broadcast_to(fixed_arr, (xs.size, fixed_arr.size))],
+                        axis=1)
+                    vals = np.asarray(gj(jnp.asarray(pts), pp))
+                    stats["nev"] += int(xs.size)
+                    return vals
+
+                # detection probes may sit ON a pole of an enclosing level,
+                # where the integrand magnitude explodes (measured 1e16) and
+                # an ABSOLUTE tolerance can never be met — root-finding only
+                # needs a few relative digits of 1/f, so detection-phase
+                # solves run at relative accuracy with a small panel budget
+                detect = _in_detection()
+                I, E, _, conv = _quadgk_host(
+                    None, p, segs.real.astype(float), atol_l,
+                    max(float(rtol), 1e-6) if detect else rtol,
+                    order=getattr(alg, "order", 7),
+                    max_segs=64 if detect else 10**4, batch_f=batch_f,
+                    should_stop=(None if budget == np.inf
+                                 else (lambda: stats["nev"] >= budget)),
+                )
+                note_ok(conv)
+                return complex(I), float(E)
+
+            if pole_here:
+                # pole-aware middle/outer level: ITS 1D integrand is the
+                # whole inner nest, evaluated at a complex coordinate; inner
+                # limits fix at the real part (see docstring contract)
+                def sub_nest(x, pp):
+                    lims2 = lims.fix(float(np.real(x)))
+                    segs2 = np.asarray(lims2.outer_segments(), dtype=float)
+                    len2 = max(float(segs2[-1] - segs2[0]), 1e-300)
+                    val, _ = level(lims2, coords + (complex(x),), atol_l / len2)
+                    return val
+
+                cv = alg.init_cacheval(sub_nest, segs.real.astype(float), p)
+                # outer numevals would double-count: every sub_nest call's
+                # true integrand evals are already accumulated by the inner
+                # recursion, so only retcode/resid flow up from the solve
+                sol = alg.do_solve(sub_nest, segs.real.astype(float), p, cv,
+                                   abstol=atol_l, reltol=rtol, maxiters=None)
+                note_ok(sol.retcode)
                 return complex(np.complex128(sol.u)), float(sol.resid)
 
             def f_outer(x, pp):
@@ -984,16 +1056,19 @@ class NestedQuad(IntegralAlgorithm):
                 val, _ = level(lims2, coords + (float(np.real(x)),), atol_l / len2)
                 return val
 
+            detect = _in_detection()  # see the innermost branch
             I, E, _, conv = _quadgk_host(
-                f_outer, p, segs.astype(float), atol_l, rtol,
+                f_outer, p, segs.real.astype(float), atol_l,
+                max(float(rtol), 1e-6) if detect else rtol,
                 order=getattr(alg, "order", 7),
+                max_segs=64 if detect else 10**4,
                 # the maxiters budget counts INNER integrand evals (stats),
                 # which this level's own nev cannot see — stop outer heap
                 # refinement once the nest's total is spent
                 should_stop=(None if budget == np.inf
                              else (lambda: stats["nev"] >= budget)),
             )
-            stats["ok"] = stats["ok"] and conv
+            note_ok(conv)
             return I, E
 
         val, err = level(dom, (), atol)

@@ -81,20 +81,27 @@ class _CountedF:
 
 
 def _quadgk_host(f, p, segs, atol, rtol, order=7, max_segs=10**4, max_evals=np.inf,
-                 should_stop=None):
+                 should_stop=None, batch_f=None):
     """Heap-based adaptive GK over (possibly complex) segment endpoints.
 
     Returns (integral, error, nevals, converged); refinement stops at
     ``max_evals`` (the ``maxiters`` budget, reference ``src/interfaces.jl:64-69``)
     or when ``should_stop()`` returns True (used by nested drivers whose
     budget counts INNER integrand evals, invisible to this level's ``nev``).
+
+    ``batch_f(xs, p) -> (K,) values`` evaluates a whole panel's nodes in one
+    call — used by the pole nest's plain-innermost levels, where per-point
+    host dispatch of a jitted integrand dominates the solve.
     """
     xk, wk, wg = kronrod(order)
 
     def rule(a, b):
         mid = (a + b) / 2
         half = (b - a) / 2
-        fs = np.array([f(mid + half * xi, p) for xi in xk])
+        if batch_f is not None:
+            fs = np.asarray(batch_f(mid + half * xk, p))
+        else:
+            fs = np.array([f(mid + half * xi, p) for xi in xk])
         I = half * np.sum(wk * fs)
         Ig = half * np.sum(wg * fs)
         return I, abs(I - Ig)
@@ -124,6 +131,31 @@ def _quadgk_host(f, p, segs, atol, rtol, order=7, max_segs=10**4, max_evals=np.i
         heapq.heappush(heap, (-E2, count * 2 + 1, m, b, I2))
     converged = total_E <= max(atol, rtol * abs(total_I))
     return total_I, total_E, nev, converged
+
+
+import contextlib
+import threading
+
+_detect_state = threading.local()
+
+
+def _in_detection():
+    """True while a pole algorithm is LOCATING poles (Chebyshev fit + Newton
+    polish of 1/f) rather than integrating.  Nested drivers consult this:
+    detection probes may legitimately land ON a pole, where an inner nest
+    solve blows up or nans — that must not poison the nest's certificate
+    (the probe only feeds 1/f root-finding, not the integral)."""
+    return getattr(_detect_state, "flag", False)
+
+
+@contextlib.contextmanager
+def _detection():
+    prev = getattr(_detect_state, "flag", False)
+    _detect_state.flag = True
+    try:
+        yield
+    finally:
+        _detect_state.flag = prev
 
 
 def _find_poles(f, p, a, b, rho, rootmeth=None, nfit=32):
@@ -263,7 +295,8 @@ class ContQuadGKJL(IntegralAlgorithm):
         ok = True
         for i in range(len(segs) - 1):
             a, b = segs[i], segs[i + 1]
-            poles = _find_poles(fh, p, a, b, self.rho, self.rootmeth)
+            with _detection():
+                poles = _find_poles(fh, p, a, b, self.rho, self.rootmeth)
             path = _dented_path(a, b, poles)
             I, E, _, conv = _quadgk_host(fh, p, path, atol / max(len(segs) - 1, 1), rtol,
                                          self.order, max_evals=budget - fh.n)
@@ -296,8 +329,11 @@ class MeroQuadGKJL(IntegralAlgorithm):
         ok = True
         for i in range(len(segs) - 1):
             a, b = segs[i], segs[i + 1]
-            poles = [(z, r) for z, r in _find_poles(fh, p, a, b, self.rho, self.rootmeth)
-                     if z.imag != 0]
+            with _detection():
+                poles = [(z, r)
+                         for z, r in _find_poles(fh, p, a, b, self.rho,
+                                                 self.rootmeth)
+                         if z.imag != 0]
 
             def smooth(x, p, _poles=poles):
                 val = fh(x, p)

@@ -70,17 +70,22 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
         t0 = time.time()
         # warm=True: the scan carries each omega's surviving outer partition
         # into the next solve (sorted order), so adjacent omegas inherit the
-        # adaptive structure instead of re-discovering it (~2,700 times)
+        # adaptive structure instead of re-discovering it (~2,700 times);
+        # --cold-iai disables it for A/B eval-count comparisons
         frontier_fn = SweepSolver(IntegralProblem(integrand, bz), alg,
                                   abstol=args.abstol, chunk=33, scan=True,
-                                  warm=True)
+                                  warm=not args.cold_iai)
 
     dos_iai = hchebinterp(frontier_fn, 10.0, 15.0, atol=args.atol_interp)
     ws = np.arange(10, 15 + eta / 100, eta / 100)
     out["dos_iai"] = dos_iai(ws)
     out["t_iai"] = time.time() - t0
     tier = "split-f64" if split else "complex"
-    print(f"IAI interpolant ({tier}): {out['t_iai']:.2f}s", file=sys.stderr)
+    ne = getattr(frontier_fn, "numevals", None)
+    per = (f", {ne:.3g} integrand evals over {dos_iai.numevals} omegas "
+           f"({ne / max(dos_iai.numevals, 1):.3g}/omega)"
+           if isinstance(ne, (int, float)) and ne else "")
+    print(f"IAI interpolant ({tier}): {out['t_iai']:.2f}s{per}", file=sys.stderr)
 
 
 def main(argv=None):
@@ -92,6 +97,8 @@ def main(argv=None):
     p.add_argument("--atol-interp", type=float, default=1e-2)
     p.add_argument("--abstol", type=float, default=1e-3)
     p.add_argument("--with-iai", action="store_true", help="also run the IAI solver")
+    p.add_argument("--cold-iai", action="store_true",
+                   help="disable the cross-omega warm start (A/B comparisons)")
     p.add_argument("--with-ltm", action="store_true",
                    help="also compute the sharp (eta->0) DOS by the linear tetrahedron method")
     p.add_argument("--with-fullgrid", action="store_true",

@@ -148,29 +148,48 @@ def _coarsen_partition(part, breakpoints, tol):
     VALID (any contiguous cover is a legal starting heap — refinement
     re-splits anything merged too eagerly); the error test is only about
     efficiency.  Pairs straddling an original domain breakpoint (puncture /
-    symmetry boundary) never merge."""
+    symmetry boundary) never merge.
+
+    Like the device twin (``ops.adaptive.coarsen_pool``), a second
+    cap-pressure trigger merges the CHEAPEST sibling pairs until the seed
+    fits ``2x`` the load-bearing interval count: error estimates floor at
+    eval noise far above ``1e-3 * share`` on hard integrands, so the
+    absolute trigger alone would let the seed grow monotonically."""
     import numpy as np
 
     a, b, E = part[:, 0], part[:, 1], part[:, 2]
     L = float(b[-1] - a[0])
     inner_bks = np.asarray(breakpoints)[1:-1]
+    n = len(part)
+    # mergeable pairs and their costs (one pass; dyadic siblings are
+    # disjoint so greedy merging cannot chain)
+    pair_ok = np.zeros(n, bool)
+    for i in range(n - 1):
+        w_parent = b[i + 1] - a[i]
+        widths_match = abs((b[i] - a[i]) - (b[i + 1] - a[i + 1])) <= 1e-9 * w_parent
+        on_bk = inner_bks.size and bool(
+            np.any(np.abs(inner_bks - b[i]) <= 1e-12 * max(L, 1.0)))
+        contiguous = abs(b[i] - a[i + 1]) <= 1e-9 * max(w_parent, 1e-300)
+        pair_ok[i] = widths_match and contiguous and not on_bk
+    cost = np.full(n, np.inf)
+    cost[:-1][pair_ok[:-1]] = (E[:-1] + E[1:])[pair_ok[:-1]]
+    share = tol * (b - a + np.roll(b - a, -1)) / max(L, 1e-300)
+    load = int(np.sum(E > 0.1 * tol * (b - a) / max(L, 1e-300)))
+    target = max(2 * load, len(breakpoints), 8)
+    need = max(n - target, 0)
+    thr = -np.inf
+    finite = np.sort(cost[np.isfinite(cost)])
+    if need > 0 and finite.size:
+        thr = finite[min(need - 1, finite.size - 1)]
     out = []
-    i, n = 0, len(part)
+    i = 0
     while i < n:
-        if i + 1 < n:
-            w_parent = b[i + 1] - a[i]
-            share = tol * w_parent / L
-            widths_match = abs((b[i] - a[i]) - (b[i + 1] - a[i + 1])) <= 1e-9 * w_parent
-            # merged-parent error grows by orders of magnitude over the
-            # children's sum (GK error ~ width^(2k+1)), so only merge when
-            # the children are FAR below their share
-            cheap = (E[i] + E[i + 1]) < 1e-3 * share
-            on_bk = inner_bks.size and bool(
-                np.any(np.abs(inner_bks - b[i]) <= 1e-12 * max(L, 1.0)))
-            if widths_match and cheap and not on_bk:
-                out.append((float(a[i]), float(b[i + 1])))
-                i += 2
-                continue
+        if i + 1 < n and pair_ok[i] and (
+            cost[i] < 1e-3 * share[i] or cost[i] <= thr
+        ):
+            out.append((float(a[i]), float(b[i + 1])))
+            i += 2
+            continue
         out.append((float(a[i]), float(b[i])))
         i += 1
     return out
@@ -196,7 +215,7 @@ class NestedQuad(IntegralAlgorithm):
     def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False,
                  host_outer=False, host_nbisect=None, checkpoint=None,
                  leaf_nbisect=None, guide_rfloor="auto", guide_patience=6,
-                 guide_slack=1.0, warm_start=False):
+                 guide_slack=1.0, warm_start=False, warm_width=None):
         self.algs = algs
         # host-outer panel width: guided panels dispatch BOTH tiers per
         # refinement step, and a 120-node guided panel reliably crashes the
@@ -254,6 +273,10 @@ class NestedQuad(IntegralAlgorithm):
         # (VERDICT r3 weak #3: the flagship IAI leg re-discovered its
         # partition ~2,700 times).
         self.warm_start = bool(warm_start)
+        # warm-start seed batch width (on-device scans): seed evaluations
+        # have no sequential dependency, so a wide batch collapses the
+        # seeding phase to ~one device iteration (ops/adaptive seed_width)
+        self.warm_width = warm_width
         # checkpoint: path template for host-outer heap persistence; a killed
         # tight-tolerance solve resumes instead of restarting (the adaptive
         # analogue of northstar's per-rung block checkpointing).  The solve's
@@ -384,7 +407,8 @@ class NestedQuad(IntegralAlgorithm):
                     maxiters=maxiters, norm=alg.norm,
                     stats=inner_stats, noise_rfloor=noise_rfloor,
                     stall_patience=stall_patience,
-                    init_pool=init_pool, _return_state=return_state,
+                    init_pool=init_pool, seed_width=self.warm_width,
+                    _return_state=return_state,
                 )
             raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")
 

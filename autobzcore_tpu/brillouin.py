@@ -408,7 +408,7 @@ class IAI(AutoBZAlgorithm):
     def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex",
                  host_outer=False, host_nbisect=None, checkpoint=None,
                  leaf_nbisect=None, guide_rfloor="auto", guide_patience=6,
-                 guide_slack=1.0, warm_start=False):
+                 guide_slack=1.0, warm_start=False, warm_width=None):
         # default to pure worst-first refinement (nbisect=1, the reference's
         # heap semantics): in a nest every extra outer panel multiplies into
         # full inner solves — nbisect=4 measured 13.7M evals / 915 ms per
@@ -470,6 +470,8 @@ class IAI(AutoBZAlgorithm):
         # solve keeps its own refinement and certificate
         # (NestedQuad.warm_start)
         self.warm_start = warm_start
+        # seed batch width for warm on-device scans (NestedQuad.warm_width)
+        self.warm_width = warm_width
         # innermost-level batch width (see NestedQuad.leaf_nbisect): leaf
         # evals don't multiply into deeper solves, so wider batches there
         # trade a little eval waste for fewer while-loop iterations
@@ -486,7 +488,8 @@ class IAI(AutoBZAlgorithm):
                                        guide_rfloor=self.guide_rfloor,
                                        guide_patience=self.guide_patience,
                                        guide_slack=self.guide_slack,
-                                       warm_start=self.warm_start)
+                                       warm_start=self.warm_start,
+                                       warm_width=self.warm_width)
 
 
 class PTR(AutoBZAlgorithm):

@@ -140,21 +140,33 @@ def gk_rule_eval(batch_f, p, aa, bb, xk, wk, wg, node_builder, stats=False):
     return valk, err, l1, stat_sum
 
 
-def coarsen_pool(a, b, e, n, segs, tol, merge_factor=1e-3):
+def coarsen_pool(a, b, e, n, segs, tol, merge_factor=1e-3, target_mult=2.0):
     """Error-guided sibling coarsening of a warm-start interval pool — the
     on-device twin of ``nested._coarsen_partition`` (fixed shapes, no host).
 
     ``(a, b, e)`` are cap-length pool arrays with ``n`` live slots (unsorted,
     dead slots zero-width); ``segs`` the original domain breakpoints; ``tol``
     the absolute tolerance the pool certifies against.  Sorts the pool by
-    left endpoint, merges true dyadic sibling pairs whose stored errors sum
-    far below their equidistributed tolerance share, drops zero-width dead
-    slots, and compacts survivors to the front.  Stale fine structure from a
-    previous parameter decays geometrically across a warm-started scan chain
-    instead of accumulating until the pool saturates its capacity (intervals
-    otherwise only ever split).  Only exact siblings merge (left child at an
-    even dyadic index within its original segment), so no merge chains can
-    conflict.  Returns ``(a2, b2, n2)``.
+    left endpoint, drops zero-width dead slots, merges true dyadic sibling
+    pairs, and compacts survivors to the front.  Two merge triggers:
+
+    - **absolute**: pairs whose stored errors sum below ``merge_factor`` of
+      their equidistributed tolerance share are always stale — merge.
+    - **cap pressure**: error estimates can FLOOR at eval noise far above
+      ``merge_factor * share`` (c64 Green's functions), so the absolute
+      trigger alone never fires and the pool would grow monotonically until
+      it saturates its capacity (measured on the SrVO3 omega sweep: warm
+      seeds grew PAST the cold eval count).  Estimate the load-bearing
+      interval count (errors above a tenth of their share), set a size
+      target of ``target_mult`` times it, and merge the CHEAPEST sibling
+      pairs until the pool fits — stale structure drops by construction,
+      bounded pools regardless of noise floors.
+
+    Merging is always valid (any contiguous cover is a legal starting heap;
+    refinement re-splits anything merged too eagerly at the cost of one
+    extra panel).  Only exact siblings merge (left child at an even dyadic
+    index within its original segment), so no merge chains can conflict.
+    Returns ``(a2, b2, n2)``.
     """
     cap = a.shape[0]
     dt = a.dtype
@@ -163,6 +175,7 @@ def coarsen_pool(a, b, e, n, segs, tol, merge_factor=1e-3):
     a_s, b_s, e_s = a[order], b[order], e[order]
     live_s = live[order]
     w = b_s - a_s
+    live_s = live_s & (w > 0)  # zero-width dead slots drop
     L = segs[-1] - segs[0]
     nseg = segs.shape[0] - 1
     seg_id = jnp.clip(jnp.searchsorted(segs, a_s, side="right") - 1, 0, nseg - 1)
@@ -186,10 +199,24 @@ def coarsen_pool(a, b, e, n, segs, tol, merge_factor=1e-3):
                 & (jnp.abs(b_s - a_n) <= eps_w)
                 & (jnp.abs(w - w_n) <= eps_w)
                 & (seg_id == seg_n))
-    share = tol * (w + w_n) / jnp.maximum(L, jnp.finfo(dt).tiny)
-    merge = siblings & ((e_s + e_n) < merge_factor * share)
+    Lsafe = jnp.maximum(L, jnp.finfo(dt).tiny)
+    share = tol * (w + w_n) / Lsafe
+    cost = e_s + e_n
+    merge_abs = siblings & (cost < merge_factor * share)
+    # cap-pressure trigger: cheapest sibling pairs merge until the pool fits
+    # target_mult x the load-bearing count
+    n_live = jnp.sum(live_s)
+    load = jnp.sum(live_s & (e_s > 0.1 * tol * w / Lsafe))
+    target = jnp.maximum(jnp.maximum((target_mult * load).astype(n_live.dtype),
+                                     jnp.asarray(nseg + 1, n_live.dtype)),
+                         jnp.asarray(8, n_live.dtype))
+    need = jnp.clip(n_live - target, 0, cap)
+    csort = jnp.sort(jnp.where(siblings, cost, jnp.inf))
+    kth = csort[jnp.clip(need - 1, 0, cap - 1)]
+    merge_cap = siblings & (need > 0) & (cost <= kth) & jnp.isfinite(kth)
+    merge = merge_abs | merge_cap
     merged_right = jnp.concatenate([jnp.zeros((1,), bool), merge[:-1]])
-    keep = live_s & ~merged_right & (w > 0)  # zero-width dead slots drop
+    keep = live_s & ~merged_right
     new_b = jnp.where(merge, b_n, b_s)
     order2 = jnp.argsort(~keep, stable=True)  # kept slots first, order intact
     live2 = keep[order2]
@@ -223,6 +250,7 @@ def gk_adaptive(
     noise_rfloor=0.0,
     stall_patience=0,
     init_pool=None,
+    seed_width=None,
     _return_state=False,
 ):
     """Adaptive GK integration of ``batch_f`` over the segments ``segs``.
@@ -277,7 +305,11 @@ def gk_adaptive(
         a_c, b_c, n0 = coarsen_pool(jnp.asarray(a_in, dt), jnp.asarray(b_in, dt),
                                     jnp.asarray(e_in), jnp.asarray(n_in),
                                     segs, atol)
-        C = min(max(2 * nbisect, 2), cap)
+        # seed evaluations have NO sequential dependency (unlike refinement,
+        # where each step's top_k depends on the last) — a wide seed_width
+        # collapses the seeding phase to ~one device iteration, bounded only
+        # by the live memory of seed_width*npts inner solves
+        C = min(max(seed_width or 2 * nbisect, 2 * nbisect, 2), cap)
         probe = jax.eval_shape(
             lambda: gk_rule_eval(batch_f, p, segs[:1], segs[1:2], xk, wk, wg,
                                  node_builder, stats)[0])

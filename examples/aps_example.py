@@ -66,7 +66,9 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
         # per-omega-dispatch flow measured 912-950 s).
         from autobzcore_tpu.parallel.sweep import SweepSolver
 
-        alg = IAI(inner_cap=128)
+        # warm_width=8: seed evaluations have no sequential dependency, so a
+        # wider seed batch collapses the warm-start phase's iteration count
+        alg = IAI(inner_cap=128, warm_width=8)
         t0 = time.time()
         # warm=True: the scan carries each omega's surviving outer partition
         # into the next solve (sorted order), so adjacent omegas inherit the

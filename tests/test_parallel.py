@@ -437,3 +437,59 @@ def test_sweep_autoptr_per_lane_certificates():
         assert bool(convs[i]) == bool(ref.retcode)
         assert int(nes[i]) == int(ref.numevals)
         assert float(us[i]) == pytest.approx(float(ref.u), abs=1e-10)
+
+
+def test_coarsen_pool_cap_pressure():
+    """Device pool coarsening: the absolute trigger merges genuinely stale
+    sibling pairs, and the cap-pressure trigger bounds the pool when error
+    estimates floor at eval noise (all pairs equally 'expensive')."""
+    import jax.numpy as jnp
+    from autobzcore_tpu.ops.adaptive import coarsen_pool
+
+    segs = jnp.asarray([0.0, 1.0])
+    # 32 equal noise-floored intervals, none below 1e-3 x share
+    n = 32
+    edges = np.linspace(0.0, 1.0, n + 1)
+    cap = 64
+    a = jnp.zeros(cap).at[:n].set(edges[:-1])
+    b = jnp.zeros(cap).at[:n].set(edges[1:])
+    e = jnp.zeros(cap).at[:n].set(1e-8)  # ~ noise floor, above 1e-3*share
+    a2, b2, n2 = coarsen_pool(a, b, e, jnp.int32(n), segs, jnp.float64(1e-6))
+    # load-bearing count ~0 (e << 0.1 * tol * w / L is false? tol*w/L ~ 3e-8;
+    # 1e-8 > 3e-9 -> load = 32)... the absolute trigger stays off; with all
+    # intervals load-bearing nothing merges
+    assert int(n2) == n
+    # now mark all but 4 as quiet: cap pressure shrinks toward 2x load
+    e = jnp.zeros(cap).at[:n].set(1e-12).at[:4].set(1e-7)
+    a2, b2, n2 = coarsen_pool(a, b, e, jnp.int32(n), segs, jnp.float64(1e-6))
+    assert int(n2) < n  # cheapest sibling pairs merged
+    # coverage is preserved: sorted intervals tile [0, 1]
+    aa = np.asarray(a2[:int(n2)])
+    bb = np.asarray(b2[:int(n2)])
+    order = np.argsort(aa)
+    assert aa[order][0] == 0.0 and bb[order][-1] == 1.0
+    assert np.allclose(bb[order][:-1], aa[order][1:])
+
+
+def test_warm_scan_pool_stays_bounded():
+    """A warm scan across a moving spectral feature keeps its carried pool
+    far below capacity (stale structure decays instead of accumulating)
+    while matching the cold scan's values."""
+    import jax.numpy as jnp
+    from autobzcore_tpu import FBZ, IAI, FourierIntegrand, IntegralProblem, load_bz
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import greens_function_trace
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    fi = FourierIntegrand(greens_function_trace, tb_integer(2), eta=0.1)
+    prob = IntegralProblem(fi, bz)
+    oms = jnp.linspace(-3.0, 3.0, 12)
+    warm = SweepSolver(prob, IAI(), abstol=1e-4, chunk=6, scan=True, warm=True)
+    uw = warm(oms)
+    assert warm.retcode
+    cap = warm._pool[0].shape[0]
+    assert int(warm._pool[3]) < cap // 4
+    cold = SweepSolver(prob, IAI(), abstol=1e-4, chunk=6, scan=True)
+    uc = cold(oms)
+    assert np.max(np.abs(np.asarray(uw) - np.asarray(uc))) < 1e-5  # both certified at 1e-4

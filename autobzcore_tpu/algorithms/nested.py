@@ -195,6 +195,53 @@ def _coarsen_partition(part, breakpoints, tol):
     return out
 
 
+def _mid_seed_pool(mid_seed, segs2):
+    """Denormalize a carried inner-level partition onto the CURRENT inner
+    domain (warm-start seed for the level below the outermost).
+
+    ``mid_seed = (ta, tb, te, tn)`` stores the partition in normalized
+    coordinates ``t in [0, 1]`` because the inner domain moves with the outer
+    variable (polyhedral IBZ limits: the ky range depends on kz) — an affine
+    remap preserves exact tiling of ``[lo, hi]`` whatever the previous
+    domain was, which is all a seed needs for a valid certificate (feature
+    POSITIONS are approximate; each solve refines to its own tolerance).
+    ``tn == 0`` is the cold sentinel: the current breakpoints seed instead
+    (identical to the cold start, so the first solve needs no branch)."""
+    ta, tb, te, tn = mid_seed
+    dt = segs2.dtype
+    lo, hi = segs2[0], segs2[-1]
+    length = jnp.maximum(hi - lo, jnp.finfo(dt).tiny)
+    capm = ta.shape[0]
+    nseg2 = segs2.shape[0] - 1  # static
+    a_cold = jnp.zeros((capm,), dt).at[:nseg2].set(segs2[:-1])
+    b_cold = jnp.zeros((capm,), dt).at[:nseg2].set(segs2[1:])
+    e_cold = jnp.full((capm,), jnp.inf, dt)  # inf = never merged by coarsen
+    warm = tn > 0
+    A = jnp.where(warm, lo + ta.astype(dt) * length, a_cold)
+    B = jnp.where(warm, lo + tb.astype(dt) * length, b_cold)
+    E = jnp.where(warm, te.astype(dt), e_cold)
+    N = jnp.where(warm, tn, jnp.asarray(nseg2, tn.dtype))
+    # rows beyond the live count hold normalization junk; zero-width them so
+    # the rule evaluation's dead-slot mask drops them (the seed path skips
+    # the coarsening that used to scrub these)
+    live = jnp.arange(capm) < N
+    A = jnp.where(live, A, 0)
+    B = jnp.where(live, B, 0)
+    E = jnp.where(live, E, 0)
+    return A, B, E, N
+
+
+def _mid_seed_norm(state, segs2):
+    """Normalize an inner solve's final pool state for carrying
+    (inverse of :func:`_mid_seed_pool`; junk beyond ``n`` live slots is
+    masked by the pool's own live test on the next use)."""
+    dt = segs2.dtype
+    lo, hi = segs2[0], segs2[-1]
+    length = jnp.maximum(hi - lo, jnp.finfo(dt).tiny)
+    return ((state[0] - lo) / length, (state[1] - lo) / length,
+            state[3], state[5])
+
+
 class PlainCarrier:
     """Nest carrier for ordinary integrands: no per-level state."""
 
@@ -363,7 +410,8 @@ class NestedQuad(IntegralAlgorithm):
 
         def solve_level(lims, carrier, coords, p, atol, rtol, maxiters,
                         noise_rfloor=0.0, stall_patience=0,
-                        init_pool=None, return_state=False):
+                        init_pool=None, return_state=False, mid_seed=None,
+                        coarsen_seed=None):
             d_rem = lims.ndim
             alg = algs[d_rem - 1]
             segs = lims.outer_segments()
@@ -382,9 +430,15 @@ class NestedQuad(IntegralAlgorithm):
                         segs2 = lims2.outer_segments()
                         len2 = segs2[-1] - segs2[0]
                         inner_atol = atol / jnp.maximum(len2, jnp.finfo(segs2.dtype).tiny)
+                        # mid_seed: warm-start the next level's pool from the
+                        # carried NORMALIZED partition (see _mid_seed_pool) —
+                        # consumed here, not propagated deeper
+                        ip = (None if mid_seed is None
+                              else _mid_seed_pool(mid_seed, segs2))
                         val, _, ne, _ = solve_level(
                             lims2, car2, coords + (x,), pp, inner_atol, rtol,
-                            maxiters, noise_rfloor, stall_patience
+                            maxiters, noise_rfloor, stall_patience,
+                            init_pool=ip,
                         )
                         return val, ne
 
@@ -407,7 +461,20 @@ class NestedQuad(IntegralAlgorithm):
                     maxiters=maxiters, norm=alg.norm,
                     stats=inner_stats, noise_rfloor=noise_rfloor,
                     stall_patience=stall_patience,
-                    init_pool=init_pool, seed_width=self.warm_width,
+                    # the wide warm seed batch is an OUTERMOST knob: inner
+                    # warm seeds run vmapped across every enclosing panel
+                    # node already, so width multiplies live memory instead
+                    # of saving iterations (the chains lesson, BASELINE.md)
+                    init_pool=init_pool,
+                    seed_width=(self.warm_width if d_rem == dom.ndim
+                                else None),
+                    # inner mid-seed pools arrive equilibrated (compact,
+                    # dead-masked by _mid_seed_pool); only the outermost
+                    # carried pool — and the harvest refresh, the mid
+                    # carry's decay point — need the cross-parameter
+                    # coarsening
+                    seed_coarsen=(d_rem == dom.ndim if coarsen_seed is None
+                                  else coarsen_seed),
                     _return_state=return_state,
                 )
             raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")
@@ -517,16 +584,67 @@ class NestedQuad(IntegralAlgorithm):
             # (SweepSolver(warm=True)): the OUTER pool seeds from the previous
             # solve's surviving partition and the final pool threads out as
             # the next solve's seed — the on-device leg of the cross-omega
-            # warm start (the host-outer leg lives in _host_outer_solve)
+            # warm start (the host-outer leg lives in _host_outer_solve).
+            # For nests (ndim > 1) the pool also carries ONE normalized
+            # inner-level partition (`mid_seed`): every inner solve at the
+            # level below the outermost seeds from it instead of
+            # re-discovering its partition from the domain breakpoints —
+            # the inner DISCOVERY loop is the dominant serial depth of a
+            # warm solve (the outer pool is inherited, but each of its
+            # ~15*pool evaluations ran a full cold adaptive recursion).
+            # One partition serves all outer nodes because inner structure
+            # varies slowly along the outer variable; refinement patches
+            # the difference per node, and each solve still certifies
+            # independently.
+            carry_mid = dom.ndim > 1 and isinstance(algs[dom.ndim - 2],
+                                                    QuadGKJL)
+
             @jax.jit
             def run_warm(p, atol, rtol, maxiters, pool):
+                outer_pool = tuple(pool[:4])
+                mid_seed = pool[4] if carry_mid else None
                 val, err, ne, conv, state = solve_level(
                     dom, make_carrier(), (), p, atol, rtol, maxiters,
-                    init_pool=pool, return_state=True)
+                    init_pool=outer_pool, return_state=True,
+                    mid_seed=mid_seed)
                 new_pool = (state[0], state[1], state[3], state[5])
+                if carry_mid:
+                    # the mid seed passes through UNCHANGED here; the caller
+                    # refreshes it with `harvest_mid` (a separate, much
+                    # smaller program) once per chunk — embedding the
+                    # refresh nest in this program blew the remote AOT
+                    # compiler past 40 minutes (BASELINE.md round-4 notes)
+                    new_pool = new_pool + (mid_seed,)
                 return val, err, ne, conv, new_pool
 
             cacheval["run_warm"] = run_warm
+
+            if carry_mid:
+                # refresh the carried inner partition with ONE inner solve
+                # at the worst outer interval's midpoint (~1/10^3 of a
+                # solve's evals, itself warm-seeded): the carry tracks the
+                # moving parameter without threading per-node pool state
+                # through the outer machinery.  Own jit: see run_warm note.
+                @jax.jit
+                def harvest_mid(p, atol, rtol, maxiters, pool):
+                    a_o, b_o, e_o = pool[0], pool[1], pool[2]
+                    mid_seed = pool[4]
+                    widx = jnp.argmax(e_o)
+                    xh = (a_o[widx] + b_o[widx]) / 2
+                    lims2 = dom.fix(xh)
+                    car2 = make_carrier().fix(xh)
+                    segs2 = lims2.outer_segments()
+                    len2 = segs2[-1] - segs2[0]
+                    inner_atol = atol / jnp.maximum(
+                        len2, jnp.finfo(segs2.dtype).tiny)
+                    _, _, hne, _, mstate = solve_level(
+                        lims2, car2, (xh,), p, inner_atol, rtol, maxiters,
+                        init_pool=_mid_seed_pool(mid_seed, segs2),
+                        return_state=True, coarsen_seed=True)
+                    new_mid = _mid_seed_norm(mstate, segs2)
+                    return pool[:4] + (new_mid,), hne
+
+                cacheval["harvest_mid"] = harvest_mid
             # cold seed: the initial segments in pool form (errors +inf so the
             # first solve's coarsening is a no-op) — warm-with-segments IS the
             # cold start, so the scan chain needs no first-step branch
@@ -538,7 +656,14 @@ class NestedQuad(IntegralAlgorithm):
             a0[:nseg0] = segs0[:-1]
             b0[:nseg0] = segs0[1:]
             e0 = np.full(cap0, np.inf)
-            cacheval["warm_pool0"] = (a0, b0, e0, np.int32(nseg0))
+            pool0 = (a0, b0, e0, np.int32(nseg0))
+            if carry_mid:
+                mid_cap, _ = self._level_knobs(algs[dom.ndim - 2],
+                                               dom.ndim - 1, dom.ndim)
+                # tn=0 = cold sentinel (first solve seeds from breakpoints)
+                pool0 = pool0 + ((np.zeros(mid_cap), np.zeros(mid_cap),
+                                  np.zeros(mid_cap), np.int32(0)),)
+            cacheval["warm_pool0"] = pool0
 
         if auto_floor:
             # host-outer solves resolve the floor once per solve through this
@@ -1134,3 +1259,20 @@ class NestedQuad(IntegralAlgorithm):
             return val, err, conv, ne, new_pool
 
         return fn, cacheval["warm_pool0"]
+
+    def harvest_fn(self, cacheval):
+        """Mid-seed refresh form for warm sweeps: ``fn(p, atol, rtol, pool)
+        -> (new_pool, numevals)`` re-solves the carried inner-level
+        partition at the worst outer interval's midpoint (one inner solve,
+        compiled as its OWN small program — see run_warm).  None when the
+        nest carries no mid seed (1D, fixed-rule inner level, guided)."""
+        from .gk import _budget
+
+        harvest = cacheval.get("harvest_mid") if "pole_nest" not in cacheval else None
+        if harvest is None:
+            return None
+
+        def fn(p, atol, rtol, pool):
+            return harvest(p, atol, rtol, _budget(None), pool)
+
+        return fn

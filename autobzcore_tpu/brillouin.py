@@ -297,6 +297,24 @@ class AutoBZAlgorithm(IntegralAlgorithm):
 
         return fn, pool0
 
+    def harvest_fn(self, cacheval):
+        """Mid-seed refresh delegation (see NestedQuad.harvest_fn); the
+        tolerance rescale matches the warm solves' (÷ det(B)·nsyms), so the
+        harvested partition reflects the same inner certificates."""
+        sub = getattr(cacheval["alg"], "harvest_fn", None)
+        got = None if sub is None else sub(cacheval["inner"])
+        if got is None:
+            return None
+        bz_ = cacheval["bz_"]
+        j = abs(np.linalg.det(bz_.B))
+        ns = bz_.nsyms
+
+        def fn(p, atol, rtol, pool):
+            return got(p, None if atol is None else atol / (j * ns), rtol,
+                       pool)
+
+        return fn
+
     def solve_fn_consts(self, cacheval):
         """Consts-threaded variant (see MonkhorstPack.solve_fn_consts): rule
         data flows through enclosing jits as arguments, not captured

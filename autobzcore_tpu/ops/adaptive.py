@@ -251,6 +251,7 @@ def gk_adaptive(
     stall_patience=0,
     init_pool=None,
     seed_width=None,
+    seed_coarsen=True,
     _return_state=False,
 ):
     """Adaptive GK integration of ``batch_f`` over the segments ``segs``.
@@ -302,9 +303,19 @@ def gk_adaptive(
         # trip-count while_loop — the device memory profile matches the
         # refinement body, never the whole pool at once)
         a_in, b_in, e_in, n_in = init_pool
-        a_c, b_c, n0 = coarsen_pool(jnp.asarray(a_in, dt), jnp.asarray(b_in, dt),
-                                    jnp.asarray(e_in), jnp.asarray(n_in),
-                                    segs, atol)
+        if seed_coarsen:
+            a_c, b_c, n0 = coarsen_pool(jnp.asarray(a_in, dt),
+                                        jnp.asarray(b_in, dt),
+                                        jnp.asarray(e_in),
+                                        jnp.asarray(n_in), segs, atol)
+        else:
+            # already-equilibrated seed (compact, dead slots zero-width):
+            # skip the sibling coarsening — its vmapped sorts dominate the
+            # COMPILE cost when this path is instantiated per nest-panel
+            # lane (the mid-seed case: 120 lanes x 3 sorts x 2 call sites
+            # wedged the remote AOT compiler)
+            a_c, b_c = jnp.asarray(a_in, dt), jnp.asarray(b_in, dt)
+            n0 = jnp.asarray(n_in)
         # seed evaluations have NO sequential dependency (unlike refinement,
         # where each step's top_k depends on the last) — a wide seed_width
         # collapses the seeding phase to ~one device iteration, bounded only

@@ -371,6 +371,11 @@ class SweepSolver:
                     "precision='complex'/'split', on-device)")
             warm_fn, pool0 = got
             self._pool0 = jax.tree_util.tree_map(jnp.asarray, tuple(pool0))
+            # mid-seed refresh (nested warm starts carry one inner-level
+            # partition): its OWN small program, run once per chunk — see
+            # NestedQuad.harvest_fn
+            hfn = getattr(alg, "harvest_fn", None)
+            harvest_fn = None if hfn is None else hfn(cache.cacheval)
             if _takes_mixed_parameters(prob.f):
                 # integrand-preset parameters merge in, mirroring
                 # _solve_fn_with_consts' wrapping of the cold path
@@ -382,6 +387,21 @@ class SweepSolver:
                 def warm_fn(p, atol, rtol, pool):
                     return warm_inner(merge_parameters(preset, p), atol, rtol,
                                       pool)
+
+                if harvest_fn is not None:
+                    harvest_inner = harvest_fn
+
+                    def harvest_fn(p, atol, rtol, pool):
+                        return harvest_inner(merge_parameters(preset, p),
+                                             atol, rtol, pool)
+
+            if harvest_fn is None:
+                self._harvest = None
+            else:
+                def _harvest(x, pool):
+                    return harvest_fn(wrap(x), atol, rtol, pool)
+
+                self._harvest = _harvest
 
             def step(pool, x):
                 u, _, conv, ne, new_pool = warm_fn(wrap(x), atol, rtol, pool)
@@ -395,6 +415,7 @@ class SweepSolver:
             self._batched_warm = jax.jit(seq_warm)
         else:
             self._batched_warm = None
+            self._harvest = None
 
         def seq(consts, xs):
             # lax.map over groups of g lockstep-vmapped solves; xs length is
@@ -466,10 +487,17 @@ class SweepSolver:
             perm = np.argsort(np.asarray(xp), kind="stable")
             xp_s = xp[perm]
             outs_s = []
+            hne = 0
             for i in range(0, npad, c):
                 o, self._pool = self._batched_warm(self._consts, self._pool,
                                                    xp_s[i: i + c])
+                if self._harvest is not None:
+                    # refresh the carried inner-level partition at this
+                    # chunk's final parameter (the next chunk's neighbor)
+                    self._pool, h = self._harvest(xp_s[i + c - 1], self._pool)
+                    hne += float(h)
                 outs_s.append(o)
+            self.numevals += int(hne)
             inv = np.empty_like(perm)
             inv[perm] = np.arange(npad)
             cat = jax.tree_util.tree_map(

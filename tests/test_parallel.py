@@ -493,3 +493,43 @@ def test_warm_scan_pool_stays_bounded():
     cold = SweepSolver(prob, IAI(), abstol=1e-4, chunk=6, scan=True)
     uc = cold(oms)
     assert np.max(np.abs(np.asarray(uw) - np.asarray(uc))) < 1e-5  # both certified at 1e-4
+    # the carried pool also holds the normalized inner-level partition
+    # (mid seed): live after the first sweep, so subsequent solves seed
+    # their inner pools from it instead of re-discovering structure
+    assert len(warm._pool) == 5
+    assert int(warm._pool[4][3]) > 0
+
+
+def test_warm_mid_seed_3level_nest():
+    """Mid-seed carry through a 3-level nest: the level below the outermost
+    seeds from the carried normalized partition while values still match
+    the cold scan (each solve certifies independently), and re-sweeping the
+    same parameters costs fewer evals than the first pass (the inherited
+    structure is actually used)."""
+    import jax.numpy as jnp
+    from autobzcore_tpu import FBZ, IAI, FourierIntegrand, IntegralProblem, load_bz
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import dos_trace
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(3))
+    fi = FourierIntegrand(dos_trace, tb_integer(3), eta=0.5)
+    prob = IntegralProblem(fi, bz)
+    oms = jnp.linspace(-2.0, 2.0, 6)
+    warm = SweepSolver(prob, IAI(inner_cap=64, inner_nbisect=2),
+                       abstol=1e-3, chunk=6, scan=True, warm=True)
+    uw = np.asarray(warm(oms))
+    assert warm.retcode
+    ne1 = warm.numevals
+    assert len(warm._pool) == 5 and int(warm._pool[4][3]) > 0
+    uw2 = np.asarray(warm(oms))
+    ne2 = warm.numevals - ne1
+    assert ne2 < ne1  # inherited outer + mid structure saves evals
+    cold = SweepSolver(prob, IAI(inner_cap=64, inner_nbisect=2),
+                       abstol=1e-3, chunk=6, scan=True)
+    uc = np.asarray(cold(oms))
+    # warm and cold certify abstol=1e-3 independently over different
+    # partitions: agreement bound is the certificate sum (the digit-tight
+    # check lives in the 2D warm test above)
+    assert np.max(np.abs(uw - uc)) < 2e-3
+    assert np.max(np.abs(uw2 - uc)) < 2e-3

@@ -500,6 +500,46 @@ def test_warm_scan_pool_stays_bounded():
     assert int(warm._pool[4][3]) > 0
 
 
+def test_mid_seed_pool_remap():
+    """The normalized mid-seed remap tiles ANY target domain exactly (the
+    inner domain moves with the outer variable under polyhedral limits),
+    masks junk rows beyond the live count to zero width, and falls back to
+    the current breakpoints on the cold sentinel."""
+    import jax.numpy as jnp
+    from autobzcore_tpu.algorithms.nested import (_mid_seed_norm,
+                                                  _mid_seed_pool)
+
+    cap = 8
+    # a partition of [0, 1] in thirds, stored normalized
+    ta = jnp.zeros(cap).at[:3].set(jnp.asarray([0.0, 1 / 3, 2 / 3]))
+    tb = jnp.zeros(cap).at[:3].set(jnp.asarray([1 / 3, 2 / 3, 1.0]))
+    te = jnp.zeros(cap).at[:3].set(1e-6)
+    seed = (ta, tb, te, jnp.int32(3))
+    # remap onto a DIFFERENT domain [2, 6]
+    segs2 = jnp.asarray([2.0, 6.0])
+    A, B, E, N = _mid_seed_pool(seed, segs2)
+    assert int(N) == 3
+    aa, bb = np.asarray(A[:3]), np.asarray(B[:3])
+    assert aa[0] == 2.0 and bb[-1] == 6.0
+    assert np.allclose(bb[:-1], aa[1:])  # exact tiling
+    # junk rows beyond N are zero-width (dead for the rule evaluation)
+    assert np.all(np.asarray(A[3:]) == 0) and np.all(np.asarray(B[3:]) == 0)
+    # cold sentinel: current breakpoints seed instead
+    cold = (ta, tb, te, jnp.int32(0))
+    segs3 = jnp.asarray([0.0, 0.5, 1.0])
+    A, B, E, N = _mid_seed_pool(cold, segs3)
+    assert int(N) == 2
+    assert np.allclose(np.asarray(A[:2]), [0.0, 0.5])
+    assert np.allclose(np.asarray(B[:2]), [0.5, 1.0])
+    assert np.all(np.isinf(np.asarray(E[:2])))  # never merged by coarsen
+    # norm is the exact inverse of pool on the same domain
+    state = (A, B, None, E, None, N)
+    ta2, tb2, te2, tn2 = _mid_seed_norm(state, segs3)
+    A2, B2, E2, N2 = _mid_seed_pool((ta2, tb2, te2, tn2), segs3)
+    assert np.allclose(np.asarray(A2[:2]), np.asarray(A[:2]))
+    assert np.allclose(np.asarray(B2[:2]), np.asarray(B[:2]))
+
+
 def test_warm_mid_seed_3level_nest():
     """Mid-seed carry through a 3-level nest: the level below the outermost
     seeds from the carried normalized partition while values still match

@@ -629,7 +629,9 @@ class NestedQuad(IntegralAlgorithm):
                 def harvest_mid(p, atol, rtol, maxiters, pool):
                     a_o, b_o, e_o = pool[0], pool[1], pool[2]
                     mid_seed = pool[4]
-                    widx = jnp.argmax(e_o)
+                    # worst LIVE interval (slots beyond n may hold junk)
+                    live = jnp.arange(a_o.shape[0]) < pool[3]
+                    widx = jnp.argmax(jnp.where(live, e_o, -jnp.inf))
                     xh = (a_o[widx] + b_o[widx]) / 2
                     lims2 = dom.fix(xh)
                     car2 = make_carrier().fix(xh)

@@ -500,6 +500,45 @@ def test_warm_scan_pool_stays_bounded():
     assert int(warm._pool[4][3]) > 0
 
 
+def test_warm_scan_1d_no_mid_seed():
+    """warm=True on a 1D domain: no inner level exists, so the carried pool
+    is just the outer (a, b, err, n) quadruple (no mid seed, no harvest)
+    and values still match the cold scan digit-for-digit."""
+    import jax.numpy as jnp
+    from autobzcore_tpu import FBZ, IAI, FourierIntegrand, IntegralProblem, load_bz
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import greens_function_trace
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(1))
+    fi = FourierIntegrand(greens_function_trace, tb_integer(1), eta=0.1)
+    prob = IntegralProblem(fi, bz)
+    oms = jnp.linspace(-2.0, 2.0, 8)
+    warm = SweepSolver(prob, IAI(), abstol=1e-6, chunk=4, scan=True, warm=True)
+    uw = np.asarray(warm(oms))
+    assert warm.retcode
+    assert len(warm._pool) == 4  # outer pool only
+    assert warm._harvest is None
+    cold = SweepSolver(prob, IAI(), abstol=1e-6, chunk=4, scan=True)
+    uc = np.asarray(cold(oms))
+    assert np.max(np.abs(uw - uc)) < 1e-10
+
+
+def test_warm_scan_pole_nest_raises():
+    """Pole-aware nests run host-side only: tracing one into a warm sweep
+    program must raise with an actionable message, not crash mid-scan."""
+    from autobzcore_tpu import ContQuadGKJL, IntegralProblem, NestedQuad, QuadGKJL
+    from autobzcore_tpu.limits import CubicLimits
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    lims = CubicLimits(np.array([0.0, 0.0]), np.array([1.0, 1.0]))
+    prob = IntegralProblem(
+        lambda x, p: 1.0 / ((x[..., 0] - 0.5) ** 2 + p**2), lims)
+    alg = NestedQuad((ContQuadGKJL(), QuadGKJL()))
+    with pytest.raises(ValueError, match="host-side"):
+        SweepSolver(prob, alg, abstol=1e-6, chunk=4, scan=True, warm=True)
+
+
 def test_mid_seed_pool_remap():
     """The normalized mid-seed remap tiles ANY target domain exactly (the
     inner domain moves with the outer variable under polyhedral limits),

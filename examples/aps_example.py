@@ -74,9 +74,12 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
         # into the next solve (sorted order), so adjacent omegas inherit the
         # adaptive structure instead of re-discovering it (~2,700 times);
         # --cold-iai disables it for A/B eval-count comparisons
+        # chunk trades dispatch amortization (~0.3 s/chunk host round trip)
+        # against mid-seed freshness (the carried inner partition refreshes
+        # once per chunk, so a chunk also bounds the harvest lag)
         frontier_fn = SweepSolver(IntegralProblem(integrand, bz), alg,
-                                  abstol=args.abstol, chunk=33, scan=True,
-                                  warm=not args.cold_iai)
+                                  abstol=args.abstol, chunk=args.iai_chunk,
+                                  scan=True, warm=not args.cold_iai)
 
     dos_iai = hchebinterp(frontier_fn, 10.0, 15.0, atol=args.atol_interp)
     ws = np.arange(10, 15 + eta / 100, eta / 100)
@@ -101,6 +104,9 @@ def main(argv=None):
     p.add_argument("--with-iai", action="store_true", help="also run the IAI solver")
     p.add_argument("--cold-iai", action="store_true",
                    help="disable the cross-omega warm start (A/B comparisons)")
+    p.add_argument("--iai-chunk", type=int, default=33,
+                   help="omega chunk size for the IAI scan (dispatch "
+                        "amortization vs mid-seed harvest freshness)")
     p.add_argument("--with-ltm", action="store_true",
                    help="also compute the sharp (eta->0) DOS by the linear tetrahedron method")
     p.add_argument("--with-fullgrid", action="store_true",

@@ -454,6 +454,9 @@ class SweepSolver:
         else:
             self._batched = jax.jit(jax.vmap(one, in_axes=(None, 0)))
         self.numevals = 0
+        # warm scans append one total-evals entry per dispatched chunk
+        # (pad lanes included); cleared by the caller if desired
+        self.chunk_evals = []
         self.retcode = None  # set by __call__
 
     def __call__(self, xs):
@@ -497,6 +500,13 @@ class SweepSolver:
                     self._pool, h = self._harvest(xp_s[i + c - 1], self._pool)
                     hne += float(h)
                 outs_s.append(o)
+            # per-chunk eval telemetry for diagnosing mid-seed staleness
+            # across a long sweep — materialized AFTER the loop so chunk
+            # dispatch stays async (an eager sum would sync per chunk and
+            # forfeit the dispatch-ahead that amortizes the tunnel's host
+            # round trip)
+            self.chunk_evals.extend(
+                float(np.sum(np.asarray(o[2]))) for o in outs_s)
             self.numevals += int(hne)
             inv = np.empty_like(perm)
             inv[perm] = np.arange(npad)

@@ -490,16 +490,20 @@ class SweepSolver:
             perm = np.argsort(np.asarray(xp), kind="stable")
             xp_s = xp[perm]
             outs_s = []
-            hne = 0
+            hnes = []
             for i in range(0, npad, c):
                 o, self._pool = self._batched_warm(self._consts, self._pool,
                                                    xp_s[i: i + c])
                 if self._harvest is not None:
                     # refresh the carried inner-level partition at this
-                    # chunk's final parameter (the next chunk's neighbor)
+                    # chunk's final parameter (the next chunk's neighbor);
+                    # keep the eval count as a device ref — float(h) here
+                    # would block on the harvest each round and serialize
+                    # the chunk dispatch-ahead
                     self._pool, h = self._harvest(xp_s[i + c - 1], self._pool)
-                    hne += float(h)
+                    hnes.append(h)
                 outs_s.append(o)
+            hne = float(np.sum([np.asarray(h) for h in hnes])) if hnes else 0
             # per-chunk eval telemetry for diagnosing mid-seed staleness
             # across a long sweep — materialized AFTER the loop so chunk
             # dispatch stays async (an eager sum would sync per chunk and

@@ -91,6 +91,11 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
            f"({ne / max(dos_iai.numevals, 1):.3g}/omega)"
            if isinstance(ne, (int, float)) and ne else "")
     print(f"IAI interpolant ({tier}): {out['t_iai']:.2f}s{per}", file=sys.stderr)
+    ce = getattr(frontier_fn, "chunk_evals", None)
+    if ce:
+        # per-chunk eval telemetry (mid-seed staleness diagnostic)
+        print("IAI chunk evals: " + " ".join(f"{v:.3g}" for v in ce),
+              file=sys.stderr)
 
 
 def main(argv=None):

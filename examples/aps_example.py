@@ -68,7 +68,8 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
 
         # warm_width=8: seed evaluations have no sequential dependency, so a
         # wider seed batch collapses the warm-start phase's iteration count
-        alg = IAI(inner_cap=128, warm_width=8)
+        alg = IAI(inner_cap=128, warm_width=8,
+                  leaf_nbisect=args.iai_leaf_nbisect)
         t0 = time.time()
         # warm=True: the scan carries each omega's surviving outer partition
         # into the next solve (sorted order), so adjacent omegas inherit the
@@ -112,6 +113,10 @@ def main(argv=None):
     p.add_argument("--iai-chunk", type=int, default=33,
                    help="omega chunk size for the IAI scan (dispatch "
                         "amortization vs mid-seed harvest freshness)")
+    p.add_argument("--iai-leaf-nbisect", type=int, default=None,
+                   help="innermost-level refinement width (intervals "
+                        "bisected per iteration): trades masked-lane evals "
+                        "for leaf trip count on the depth-bound scan leg")
     p.add_argument("--with-ltm", action="store_true",
                    help="also compute the sharp (eta->0) DOS by the linear tetrahedron method")
     p.add_argument("--with-fullgrid", action="store_true",

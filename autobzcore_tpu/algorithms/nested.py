@@ -262,7 +262,8 @@ class NestedQuad(IntegralAlgorithm):
     def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False,
                  host_outer=False, host_nbisect=None, checkpoint=None,
                  leaf_nbisect=None, guide_rfloor="auto", guide_patience=6,
-                 guide_slack=1.0, warm_start=False, warm_width=None):
+                 guide_slack=1.0, warm_start=False, warm_width=None,
+                 inner_seed_width=None):
         self.algs = algs
         # host-outer panel width: guided panels dispatch BOTH tiers per
         # refinement step, and a 120-node guided panel reliably crashes the
@@ -324,6 +325,13 @@ class NestedQuad(IntegralAlgorithm):
         # have no sequential dependency, so a wide batch collapses the
         # seeding phase to ~one device iteration (ops/adaptive seed_width)
         self.warm_width = warm_width
+        # mid-seed consumption width: a seeded inner level otherwise
+        # evaluates its carried partition 2*nbisect intervals at a time
+        # (sequential device iterations INSIDE every enclosing panel lane —
+        # pure depth on the scan leg).  Widening trades live memory
+        # (width multiplies across the enclosing vmap lanes) for those
+        # iterations.  None keeps the 2*nbisect default.
+        self.inner_seed_width = inner_seed_width
         # checkpoint: path template for host-outer heap persistence; a killed
         # tight-tolerance solve resumes instead of restarting (the adaptive
         # analogue of northstar's per-rung block checkpointing).  The solve's
@@ -461,13 +469,15 @@ class NestedQuad(IntegralAlgorithm):
                     maxiters=maxiters, norm=alg.norm,
                     stats=inner_stats, noise_rfloor=noise_rfloor,
                     stall_patience=stall_patience,
-                    # the wide warm seed batch is an OUTERMOST knob: inner
-                    # warm seeds run vmapped across every enclosing panel
-                    # node already, so width multiplies live memory instead
-                    # of saving iterations (the chains lesson, BASELINE.md)
+                    # warm_width is an OUTERMOST knob; seeded inner levels
+                    # take inner_seed_width (default None = 2*nbisect).
+                    # Inner width multiplies live memory across every
+                    # enclosing panel lane, but the iterations it removes
+                    # are pure serial depth on the scan leg — the tradeoff
+                    # is measured, not assumed (BASELINE.md round-4)
                     init_pool=init_pool,
                     seed_width=(self.warm_width if d_rem == dom.ndim
-                                else None),
+                                else self.inner_seed_width),
                     # inner mid-seed pools arrive equilibrated (compact,
                     # dead-masked by _mid_seed_pool); only the outermost
                     # carried pool — and the harvest refresh, the mid

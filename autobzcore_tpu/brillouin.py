@@ -426,7 +426,8 @@ class IAI(AutoBZAlgorithm):
     def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex",
                  host_outer=False, host_nbisect=None, checkpoint=None,
                  leaf_nbisect=None, guide_rfloor="auto", guide_patience=6,
-                 guide_slack=1.0, warm_start=False, warm_width=None):
+                 guide_slack=1.0, warm_start=False, warm_width=None,
+                 inner_seed_width=None):
         # default to pure worst-first refinement (nbisect=1, the reference's
         # heap semantics): in a nest every extra outer panel multiplies into
         # full inner solves — nbisect=4 measured 13.7M evals / 915 ms per
@@ -490,6 +491,12 @@ class IAI(AutoBZAlgorithm):
         self.warm_start = warm_start
         # seed batch width for warm on-device scans (NestedQuad.warm_width)
         self.warm_width = warm_width
+        # mid-seed consumption width for warm nests
+        # (NestedQuad.inner_seed_width): the carried inner partition
+        # otherwise re-evaluates 2*nbisect intervals per device iteration
+        # inside every enclosing panel lane — serial depth the scan leg
+        # pays per omega; widening trades live memory for it
+        self.inner_seed_width = inner_seed_width
         # innermost-level batch width (see NestedQuad.leaf_nbisect): leaf
         # evals don't multiply into deeper solves, so wider batches there
         # trade a little eval waste for fewer while-loop iterations
@@ -507,7 +514,8 @@ class IAI(AutoBZAlgorithm):
                                        guide_patience=self.guide_patience,
                                        guide_slack=self.guide_slack,
                                        warm_start=self.warm_start,
-                                       warm_width=self.warm_width)
+                                       warm_width=self.warm_width,
+                                       inner_seed_width=self.inner_seed_width)
 
 
 class PTR(AutoBZAlgorithm):

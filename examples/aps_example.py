@@ -69,7 +69,8 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
         # warm_width=8: seed evaluations have no sequential dependency, so a
         # wider seed batch collapses the warm-start phase's iteration count
         alg = IAI(inner_cap=128, warm_width=8,
-                  leaf_nbisect=args.iai_leaf_nbisect)
+                  leaf_nbisect=args.iai_leaf_nbisect,
+                  inner_seed_width=args.iai_inner_seed_width)
         t0 = time.time()
         # warm=True: the scan carries each omega's surviving outer partition
         # into the next solve (sorted order), so adjacent omegas inherit the
@@ -117,6 +118,11 @@ def main(argv=None):
                    help="innermost-level refinement width (intervals "
                         "bisected per iteration): trades masked-lane evals "
                         "for leaf trip count on the depth-bound scan leg")
+    p.add_argument("--iai-inner-seed-width", type=int, default=None,
+                   help="mid-seed consumption width (intervals re-evaluated "
+                        "per device iteration when a warm inner pool seeds "
+                        "from the carried partition): trades live memory "
+                        "for seeding depth")
     p.add_argument("--with-ltm", action="store_true",
                    help="also compute the sharp (eta->0) DOS by the linear tetrahedron method")
     p.add_argument("--with-fullgrid", action="store_true",

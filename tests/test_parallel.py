@@ -500,6 +500,28 @@ def test_warm_scan_pool_stays_bounded():
     assert int(warm._pool[4][3]) > 0
 
 
+def test_warm_scan_chunk_telemetry():
+    """Warm scans record one total-evals entry per dispatched chunk
+    (staleness diagnostic), accumulated across __call__s."""
+    import jax.numpy as jnp
+    from autobzcore_tpu import FBZ, IAI, FourierIntegrand, IntegralProblem, load_bz
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import greens_function_trace
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    fi = FourierIntegrand(greens_function_trace, tb_integer(2), eta=0.1)
+    prob = IntegralProblem(fi, bz)
+    sw = SweepSolver(prob, IAI(), abstol=1e-4, chunk=4, scan=True, warm=True)
+    sw(jnp.linspace(-2.0, 2.0, 8))
+    assert len(sw.chunk_evals) == 2  # 8 omegas / chunk 4
+    assert all(v > 0 for v in sw.chunk_evals)
+    sw(jnp.linspace(2.5, 3.0, 4))
+    assert len(sw.chunk_evals) == 3  # accumulates across calls
+    # telemetry plus the harvest account for every eval the solver counted
+    assert sum(sw.chunk_evals) <= sw.numevals
+
+
 def test_warm_scan_1d_no_mid_seed():
     """warm=True on a 1D domain: no inner level exists, so the carried pool
     is just the outer (a, b, err, n) quadruple (no mid seed, no harvest)

@@ -185,6 +185,10 @@ def batchsolve(solver: IntegralSolver, ps, T=None, callback=None, nthreads=1):
     so only the first call pays compilation.  Returns a list (or object array
     matching ``ps`` shape) of ``u`` values.
 
+    ``T`` is accepted for reference API parity (the result eltype used there
+    to preallocate the output array, ``src/interfaces.jl:234``) and ignored:
+    dtypes come from the solves themselves.
+
     ``nthreads > 1`` pipelines the solves across host threads over one shared
     read-only cache — the reference's ``batchsolve`` is itself threaded
     (``Threads.@threads`` over parameter chunks with per-thread solver

@@ -13,6 +13,7 @@ sweep in order.
 """
 from __future__ import annotations
 
+import sys
 import time
 
 import numpy as np
@@ -161,6 +162,11 @@ def batchsolve_h5(filename_or_h5, solver: IntegralSolver, ps, verbose=True,
             dnev[i] = sol.numevals
             drc[i] = 1 if sol.retcode else 0  # written LAST: marks the row done
             h5.flush()  # crash loses at most the in-flight parameter
+            if verbose:
+                # progress logging parity with the reference's per-batch
+                # @info (ext/HDF5Ext.jl:140-147); writes are index-ordered
+                print(f"batchsolve_h5: wrote {i + 1}/{n} ({wall:.3g}s)",
+                      file=sys.stderr)
 
         out = [None] * n
         for i in np.nonzero(done)[0]:

@@ -123,6 +123,9 @@ def main(argv=None):
                         "per device iteration when a warm inner pool seeds "
                         "from the carried partition): trades live memory "
                         "for seeding depth")
+    p.add_argument("--skip-ptr", action="store_true",
+                   help="skip the PTR interpolant leg (cheap IAI-only A/B "
+                        "runs; the knob matrix in BASELINE.md round-4)")
     p.add_argument("--with-ltm", action="store_true",
                    help="also compute the sharp (eta->0) DOS by the linear tetrahedron method")
     p.add_argument("--with-fullgrid", action="store_true",
@@ -182,18 +185,22 @@ def main(argv=None):
     # compiled once (fixed-chunk padding across hchebinterp frontiers)
     from autobzcore_tpu.parallel.sweep import SweepSolver
 
-    prob = IntegralProblem(integrand, bz)
-    alg = PTR(npt=args.npt)
-
-    t0 = time.time()
-    dos_sweep = SweepSolver(prob, alg, abstol=args.abstol, chunk=264)
-    dos_ptr = hchebinterp(dos_sweep, 10.0, 15.0, atol=args.atol_interp)
-    t_ptr = time.time() - t0
-    print(f"PTR(npt={args.npt}) interpolant: {dos_ptr.numevals} solver evals, "
-          f"{len(dos_ptr.panels)} panels, {t_ptr:.2f}s", file=sys.stderr)
-
     ws = np.arange(10, 15 + eta / 100, eta / 100)
-    out.update({"omega": ws, "dos_ptr": dos_ptr(ws), "t_ptr": t_ptr})
+    if args.skip_ptr:
+        out["omega"] = ws
+    else:
+        prob = IntegralProblem(integrand, bz)
+        alg = PTR(npt=args.npt)
+
+        t0 = time.time()
+        dos_sweep = SweepSolver(prob, alg, abstol=args.abstol, chunk=264)
+        dos_ptr = hchebinterp(dos_sweep, 10.0, 15.0, atol=args.atol_interp)
+        t_ptr = time.time() - t0
+        print(f"PTR(npt={args.npt}) interpolant: {dos_ptr.numevals} solver "
+              f"evals, {len(dos_ptr.panels)} panels, {t_ptr:.2f}s",
+              file=sys.stderr)
+
+        out.update({"omega": ws, "dos_ptr": dos_ptr(ws), "t_ptr": t_ptr})
 
     if args.with_iai and not iai_split:
         _run_iai(args, hr, bz, dos_integrand, eta, out, split=False,
@@ -244,7 +251,13 @@ def main(argv=None):
         print(f"LTM(npt={args.npt}) sharp DOS: {out['t_ltm']:.2f}s", file=sys.stderr)
 
     np.savez(args.out, **out)
-    print(f"wrote {args.out}; DOS(12.5 eV) = {float(dos_ptr(12.5)):.4f}", file=sys.stderr)
+    if args.skip_ptr:
+        i0 = int(np.argmin(np.abs(ws - 12.5)))
+        anchor = (f"IAI DOS(12.5 eV) = {float(out['dos_iai'][i0]):.4f}"
+                  if "dos_iai" in out else "(no PTR leg)")
+    else:
+        anchor = f"DOS(12.5 eV) = {float(dos_ptr(12.5)):.4f}"
+    print(f"wrote {args.out}; {anchor}", file=sys.stderr)
     return out
 
 

@@ -261,9 +261,9 @@ class NestedQuad(IntegralAlgorithm):
 
     def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False,
                  host_outer=False, host_nbisect=None, checkpoint=None,
-                 leaf_nbisect=None, guide_rfloor="auto", guide_patience=6,
-                 guide_slack=1.0, warm_start=False, warm_width=None,
-                 inner_seed_width=None):
+                 leaf_nbisect=None, leaf_presplit=None, guide_rfloor="auto",
+                 guide_patience=6, guide_slack=1.0, warm_start=False,
+                 warm_width=None, inner_seed_width=None):
         self.algs = algs
         # host-outer panel width: guided panels dispatch BOTH tiers per
         # refinement step, and a 120-node guided panel reliably crashes the
@@ -349,6 +349,13 @@ class NestedQuad(IntegralAlgorithm):
         # only add evals without wall-time gain (leaf 1/2/4/8 -> 302/320/306/
         # 446 ms at omega=13, r3), so None keeps the level-default coupling
         self.leaf_nbisect = leaf_nbisect
+        # innermost-level uniform presplit: start every leaf solve from P
+        # subintervals per segment evaluated in ONE batched trip, cutting the
+        # ~log2(P) serial bisection iterations most leaf solves spend.  Leaf
+        # width does not multiply into deeper solves, so the extra evals ride
+        # in otherwise-idle vmap lanes; the wall tradeoff is the innermost
+        # max-trip reduction (docs/DESIGN.md "depth-bound").  None = 1 = off.
+        self.leaf_presplit = leaf_presplit
 
     def _level_knobs(self, alg, d_rem, ndim):
         """Pool cap and bisection width for one nest level (shared by the
@@ -463,12 +470,14 @@ class NestedQuad(IntegralAlgorithm):
                 return val, z, ne, jnp.asarray(True)
             if isinstance(alg, QuadGKJL):  # includes AuxQuadGKJL
                 cap, nbisect = self._level_knobs(alg, d_rem, dom.ndim)
+                presplit = (int(self.leaf_presplit)
+                            if d_rem == 1 and self.leaf_presplit else 1)
                 return gk_adaptive(
                     batch_f, p, segs, order=alg.order, cap=cap,
                     nbisect=nbisect, abstol=atol, reltol=rtol,
                     maxiters=maxiters, norm=alg.norm,
                     stats=inner_stats, noise_rfloor=noise_rfloor,
-                    stall_patience=stall_patience,
+                    stall_patience=stall_patience, presplit=presplit,
                     # warm_width is an OUTERMOST knob; seeded inner levels
                     # take inner_seed_width (default None = 2*nbisect).
                     # Inner width multiplies live memory across every

@@ -425,9 +425,9 @@ class IAI(AutoBZAlgorithm):
 
     def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex",
                  host_outer=False, host_nbisect=None, checkpoint=None,
-                 leaf_nbisect=None, guide_rfloor="auto", guide_patience=6,
-                 guide_slack=1.0, warm_start=False, warm_width=None,
-                 inner_seed_width=None):
+                 leaf_nbisect=None, leaf_presplit=None, guide_rfloor="auto",
+                 guide_patience=6, guide_slack=1.0, warm_start=False,
+                 warm_width=None, inner_seed_width=None):
         # default to pure worst-first refinement (nbisect=1, the reference's
         # heap semantics): in a nest every extra outer panel multiplies into
         # full inner solves — nbisect=4 measured 13.7M evals / 915 ms per
@@ -501,6 +501,10 @@ class IAI(AutoBZAlgorithm):
         # evals don't multiply into deeper solves, so wider batches there
         # trade a little eval waste for fewer while-loop iterations
         self.leaf_nbisect = leaf_nbisect
+        # innermost-level uniform presplit (NestedQuad.leaf_presplit): start
+        # every leaf solve from P subintervals in one batched trip, cutting
+        # the first ~log2(P) serial bisection iterations
+        self.leaf_presplit = leaf_presplit
 
     def bz_to_standard(self, bz):
         split = {"complex": False, "split": True, "guided": "guided"}[self.precision]
@@ -510,6 +514,7 @@ class IAI(AutoBZAlgorithm):
                                        host_nbisect=self.host_nbisect,
                                        checkpoint=self.checkpoint,
                                        leaf_nbisect=self.leaf_nbisect,
+                                       leaf_presplit=self.leaf_presplit,
                                        guide_rfloor=self.guide_rfloor,
                                        guide_patience=self.guide_patience,
                                        guide_slack=self.guide_slack,

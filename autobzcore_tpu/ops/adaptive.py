@@ -252,9 +252,18 @@ def gk_adaptive(
     init_pool=None,
     seed_width=None,
     seed_coarsen=True,
+    presplit=1,
     _return_state=False,
 ):
     """Adaptive GK integration of ``batch_f`` over the segments ``segs``.
+
+    ``presplit=P`` > 1 starts the pool from P uniform subintervals per
+    starting segment, evaluated in ONE batched trip.  Batch width is cheap
+    on TPU while while_loop trip counts are the serial cost (docs/DESIGN.md
+    "depth-bound"), so a presplit trades P× initial evals for the first
+    ~log2(P) bisection iterations most solves would spend anyway.  Clamped
+    so the pool keeps refinement room; ignored on warm starts (the seed IS
+    the presplit).
 
     ``init_pool=(a, b, e, n)`` warm-starts the pool from a previous solve's
     surviving partition (cap-length endpoint/error arrays, ``n`` live slots):
@@ -349,9 +358,17 @@ def gk_adaptive(
              jnp.zeros((), max_evals.dtype)))
         pool_a, pool_b = a_c, b_c
     else:
-        # initial evaluation of all starting segments
+        # initial evaluation of all starting segments (optionally P-presplit:
+        # widths are static, so the clamp resolves at trace time)
         a0 = segs[:-1]
         b0 = segs[1:]
+        P = max(1, min(int(presplit), (cap - 2 * nbisect) // max(nseg, 1)))
+        if P > 1:
+            t = jnp.arange(P + 1, dtype=dt) / P
+            allpts = a0[:, None] + (b0 - a0)[:, None] * t[None, :]
+            a0 = allpts[:, :-1].reshape(-1)
+            b0 = allpts[:, 1:].reshape(-1)
+            nseg = nseg * P
         val0, err0, l10, stat0 = gk_rule_eval(batch_f, p, a0, b0, xk, wk, wg, node_builder, stats)
 
         def pad_leaf(v):

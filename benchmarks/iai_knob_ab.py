@@ -39,6 +39,10 @@ CONFIGS = {
     "chunk16": ["--iai-chunk", "16"],
     "leaf2": ["--iai-leaf-nbisect", "2"],
     "seedw16": ["--iai-inner-seed-width", "16"],
+    "presplit4": ["--iai-leaf-presplit", "4"],
+    "presplit8": ["--iai-leaf-presplit", "8"],
+    "presplit4+seedw8": ["--iai-leaf-presplit", "4",
+                         "--iai-inner-seed-width", "8"],
     "cold": ["--cold-iai"],
 }
 

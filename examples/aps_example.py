@@ -70,6 +70,7 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
         # wider seed batch collapses the warm-start phase's iteration count
         alg = IAI(inner_cap=128, warm_width=8,
                   leaf_nbisect=args.iai_leaf_nbisect,
+                  leaf_presplit=args.iai_leaf_presplit,
                   inner_seed_width=args.iai_inner_seed_width)
         t0 = time.time()
         # warm=True: the scan carries each omega's surviving outer partition
@@ -118,6 +119,11 @@ def main(argv=None):
                    help="innermost-level refinement width (intervals "
                         "bisected per iteration): trades masked-lane evals "
                         "for leaf trip count on the depth-bound scan leg")
+    p.add_argument("--iai-leaf-presplit", type=int, default=None,
+                   help="innermost-level uniform presplit (P subintervals "
+                        "per leaf segment evaluated in one batched trip): "
+                        "trades idle-lane evals for the first ~log2(P) "
+                        "serial leaf bisections")
     p.add_argument("--iai-inner-seed-width", type=int, default=None,
                    help="mid-seed consumption width (intervals re-evaluated "
                         "per device iteration when a warm inner pool seeds "

@@ -173,6 +173,54 @@ class TestMultiAlgorithms:
             assert sol.numevals == numevals
 
 
+class TestLeafPresplit:
+    """``leaf_presplit=P`` seeds every innermost pool with P uniform
+    subintervals in one batched trip — values must match the default path
+    within the certificate, with the wider initial evaluation visible in the
+    eval counts (depth-for-width lever, docs/DESIGN.md "depth-bound")."""
+
+    def test_gk_adaptive_presplit_constant_exact(self):
+        from autobzcore_tpu.ops.adaptive import gk_adaptive
+
+        def batch_f(xs, p):
+            return jnp.ones_like(xs)
+
+        val, err, ne, conv = gk_adaptive(
+            batch_f, None, jnp.asarray([0.0, 1.0]), order=7, cap=64,
+            abstol=1e-8, presplit=4)
+        assert float(val) == pytest.approx(1.0, abs=1e-12)
+        assert int(ne) == 4 * 15  # one batched trip over the presplit
+        assert bool(conv)
+
+    def test_gk_adaptive_presplit_clamps_to_cap(self):
+        from autobzcore_tpu.ops.adaptive import gk_adaptive
+
+        def batch_f(xs, p):
+            return jnp.ones_like(xs)
+
+        # cap 16, nbisect 4 -> room for (16-8)//1 = 8 presplit intervals
+        val, _, ne, conv = gk_adaptive(
+            batch_f, None, jnp.asarray([0.0, 1.0]), order=7, cap=16,
+            nbisect=4, abstol=1e-8, presplit=1000)
+        assert float(val) == pytest.approx(1.0, abs=1e-12)
+        assert int(ne) == 8 * 15
+        assert bool(conv)
+
+    def test_nested_leaf_presplit_matches_default(self):
+        def peak(x, p):
+            return 1.0 / (p + jnp.sum(jnp.cos(x), axis=-1) ** 2)
+
+        prob = IntegralProblem(peak, CubicLimits(np.zeros(2), np.full(2, 2 * np.pi)), 1e-2)
+        base = solve(prob, NestedQuad(QuadGKJL()), abstol=1e-6)
+        pre = solve(prob, NestedQuad(QuadGKJL(), leaf_presplit=4), abstol=1e-6)
+        assert pre.retcode and base.retcode
+        assert float(pre.u) == pytest.approx(float(base.u), abs=2e-6)
+        # the presplit changes the refinement path (measured: it REDUCES
+        # total evals on this peaked 2D anchor, 173,640 vs 210,765 — the
+        # uniform start partitions better than the first bisections do)
+        assert pre.numevals != base.numevals
+
+
 class TestMaxiters:
     """An explicit eval budget truncates the adaptive drivers and is reported
     via retcode=False (reference ``src/interfaces.jl:64-69,91-104``)."""

@@ -569,12 +569,14 @@ class NestedQuad(IntegralAlgorithm):
                 return val, z, ne, jnp.asarray(True)
             if isinstance(alg, QuadGKJL):  # includes AuxQuadGKJL
                 cap, nbisect = self._level_knobs(alg, d_rem, dom.ndim)
+                presplit = (int(self.leaf_presplit)
+                            if d_rem == 1 and self.leaf_presplit else 1)
                 return gk_adaptive_guided(
                     batch_f32, batch_fS, p32, p, segs, order=alg.order,
                     cap=cap, nbisect=nbisect, abstol=atol, reltol=rtol,
                     guide_rfloor=rfloor, maxiters=maxiters,
                     stall_patience=guide_patience,
-                    search_slack=guide_slack,
+                    search_slack=guide_slack, presplit=presplit,
                     norm=alg.norm, stats=inner_stats,
                 )
             raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")

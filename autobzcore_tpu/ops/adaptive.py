@@ -498,6 +498,7 @@ def gk_adaptive_guided(
     upgrade_chunk=None,
     stall_patience=6,
     search_slack=1.0,
+    presplit=1,
 ):
     """Low-precision-guided adaptive GK: search in f32, evaluate in split-f64.
 
@@ -555,7 +556,7 @@ def gk_adaptive_guided(
     _, _, evals32, _, state32 = gk_adaptive(
         batch_f32, p32, segs, order=order, cap=cap, nbisect=nbisect,
         abstol=s_atol, reltol=s_rtol, noise_rfloor=guide_rfloor,
-        stall_patience=stall_patience,
+        stall_patience=stall_patience, presplit=presplit,
         maxiters=maxiters, node_builder=node_builder, norm=norm, stats=stats,
         _return_state=True,
     )

@@ -68,6 +68,24 @@ def test_guided_iai_matches_split_2d():
     assert float(ug.resid) <= 1e-8
 
 
+def test_guided_iai_leaf_presplit_matches_default():
+    """leaf_presplit through the guided tier: identical certified values
+    (only the search's STARTING partition changes; the split polish
+    certifies at the same tolerance)."""
+    fi = FourierIntegrand(greens_function_trace, tb_integer(2), eta=0.1)
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    base = IntegralSolver(IntegralProblem(fi, bz), IAI(precision="guided"),
+                          abstol=1e-8).solve_p(jnp.float64(0.2))
+    pre = IntegralSolver(IntegralProblem(fi, bz),
+                         IAI(precision="guided", leaf_presplit=4),
+                         abstol=1e-8).solve_p(jnp.float64(0.2))
+    assert pre.retcode
+    a = np.complex128(base.u.join())
+    b = np.complex128(pre.u.join())
+    assert b == pytest.approx(a, abs=1e-8)
+    assert float(pre.resid) <= 1e-8
+
+
 def test_guided_iai_host_outer_matches_split():
     """Host-outer guided flow (f32 search panel, chunked upgrade through the
     accurate panel, polish) certifies the same value as the split tier."""

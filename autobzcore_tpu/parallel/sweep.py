@@ -331,7 +331,7 @@ class SweepSolver:
     """
 
     def __init__(self, prob, alg, abstol=None, reltol=None, chunk=256, mesh=None,
-                 scan=False, group=1, warm=False):
+                 scan=False, group=1, warm=False, warm_lib=12):
         from ..algorithms.base import effective_tolerances
         from ..interfaces import _takes_mixed_parameters, init
         from ..parameters import MixedParameters
@@ -352,6 +352,15 @@ class SweepSolver:
         if g > 1 and not scan:
             raise ValueError("group > 1 requires scan=True")
         self._pool = None
+        # omega-keyed pool library: the carried pool alone mis-seeds the
+        # FIRST chunks of each hchebinterp call (the new frontier jumps back
+        # in omega while the pool is tuned to the previous call's LAST
+        # omega — measured: 13/29 chunks held 77% of the flagship leg's
+        # evals).  Each chunk's final (omega, pool) snapshot enters a small
+        # library and every chunk seeds from the nearest-omega entry.
+        self._pool_x = None
+        self._pool_lib = []
+        self._warm_lib = int(warm_lib)
         if warm:
             # cross-parameter warm start (adaptive nests): the scan carries
             # the outer interval pool from each solve into the next, so
@@ -457,7 +466,39 @@ class SweepSolver:
         # warm scans append one total-evals entry per dispatched chunk
         # (pad lanes included); cleared by the caller if desired
         self.chunk_evals = []
+        # warm scans: one (x_first, x_last, seed_distance) per chunk, where
+        # seed_distance is |x_first − key of the chosen seed pool| (inf on
+        # the cold first chunk) — diagnoses seed mismatch across a sweep
+        self.chunk_meta = []
         self.retcode = None  # set by __call__
+
+    def _select_seed(self, x0):
+        """Seed pool for a chunk starting at ``x0``: the nearest-omega
+        snapshot among the carried pool and the library (cold ``pool0`` if
+        neither exists yet).  Host-side only — no device sync."""
+        best, best_d = None, np.inf
+        if self._pool is not None and self._pool_x is not None:
+            best, best_d = self._pool, abs(x0 - self._pool_x)
+        for xk, pk in self._pool_lib:
+            d = abs(x0 - xk)
+            if d < best_d:
+                best, best_d = pk, d
+        if best is None:
+            return (self._pool if self._pool is not None else self._pool0,
+                    np.inf)
+        return best, best_d
+
+    def _lib_insert(self, x, pool):
+        """Insert an (omega, pool) snapshot, keeping the library spread: at
+        capacity, the entry nearest in omega to the newcomer is replaced."""
+        if self._warm_lib <= 0:
+            return
+        if len(self._pool_lib) < self._warm_lib:
+            self._pool_lib.append((x, pool))
+            return
+        j = min(range(len(self._pool_lib)),
+                key=lambda k: abs(self._pool_lib[k][0] - x))
+        self._pool_lib[j] = (x, pool)
 
     def __call__(self, xs):
         xs = jnp.asarray(xs)
@@ -485,23 +526,30 @@ class SweepSolver:
             # nearby parameters).  Solves run in SORTED parameter order so
             # every seed comes from the nearest neighbor (hchebinterp
             # frontiers jump across panels); results un-sort below.
-            if self._pool is None:
-                self._pool = self._pool0
-            perm = np.argsort(np.asarray(xp), kind="stable")
+            xp_np = np.asarray(xp)
+            perm = np.argsort(xp_np, kind="stable")
             xp_s = xp[perm]
+            xs_np = xp_np[perm]
             outs_s = []
             hnes = []
             for i in range(0, npad, c):
-                o, self._pool = self._batched_warm(self._consts, self._pool,
-                                                   xp_s[i: i + c])
+                # seed from the nearest-omega snapshot (carried pool or
+                # library) — keys are host floats, so selection never syncs
+                seed, seed_d = self._select_seed(float(xs_np[i]))
+                o, pool = self._batched_warm(self._consts, seed,
+                                             xp_s[i: i + c])
                 if self._harvest is not None:
                     # refresh the carried inner-level partition at this
                     # chunk's final parameter (the next chunk's neighbor);
                     # keep the eval count as a device ref — float(h) here
                     # would block on the harvest each round and serialize
                     # the chunk dispatch-ahead
-                    self._pool, h = self._harvest(xp_s[i + c - 1], self._pool)
+                    pool, h = self._harvest(xp_s[i + c - 1], pool)
                     hnes.append(h)
+                xl = float(xs_np[i + c - 1])
+                self._lib_insert(xl, pool)
+                self._pool, self._pool_x = pool, xl
+                self.chunk_meta.append((float(xs_np[i]), xl, seed_d))
                 outs_s.append(o)
             hne = float(np.sum([np.asarray(h) for h in hnes])) if hnes else 0
             # per-chunk eval telemetry for diagnosing mid-seed staleness

@@ -99,6 +99,13 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
         # per-chunk eval telemetry (mid-seed staleness diagnostic)
         print("IAI chunk evals: " + " ".join(f"{v:.3g}" for v in ce),
               file=sys.stderr)
+    cm = getattr(frontier_fn, "chunk_meta", None)
+    if cm:
+        # per-chunk [omega_first, omega_last] and |omega_first - seed key|
+        # (pool-library seed-mismatch diagnostic; inf = the cold first chunk)
+        print("IAI chunk seeds: " + " ".join(
+            f"[{a:.4g},{b:.4g}]d={d:.2g}" for a, b, d in cm),
+            file=sys.stderr)
 
 
 def main(argv=None):

@@ -546,6 +546,46 @@ def test_warm_scan_1d_no_mid_seed():
     assert np.max(np.abs(uw - uc)) < 1e-10
 
 
+def test_warm_scan_pool_library_reseeds_jumps():
+    """hchebinterp frontiers jump back in omega between calls; the omega-keyed
+    pool library must seed those chunks from a NEARBY snapshot instead of the
+    carried end-of-range pool, and values must stay digit-equal to cold."""
+    import jax.numpy as jnp
+    from autobzcore_tpu import FBZ, IAI, FourierIntegrand, IntegralProblem, load_bz
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import greens_function_trace
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    fi = FourierIntegrand(greens_function_trace, tb_integer(2), eta=0.1)
+    prob = IntegralProblem(fi, bz)
+    warm = SweepSolver(prob, IAI(), abstol=1e-4, chunk=4, scan=True, warm=True)
+    # call 1: spread over the full window -> library holds snapshots at
+    # omegas up to ~3
+    oms1 = jnp.linspace(-3.0, 3.0, 8)
+    u1 = warm(oms1)
+    assert len(warm._pool_lib) == 2
+    # call 2: frontier jumps BACK near -3 — without the library the seed
+    # would be the carried pool keyed at +3 (distance ~6); with it, the
+    # first snapshot (keyed at the first chunk's last omega ~ -1.3) wins
+    oms2 = jnp.linspace(-2.9, -2.0, 4)
+    u2 = warm(oms2)
+    x0, _, seed_d = warm.chunk_meta[2]
+    assert x0 == pytest.approx(-2.9)
+    carried_d = abs(-2.9 - warm.chunk_meta[1][1])
+    assert seed_d < carried_d
+    # values certified identically to a cold scan either way
+    cold = SweepSolver(prob, IAI(), abstol=1e-4, chunk=4, scan=True)
+    uc1, uc2 = cold(oms1), cold(oms2)
+    assert np.max(np.abs(np.asarray(u1) - np.asarray(uc1))) < 1e-5
+    assert np.max(np.abs(np.asarray(u2) - np.asarray(uc2))) < 1e-5
+    # library replacement keeps spread at capacity
+    tiny = SweepSolver(prob, IAI(), abstol=1e-4, chunk=4, scan=True,
+                       warm=True, warm_lib=1)
+    tiny(oms1)
+    assert len(tiny._pool_lib) == 1
+
+
 def test_warm_scan_pole_nest_raises():
     """Pole-aware nests run host-side only: tracing one into a warm sweep
     program must raise with an actionable message, not crash mid-scan."""

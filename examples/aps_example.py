@@ -68,7 +68,10 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
 
         # warm_width=8: seed evaluations have no sequential dependency, so a
         # wider seed batch collapses the warm-start phase's iteration count
-        alg = IAI(inner_cap=128, warm_width=8,
+        from autobzcore_tpu import AuxQuadGKJL
+        algs = (AuxQuadGKJL(order=args.iai_order, nbisect=1)
+                if args.iai_order else None)
+        alg = IAI(algs=algs, inner_cap=128, warm_width=args.iai_warm_width,
                   leaf_nbisect=args.iai_leaf_nbisect,
                   leaf_presplit=args.iai_leaf_presplit,
                   inner_seed_width=args.iai_inner_seed_width)
@@ -122,6 +125,17 @@ def main(argv=None):
     p.add_argument("--iai-chunk", type=int, default=33,
                    help="omega chunk size for the IAI scan (dispatch "
                         "amortization vs mid-seed harvest freshness)")
+    p.add_argument("--iai-warm-width", type=int, default=8,
+                   help="outer warm-seed consumption width (intervals of the "
+                        "carried pool re-evaluated per device iteration): "
+                        "seed evals have no sequential dependency, so width "
+                        "trades live memory for the seeding phase's trips")
+    p.add_argument("--iai-order", type=int, default=None,
+                   help="Gauss-Kronrod order for every IAI nest level "
+                        "(default 7 = 15-point): higher orders cut the "
+                        "serial trip count of all three levels for "
+                        "eta-smoothed integrands while widening each "
+                        "batched evaluation — the depth-bound leg's trade")
     p.add_argument("--iai-leaf-nbisect", type=int, default=None,
                    help="innermost-level refinement width (intervals "
                         "bisected per iteration): trades masked-lane evals "

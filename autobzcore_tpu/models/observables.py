@@ -128,11 +128,15 @@ def greens_function_trace(hv, om, eta=None):
         x = om - e
         den = x * x + eta * eta
         return SplitComplex(jnp.sum(x / den, axis=-1), jnp.sum(-eta / den, axis=-1))
-    z = om + 1j * eta
+    z = jnp.asarray(om + 1j * eta)
     if m <= 3:
-        return _trace_inv_small(z * jnp.eye(m, dtype=hv.s.dtype) - hv.s)
+        # om may carry leading axes (an omega BLOCK sharing one H(k) —
+        # SweepSolver(block=W) solves W adjacent frequencies in ONE adaptive
+        # nest); broadcast z against H over new leading dims
+        zI = z[..., None, None] * jnp.eye(m, dtype=hv.s.dtype)
+        return _trace_inv_small(zI - hv.s)
     e = jnp.linalg.eigvalsh(hv.s)
-    return jnp.sum(1.0 / (z - e), axis=-1)
+    return jnp.sum(1.0 / (z[..., None] - e), axis=-1)
 
 
 def dos_trace(hv, om, eta=None):

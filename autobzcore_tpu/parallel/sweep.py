@@ -331,7 +331,7 @@ class SweepSolver:
     """
 
     def __init__(self, prob, alg, abstol=None, reltol=None, chunk=256, mesh=None,
-                 scan=False, group=1, warm=False, warm_lib=12):
+                 scan=False, group=1, warm=False, warm_lib=12, block=1):
         from ..algorithms.base import effective_tolerances
         from ..interfaces import _takes_mixed_parameters, init
         from ..parameters import MixedParameters
@@ -351,6 +351,29 @@ class SweepSolver:
         g = int(group)
         if g > 1 and not scan:
             raise ValueError("group > 1 requires scan=True")
+        blk = int(block)
+        self.block = blk
+        if blk > 1:
+            # omega-BLOCK solves: each scan step solves `block` ADJACENT
+            # parameters in ONE adaptive nest — the parameter enters the
+            # integrand as a (block,)-vector (broadcasting over new leading
+            # axes, e.g. models.observables.dos_trace), the per-interval
+            # error is the 2-norm over the block's channels (>= the max, so
+            # every channel certifies to abstol), and ONE refinement
+            # trajectory serves the whole block.  This cuts the sweep's
+            # SEQUENTIAL solve count block-fold: unlike `group` (vmapped
+            # INDEPENDENT solves whose trip counts multiply as the lockstep
+            # max — measured 5x waste), a block is a single solve, and
+            # adjacent omegas share adaptive structure (the warm-start
+            # premise), so its trip counts track the worst member, not the
+            # sum.  For the depth-bound IAI sweeps this converts idle loop
+            # depth into per-eval width the device has to spare.
+            if not scan or g != 1 or mesh is not None:
+                raise ValueError(
+                    "block > 1 requires scan=True, group=1, and no mesh")
+            if chunk % blk:
+                raise ValueError(
+                    f"chunk {chunk} must divide into blocks of {blk}")
         self._pool = None
         # omega-keyed pool library: the carried pool alone mis-seeds the
         # FIRST chunks of each hchebinterp call (the new frontier jumps back
@@ -418,17 +441,34 @@ class SweepSolver:
 
             def seq_warm(consts, pool, xs):
                 del consts  # rule data rides inside the warm closure
+                if blk > 1:
+                    xs = xs.reshape(-1, blk)
                 pool, outs = jax.lax.scan(step, pool, xs)
-                return outs, pool
+                return _deblock(outs), pool
 
             self._batched_warm = jax.jit(seq_warm)
         else:
             self._batched_warm = None
             self._harvest = None
 
+        def _deblock(outs):
+            # flatten per-BLOCK outputs back to per-lane form on-device so
+            # chunk dispatch stays async: values merge the (nblocks, blk)
+            # axes, the block's shared certificate broadcasts to its lanes,
+            # and its eval count splits evenly (lane sums stay exact)
+            if blk == 1:
+                return outs
+            u, conv, ne = outs
+            u = jax.tree_util.tree_map(
+                lambda v: v.reshape((-1,) + v.shape[2:]), u)
+            return u, jnp.repeat(conv, blk), jnp.repeat(ne / blk, blk)
+
         def seq(consts, xs):
             # lax.map over groups of g lockstep-vmapped solves; xs length is
             # a multiple of g (chunk and chunk//ndev are validated below)
+            if blk > 1:
+                return _deblock(
+                    jax.lax.map(lambda x: one(consts, x), xs.reshape(-1, blk)))
             if g == 1:
                 return jax.lax.map(lambda x: one(consts, x), xs)
             grp = jax.vmap(lambda x: one(consts, x))

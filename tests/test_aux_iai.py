@@ -86,3 +86,35 @@ def test_auxvalue_through_split_iai():
     assert sol.retcode
     assert float(sol.u.val) == pytest.approx(float(ref.u.val), abs=1e-10)
     assert float(sol.u.aux) == pytest.approx(float(ref.u.aux), abs=1e-8)
+
+
+def test_nest_presplit_breaks_gk_aliasing():
+    """A single-segment GK estimate can be DECEIVED by structure that
+    aliases through its nodes: the 2D integer-lattice DOS at omega~0.905,
+    eta=0.1 certifies abstol=1e-4 with resid 7e-5 while its TRUE error is
+    2.8e-3.  nest_presplit=3 (the initdiv-style robustness knob, reference
+    HCubatureJL's initdiv at src/algorithms.jl:99) breaks the aliasing and
+    lands within the certificate of the dense-PTR truth — at FEWER evals.
+    Note P=2 does NOT help: dyadic splits preserve the aliasing symmetry."""
+    import numpy as np
+
+    from autobzcore_tpu import (FBZ, IAI, PTR, FourierIntegrand,
+                                IntegralProblem, load_bz, solve)
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import dos_trace
+
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    fi = FourierIntegrand(dos_trace, tb_integer(2), eta=0.1)
+    om = 0.9047619047619049
+    truth = float(np.asarray(solve(IntegralProblem(fi, bz, om),
+                                   PTR(npt=256)).u))
+    plain = solve(IntegralProblem(fi, bz, om),
+                  IAI(inner_cap=64, inner_nbisect=2), abstol=1e-4)
+    # the deception: certified but wrong (documents the failure mode the
+    # knob exists for — if adaptive improvements ever fix this, tighten me)
+    assert abs(float(np.asarray(plain.u)) - truth) > 1e-3
+    robust = solve(IntegralProblem(fi, bz, om),
+                   IAI(inner_cap=64, inner_nbisect=2, nest_presplit=3),
+                   abstol=1e-4)
+    assert robust.retcode
+    assert abs(float(np.asarray(robust.u)) - truth) < 2e-4

@@ -121,3 +121,32 @@ def test_certified_transport_sweep():
     res2 = certified_transport_sweep(tb_graphene(), bz, om, eta=0.2,
                                      abstol=1e-8, nmin=16, nmax=40)
     assert not res2.retcode
+
+
+def test_greens_trace_split_omega_block():
+    """The SplitComplex branch of greens_function_trace broadcasts an omega
+    BLOCK vector over new leading axes exactly like the complex branch does
+    (regression: a bare (W,) * (m, m) product smeared the omega vector
+    across matrix columns — silently wrong at W == m, a shape error
+    otherwise).  Covers m <= 3 (adjugate) and m > 3 (eigenvalue) paths."""
+    from autobzcore_tpu.models.observables import greens_function_trace
+    from autobzcore_tpu.ops.scomplex import SplitComplex
+
+    class FV:
+        def __init__(self, s):
+            self.s = s
+
+    rng = np.random.default_rng(0)
+    eta = 1e-2
+    for m in (2, 3, 5):
+        A = rng.normal(size=(m, m)) + 1j * rng.normal(size=(m, m))
+        H = (A + A.conj().T) / 2
+        for om in (0.3, np.linspace(0.1, 0.3, m), np.linspace(0.1, 0.5, m + 2)):
+            gc = np.asarray(greens_function_trace(
+                FV(jnp.asarray(H)), jnp.asarray(om), eta=eta))
+            gs = greens_function_trace(
+                FV(SplitComplex(jnp.asarray(H.real), jnp.asarray(H.imag))),
+                jnp.asarray(om), eta=eta)
+            gs_c = np.asarray(gs.re) + 1j * np.asarray(gs.im)
+            assert gs_c.shape == gc.shape
+            assert np.max(np.abs(gc - gs_c)) < 1e-10, (m, np.shape(om))

@@ -586,19 +586,42 @@ def test_warm_scan_pool_library_reseeds_jumps():
     assert len(tiny._pool_lib) == 1
 
 
-def test_warm_scan_pole_nest_raises():
-    """Pole-aware nests run host-side only: tracing one into a warm sweep
-    program must raise with an actionable message, not crash mid-scan."""
-    from autobzcore_tpu import ContQuadGKJL, IntegralProblem, NestedQuad, QuadGKJL
+def test_pole_nest_sweep_host_fallback():
+    """Pole-aware nests run host-side only and cannot be traced into a sweep
+    program; SweepSolver and sweep_solve must serve the SAME entry point
+    through the host-pipelined backend instead of raising — the reference
+    sweeps ANY algorithm uniformly through batchsolve
+    (src/interfaces.jl:210-218)."""
+    from autobzcore_tpu import (ContQuadGKJL, IntegralProblem, NestedQuad,
+                                QuadGKJL, solve)
     from autobzcore_tpu.limits import CubicLimits
-    from autobzcore_tpu.parallel.sweep import SweepSolver
+    from autobzcore_tpu.parallel.sweep import SweepSolver, sweep_solve
 
     lims = CubicLimits(np.array([0.0, 0.0]), np.array([1.0, 1.0]))
-    prob = IntegralProblem(
-        lambda x, p: 1.0 / ((x[..., 0] - 0.5) ** 2 + p**2), lims)
+
+    def f(x, p):
+        return 1.0 / ((x[..., 0] - 0.5) ** 2 + p**2)
+
     alg = NestedQuad((ContQuadGKJL(), QuadGKJL()))
-    with pytest.raises(ValueError, match="host-side"):
-        SweepSolver(prob, alg, abstol=1e-6, chunk=4, scan=True, warm=True)
+    ps = np.array([0.05, 0.08, 0.12])
+    # reference results, one at a time
+    ref = [solve(IntegralProblem(f, lims, p), alg, abstol=1e-6) for p in ps]
+    prob = IntegralProblem(f, lims)
+
+    # every knob combination delegates (scan/warm describe compiled sweep
+    # programs and simply do not apply here)
+    for kws in ({}, {"scan": True}, {"scan": True, "warm": True}):
+        sw = SweepSolver(prob, alg, abstol=1e-6, chunk=4, **kws)
+        us = np.asarray(sw(ps))
+        assert sw.retcode
+        assert sw.numevals == sum(int(s.numevals) for s in ref)
+        assert np.allclose(us, [complex(np.asarray(s.u)) for s in ref],
+                           rtol=0, atol=1e-12)
+
+    us2, resids, convs, nevs = sweep_solve(prob, alg, ps, abstol=1e-6)
+    assert np.all(convs) and np.allclose(
+        np.asarray(us2), [complex(np.asarray(s.u)) for s in ref], atol=1e-12)
+    assert [int(v) for v in nevs] == [int(s.numevals) for s in ref]
 
 
 def test_mid_seed_pool_remap():
@@ -711,6 +734,15 @@ def test_block_sweep_matches_scalar():
     # the carried pool survives block mode (outer pool + mid seed)
     assert len(warm._pool) == 5
 
+    # the split-f64 tier broadcasts the omega block too (regression: the
+    # SplitComplex greens_function_trace branch smeared the (W,) omega
+    # vector across matrix columns)
+    split = SweepSolver(prob, IAI(precision="split"), abstol=1e-4, chunk=8,
+                        scan=True, block=4)
+    us = np.asarray(split(oms))
+    assert split.retcode
+    assert np.max(np.abs(us - ur)) < 2e-4
+
     # validation: block requires scan, divides chunk, excludes group
     import pytest
 
@@ -720,3 +752,106 @@ def test_block_sweep_matches_scalar():
         SweepSolver(prob, IAI(), chunk=9, scan=True, block=4)
     with pytest.raises(ValueError):
         SweepSolver(prob, IAI(), chunk=8, scan=True, group=2, block=4)
+
+
+def test_block_certificates_exact_counts():
+    """block>1 certificate honesty: a block is ONE solve, so the reported
+    per-block (converged, numevals) arrays must sum exactly to the solver's
+    numevals — including when pad trimming drops the tail of the final
+    block (n not a multiple of block)."""
+    import jax.numpy as jnp
+    from autobzcore_tpu import FBZ, IAI, FourierIntegrand, IntegralProblem, load_bz
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import dos_trace
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    fi = FourierIntegrand(dos_trace, tb_integer(2), eta=0.1)
+    prob = IntegralProblem(fi, bz)
+
+    # n=6 with block=4: final block holds lanes {4, 5} + two pads -> 2 real
+    # blocks; the old even-split lane accounting dropped the pad shares
+    oms = jnp.linspace(0.4, 0.7, 6)
+    sw = SweepSolver(prob, IAI(), abstol=1e-4, chunk=8, scan=True, block=4)
+    us = np.asarray(sw(oms))
+    assert us.shape == (6,)
+    convs_b, nes_b = sw.block_certificates
+    assert convs_b.shape == (2,) and nes_b.shape == (2,)
+    assert sw.numevals == int(np.sum(nes_b))
+    assert sw.retcode == bool(np.all(convs_b))
+    assert np.all(nes_b > 0)
+
+    # warm path: same exactness (blocks counted in sorted solve order)
+    sww = SweepSolver(prob, IAI(), abstol=1e-4, chunk=8, scan=True,
+                      block=4, warm=True)
+    ne0 = sww.numevals
+    sww(oms)
+    convs_w, nes_w = sww.block_certificates
+    # harvest evals ride on top of the block totals
+    assert sww.numevals - ne0 >= int(np.sum(nes_w))
+    assert convs_w.shape == (2,)
+
+
+def test_block_requires_broadcasting_integrand():
+    """A reducing integrand (sums over the omega axis too) cannot run
+    blocked: the trace-time shape check must raise with an actionable
+    message instead of silently returning n/block outputs."""
+    import jax.numpy as jnp
+    from autobzcore_tpu import FBZ, IAI, FourierIntegrand, IntegralProblem, load_bz
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import dos_eig
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    fi = FourierIntegrand(dos_eig, tb_integer(2), eta=0.1)
+    prob = IntegralProblem(fi, bz)
+    sw = SweepSolver(prob, IAI(), abstol=1e-3, chunk=8, scan=True, block=4)
+    with pytest.raises(ValueError, match="broadcast"):
+        sw(jnp.linspace(0.4, 0.7, 8))
+
+
+def test_warm_sweep_sharded_over_mesh():
+    """warm=True x mesh (VERDICT r4 #3): sorted omegas split into ndev
+    contiguous regions, one independent warm chain per device.  Values match
+    the cold scan within the shared certificate, all chains actually carry
+    state, and a re-sweep of the same window costs fewer evals than the
+    first pass (the chains are genuinely warm)."""
+    import jax.numpy as jnp
+    from autobzcore_tpu import FBZ, IAI, FourierIntegrand, IntegralProblem, load_bz
+    from autobzcore_tpu.models import tb_integer
+    from autobzcore_tpu.models.observables import greens_function_trace
+    from autobzcore_tpu.parallel.sweep import SweepSolver
+
+    mesh = make_mesh(8, ("p",), devices=jax.devices("cpu"))
+    bz = load_bz(FBZ(), 2 * np.pi * np.eye(2))
+    fi = FourierIntegrand(greens_function_trace, tb_integer(2), eta=0.1)
+    prob = IntegralProblem(fi, bz)
+    oms = jnp.linspace(-3.0, 3.0, 16)
+
+    warm = SweepSolver(prob, IAI(), abstol=1e-4, chunk=8, scan=True,
+                       warm=True, mesh=mesh)
+    uw = np.asarray(warm(oms))
+    assert warm.retcode
+    ne1 = warm.numevals
+    # one carried chain per device, each keyed at its region's end
+    assert len(warm._dev_carry) == 8
+    keys = [k for k, _ in warm._dev_carry]
+    assert keys == sorted(keys)
+    # re-sweeping the same parameters reuses the carried partitions
+    uw2 = np.asarray(warm(oms))
+    ne2 = warm.numevals - ne1
+    assert ne2 < ne1
+    # agreement with the unsharded cold scan: both certify abstol=1e-4
+    # independently over different partitions
+    cold = SweepSolver(prob, IAI(), abstol=1e-4, chunk=8, scan=True)
+    uc = np.asarray(cold(oms))
+    assert np.max(np.abs(uw - uc)) < 2e-4
+    assert np.max(np.abs(uw2 - uc)) < 2e-4
+    # and with the single-chain warm sweep (same machinery, one device)
+    warm1 = SweepSolver(prob, IAI(), abstol=1e-4, chunk=8, scan=True,
+                        warm=True)
+    u1 = np.asarray(warm1(oms))
+    assert np.max(np.abs(uw - u1)) < 2e-4
+    # telemetry conventions hold on the sharded path too
+    assert len(warm.chunk_meta) == 4  # 2 calls x 2 dispatches
+    assert sum(warm.chunk_evals) <= warm.numevals

@@ -47,10 +47,17 @@ CONFIGS = {
     # block=W: W adjacent omegas share ONE adaptive nest — the structural
     # lever against the depth-bound leg (divides the sequential solve
     # count W-fold; VERDICT r4 #1).  chunk must be a block multiple.
-    "block2": ["--iai-block", "2", "--iai-chunk", "32"],
-    "block4": ["--iai-block", "4", "--iai-chunk", "32"],
-    "block8": ["--iai-block", "8", "--iai-chunk", "32"],
-    "block4+cold": ["--iai-block", "4", "--iai-chunk", "32", "--cold-iai"],
+    # Blocks widen every nest tensor W-fold, so inner_cap derates to keep
+    # the hosted worker alive (block=4 at cap 128 crashed it — measured).
+    "cap64": ["--iai-inner-cap", "64"],
+    "block2": ["--iai-block", "2", "--iai-chunk", "32",
+               "--iai-inner-cap", "64"],
+    "block4": ["--iai-block", "4", "--iai-chunk", "32",
+               "--iai-inner-cap", "64"],
+    "block8": ["--iai-block", "8", "--iai-chunk", "32",
+               "--iai-inner-cap", "32"],
+    "block4+cold": ["--iai-block", "4", "--iai-chunk", "32",
+                    "--iai-inner-cap", "64", "--cold-iai"],
 }
 
 WALL_RE = re.compile(r"IAI interpolant \((\w[\w-]*)\): ([0-9.]+)s"

@@ -58,6 +58,24 @@ CONFIGS = {
                "--iai-inner-cap", "32"],
     "block4+cold": ["--iai-block", "4", "--iai-chunk", "32",
                     "--iai-inner-cap", "64", "--cold-iai"],
+    # batch 2 (round 5): cap ladder + GK-order depth lever + crash-safe
+    # block retries (block x cap64 crashed the worker at full interp
+    # density; cap32 survived for block8)
+    "cap32": ["--iai-inner-cap", "32"],
+    "order11+cap64": ["--iai-order", "11", "--iai-inner-cap", "64"],
+    "order15+cap64": ["--iai-order", "15", "--iai-inner-cap", "64"],
+    "chunk66+cap64": ["--iai-chunk", "66", "--iai-inner-cap", "64"],
+    "block2+cap32": ["--iai-block", "2", "--iai-chunk", "32",
+                     "--iai-inner-cap", "32"],
+    "block4+cap32": ["--iai-block", "4", "--iai-chunk", "32",
+                     "--iai-inner-cap", "32"],
+    # batch 3 (round 5): refinement-WIDTH levers — wider per-trip
+    # processing cuts serial trips at masked-lane eval cost
+    "nbisect2+cap64": ["--iai-nbisect", "2", "--iai-inner-cap", "64"],
+    "nbisect4+cap64": ["--iai-nbisect", "4", "--iai-inner-cap", "64"],
+    "innb4+cap64": ["--iai-inner-nbisect", "4", "--iai-inner-cap", "64"],
+    "nbisect2+innb4+cap64": ["--iai-nbisect", "2", "--iai-inner-nbisect",
+                             "4", "--iai-inner-cap", "64"],
 }
 
 WALL_RE = re.compile(r"IAI interpolant \((\w[\w-]*)\): ([0-9.]+)s"

@@ -69,9 +69,11 @@ def _run_iai(args, hr, bz, dos_kernel, eta, out, split, integrand=None):
         # warm_width=8: seed evaluations have no sequential dependency, so a
         # wider seed batch collapses the warm-start phase's iteration count
         from autobzcore_tpu import AuxQuadGKJL
-        algs = (AuxQuadGKJL(order=args.iai_order, nbisect=1)
-                if args.iai_order else None)
+        algs = (AuxQuadGKJL(order=args.iai_order or 7,
+                            nbisect=args.iai_nbisect or 1)
+                if (args.iai_order or args.iai_nbisect) else None)
         alg = IAI(algs=algs, inner_cap=args.iai_inner_cap,
+                  inner_nbisect=args.iai_inner_nbisect,
                   warm_width=args.iai_warm_width,
                   leaf_nbisect=args.iai_leaf_nbisect,
                   leaf_presplit=args.iai_leaf_presplit,
@@ -147,6 +149,14 @@ def main(argv=None):
                         "serial trip count of all three levels for "
                         "eta-smoothed integrands while widening each "
                         "batched evaluation — the depth-bound leg's trade")
+    p.add_argument("--iai-nbisect", type=int, default=None,
+                   help="OUTER-level refinement width (worst intervals "
+                        "bisected per while_loop trip; default 1 = pure "
+                        "worst-first): width trades masked-lane inner "
+                        "solves for outer serial trips")
+    p.add_argument("--iai-inner-nbisect", type=int, default=2,
+                   help="inner-level refinement width (NestedQuad "
+                        "inner_nbisect)")
     p.add_argument("--iai-leaf-nbisect", type=int, default=None,
                    help="innermost-level refinement width (intervals "
                         "bisected per iteration): trades masked-lane evals "

@@ -76,6 +76,24 @@ CONFIGS = {
     "innb4+cap64": ["--iai-inner-nbisect", "4", "--iai-inner-cap", "64"],
     "nbisect2+innb4+cap64": ["--iai-nbisect", "2", "--iai-inner-nbisect",
                              "4", "--iai-inner-cap", "64"],
+    "seedw8+cap64": ["--iai-inner-seed-width", "8", "--iai-inner-cap", "64"],
+    "seedw16+cap64": ["--iai-inner-seed-width", "16",
+                      "--iai-inner-cap", "64"],
+    "warmw32+cap64": ["--iai-warm-width", "32", "--iai-inner-cap", "64"],
+    "order11+chunk66+cap64": ["--iai-order", "11", "--iai-chunk", "66",
+                              "--iai-inner-cap", "64"],
+    # batch 4 (round 5): innb4 (inner_nbisect=4 — mid-level trips halved at
+    # IDENTICAL evals, 177 s rep0) is the first real depth win; push it
+    "innb8+cap64": ["--iai-inner-nbisect", "8", "--iai-inner-cap", "64"],
+    "innb4+order11+cap64": ["--iai-inner-nbisect", "4", "--iai-order", "11",
+                            "--iai-inner-cap", "64"],
+    "innb4+chunk66+cap64": ["--iai-inner-nbisect", "4", "--iai-chunk", "66",
+                            "--iai-inner-cap", "64"],
+    "innb4+seedw16+cap64": ["--iai-inner-nbisect", "4",
+                            "--iai-inner-seed-width", "16",
+                            "--iai-inner-cap", "64"],
+    "innb4+block2+cap32": ["--iai-inner-nbisect", "4", "--iai-block", "2",
+                           "--iai-chunk", "32", "--iai-inner-cap", "32"],
 }
 
 WALL_RE = re.compile(r"IAI interpolant \((\w[\w-]*)\): ([0-9.]+)s"

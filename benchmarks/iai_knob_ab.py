@@ -76,6 +76,8 @@ CONFIGS = {
     "innb4+cap64": ["--iai-inner-nbisect", "4", "--iai-inner-cap", "64"],
     "nbisect2+innb4+cap64": ["--iai-nbisect", "2", "--iai-inner-nbisect",
                              "4", "--iai-inner-cap", "64"],
+    # r5 shipped defaults (cap64 + inner_nbisect 4 after the default flip)
+    "r5-default": [],
     "seedw8+cap64": ["--iai-inner-seed-width", "8", "--iai-inner-cap", "64"],
     "seedw16+cap64": ["--iai-inner-seed-width", "16",
                       "--iai-inner-cap", "64"],

@@ -154,9 +154,13 @@ def main(argv=None):
                         "bisected per while_loop trip; default 1 = pure "
                         "worst-first): width trades masked-lane inner "
                         "solves for outer serial trips")
-    p.add_argument("--iai-inner-nbisect", type=int, default=2,
+    p.add_argument("--iai-inner-nbisect", type=int, default=4,
                    help="inner-level refinement width (NestedQuad "
-                        "inner_nbisect)")
+                        "inner_nbisect).  Default 4: halves the mid-level "
+                        "refinement trips at IDENTICAL eval counts on the "
+                        "flagship (166-177 s vs 200-252 s for every other "
+                        "r5 config — BASELINE.md round-5 table); width 8 "
+                        "regresses (230-299 s)")
     p.add_argument("--iai-leaf-nbisect", type=int, default=None,
                    help="innermost-level refinement width (intervals "
                         "bisected per iteration): trades masked-lane evals "
@@ -170,11 +174,13 @@ def main(argv=None):
                    help="EVERY-level uniform presplit (initdiv-style "
                         "anti-aliasing robustness; odd P recommended — "
                         "dyadic P preserves GK node-aliasing symmetry)")
-    p.add_argument("--iai-inner-cap", type=int, default=128,
+    p.add_argument("--iai-inner-cap", type=int, default=64,
                    help="inner-level interval-pool capacity (live memory "
                         "scales with the per-level panel product; lower it "
                         "for omega blocks, which widen every nest tensor "
-                        "block-fold)")
+                        "block-fold).  Default 64: the r5 knob matrix "
+                        "measured cap64 <= cap128 wall at identical evals "
+                        "(BASELINE.md round-5 table)")
     p.add_argument("--iai-inner-seed-width", type=int, default=None,
                    help="mid-seed consumption width (intervals re-evaluated "
                         "per device iteration when a warm inner pool seeds "

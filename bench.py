@@ -250,21 +250,28 @@ def main():
         from autobzcore_tpu.models.observables import dos_trace
         from autobzcore_tpu.parallel.sweep import SweepSolver
 
-        bz2 = _load_bz(_FBZ(), 2 * np.pi * np.eye(2))
-        fi = FourierIntegrand(dos_trace, tb_integer(2), eta=0.1)
-        prob2 = IntegralProblem(fi, bz2)
-        oms2 = np.linspace(-3.0, 3.0, 64)
-        alg2 = IAI(inner_cap=64, inner_nbisect=2)
-        # abstol 1e-5: at 1e-4 the COLD solve's single-segment GK estimate
-        # is deceived at omega=+-0.905 (true error 2.8e-3 at certified
-        # 1e-4 — see NestedQuad.nest_presplit), which would dominate
-        # warm_max_delta and mask real warm-machinery regressions; at 1e-5
-        # both paths are honest (measured ratio 0.66, delta 5.5e-6)
-        cold_sw = SweepSolver(prob2, alg2, abstol=1e-5, chunk=16, scan=True)
-        uc2 = np.asarray(cold_sw(oms2))
-        warm_sw = SweepSolver(prob2, alg2, abstol=1e-5, chunk=16, scan=True,
-                              warm=True)
-        uw2 = np.asarray(warm_sw(oms2))
+        # the canary is a MACHINERY check (eval counts are
+        # hardware-independent); it runs f64 on the CPU backend — the
+        # package import enables x64, and an f64 warm-scan program
+        # SIGABRTs the hosted TPU compile helper
+        with jax.default_device(jax.devices("cpu")[0]):
+            bz2 = _load_bz(_FBZ(), 2 * np.pi * np.eye(2))
+            fi = FourierIntegrand(dos_trace, tb_integer(2), eta=0.1)
+            prob2 = IntegralProblem(fi, bz2)
+            oms2 = np.linspace(-3.0, 3.0, 64)
+            alg2 = IAI(inner_cap=64, inner_nbisect=2)
+            # abstol 1e-5: at 1e-4 the COLD solve's single-segment GK
+            # estimate is deceived at omega=+-0.905 (true error 2.8e-3 at
+            # certified 1e-4 — see NestedQuad.nest_presplit), which would
+            # dominate warm_max_delta and mask real warm-machinery
+            # regressions; at 1e-5 both paths are honest (measured ratio
+            # 0.66, delta 5.5e-6)
+            cold_sw = SweepSolver(prob2, alg2, abstol=1e-5, chunk=16,
+                                  scan=True)
+            uc2 = np.asarray(cold_sw(oms2))
+            warm_sw = SweepSolver(prob2, alg2, abstol=1e-5, chunk=16,
+                                  scan=True, warm=True)
+            uw2 = np.asarray(warm_sw(oms2))
         warm_ratio = warm_sw.numevals / max(cold_sw.numevals, 1)
         warm_delta = float(np.max(np.abs(uw2 - uc2)))
     except Exception as exc:  # pragma: no cover - informational
